@@ -1,0 +1,59 @@
+"""Engine bootstrap and self-test (the EnsureFFmpeg/VerifyFFmpeg analog).
+
+The reference downloads a static ffmpeg, verifies its version and encoder
+list, and runs a live 1-frame 1280x720 synthetic encode at every daemon
+start (internal/ffmpeg/binary.go:21-310).  Our engine is in-process, so
+"ensure" reduces to constructing it against the visible TPU devices, and
+"verify" runs the same hermetic smoke test: one synthetic 1280x720 frame
+through the full TPU encode path (binary.go:282-295 analog).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+log = logging.getLogger("av1tpu.engine")
+
+
+class EngineError(Exception):
+    """Actionable engine bootstrap/self-test failure (binary.go:313-330 analog)."""
+
+
+def make_engine(cfg):
+    """Construct the configured engine ("tpu" is the only real engine)."""
+    if cfg.encoder != "tpu":
+        raise EngineError(
+            f"unknown encoder '{cfg.encoder}' (this build provides 'tpu'); "
+            "set \"encoder\": \"tpu\" in the config")
+    try:
+        from av1tpu.engine_tpu import TpuEngine
+    except ImportError as e:
+        raise EngineError(f"TPU engine unavailable: {e}") from e
+    return TpuEngine(cfg.tpu)
+
+
+def verify_engine(engine) -> float:
+    """1-frame 1280x720 synthetic encode self-test; returns elapsed seconds.
+
+    Hermetic input, real hardware — the analog of the reference's
+    ``-f lavfi -i testsrc2=s=1280x720:d=1 ... -c:v av1_qsv -f null -``
+    startup probe (binary.go:244-310).  Raises EngineError on failure with
+    an actionable message.
+    """
+    from av1tpu.utils.testsrc import testsrc2
+    frame = testsrc2(1280, 720, frame_index=0)
+    t0 = time.monotonic()
+    try:
+        payload = engine.encode_smoke_frame(frame)
+    except Exception as e:
+        raise EngineError(
+            f"TPU self-test encode failed: {e}; check that the TPU runtime "
+            "is healthy (jax.devices()) and no other process holds the chip"
+        ) from e
+    if not payload:
+        raise EngineError("TPU self-test encode produced no bitstream")
+    dt = time.monotonic() - t0
+    log.info("engine self-test OK: 1 frame 1280x720 in %.2fs (%d bytes)",
+             dt, len(payload))
+    return dt
