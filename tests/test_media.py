@@ -1,0 +1,221 @@
+"""Media layer tests: EBML primitives, MKV mux/demux round-trip, MP4, IVF."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from av1tpu.media import ebml, ivf, mkv, mkv_mux, mp4
+from av1tpu.media.mkv import Packet, Track
+from av1tpu.media.probe import probe_file
+
+
+# --- EBML primitives -------------------------------------------------------
+
+def test_vint_roundtrip():
+    for size in (0, 1, 126, 127, 128, 16383, 16384, 2 ** 40, 2 ** 55 - 2):
+        data = ebml.encode_size(size)
+        got = ebml.read_size(io.BytesIO(data))
+        assert got == size, size
+
+
+def test_unknown_size():
+    data = ebml.encode_size(None)
+    assert ebml.read_size(io.BytesIO(data)) is None
+
+
+def test_element_id_roundtrip():
+    for el_id in (0xAE, 0xD7, 0x4DBB, 0x23E383, 0x1A45DFA3):
+        data = ebml.encode_id(el_id)
+        got = ebml.read_element_id(io.BytesIO(data))
+        assert got == el_id
+
+
+def test_payload_coders():
+    assert ebml.decode_uint(ebml.encode_uint(123456)) == 123456
+    assert ebml.decode_sint(ebml.encode_sint(-1234)) == -1234
+    assert ebml.decode_float(ebml.encode_float(3.5)) == 3.5
+    assert ebml.decode_string("hëllo".encode()) == "hëllo"
+
+
+# --- MKV mux → demux round-trip -------------------------------------------
+
+def _write_test_mkv(path, with_rus_audio=True):
+    tracks = [
+        Track(number=1, track_type=mkv.TRACK_TYPE_VIDEO, codec_id="V_AV1",
+              width=320, height=240, default_duration_ns=41708333,
+              codec_private=b"\x81\x05\x0c\x00"),
+        Track(number=2, track_type=mkv.TRACK_TYPE_AUDIO, codec_id="A_AAC",
+              language="eng", sample_rate=48000.0, channels=2,
+              codec_private=b"\x11\x90"),
+    ]
+    if with_rus_audio:
+        tracks.append(Track(number=3, track_type=mkv.TRACK_TYPE_AUDIO,
+                            codec_id="A_AC3", language="rus",
+                            sample_rate=48000.0, channels=6))
+    tracks.append(Track(number=4, track_type=mkv.TRACK_TYPE_SUBTITLE,
+                        codec_id="S_TEXT/UTF8", language="eng"))
+    with open(path, "wb") as f:
+        w = mkv_mux.MkvWriter(f, tracks, writing_app="test")
+        for i in range(10):
+            ts = i * 41708333
+            w.write_packet(Packet(1, ts, bytes([i]) * 100,
+                                  keyframe=(i % 5 == 0)))
+            w.write_packet(Packet(2, ts, bytes([0x40 + i]) * 20, True))
+            if with_rus_audio:
+                w.write_packet(Packet(3, ts, bytes([0x60 + i]) * 30, True))
+        w.write_packet(Packet(4, 0, b"Hello subtitle", True,
+                              duration_ns=2_000_000_000))
+        w.finalize()
+    return tracks
+
+
+def test_mkv_roundtrip(tmp_path):
+    path = str(tmp_path / "t.mkv")
+    _write_test_mkv(path)
+    with open(path, "rb") as f:
+        m = mkv.parse(f)
+        assert m.doctype == "matroska"
+        assert len(m.tracks) == 4
+        v = m.tracks[0]
+        assert v.codec_id == "V_AV1"
+        assert (v.width, v.height) == (320, 240)
+        assert v.codec_private == b"\x81\x05\x0c\x00"
+        a_rus = m.track_by_number(3)
+        assert a_rus.language == "rus"
+        pkts = list(mkv.iter_packets(f, m))
+    vid = [p for p in pkts if p.track_number == 1]
+    assert len(vid) == 10
+    assert vid[0].keyframe and not vid[1].keyframe
+    assert vid[3].data == b"\x03" * 100
+    assert vid[3].timestamp_ns // 1_000_000 == 3 * 41708333 // 1_000_000
+    subs = [p for p in pkts if p.track_number == 4]
+    assert subs[0].data == b"Hello subtitle"
+    assert subs[0].duration_ns == 2_000_000_000
+
+
+def test_mkv_probe_shape(tmp_path):
+    path = str(tmp_path / "t.mkv")
+    _write_test_mkv(path)
+    pr = probe_file(path)
+    assert pr.format.format_name == "matroska,webm"
+    assert pr.has_video
+    assert pr.has_av1  # V_AV1 video → "already av1" skip in scan
+    assert pr.video_stream.codec_name == "av1"
+    assert pr.video_stream.width == 320
+    assert pr.video_stream.r_frame_rate == "24000/1001"
+    assert pr.format.tags.get("muxing_app") == "av1tpu"
+    auds = [s for s in pr.streams if s.codec_type == "audio"]
+    assert len(auds) == 2
+    assert auds[1].tags.get("language") == "rus"
+    subs = [s for s in pr.streams if s.codec_type == "subtitle"]
+    assert len(subs) == 1
+    assert pr.format.duration and float(pr.format.duration) > 0
+
+
+def test_mkv_lacing_parse():
+    """Xiph and EBML lacing decode (real-world AAC mkvs lace)."""
+    # Build a SimpleBlock payload with Xiph lacing: 3 frames 5,6,7 bytes
+    frames = [b"aaaaa", b"bbbbbb", b"ccccccc"]
+    payload = (ebml.encode_size(1) + (0).to_bytes(2, "big", signed=True)
+               + bytes([0x80 | 0x02]) + bytes([2, 5, 6])
+               + b"".join(frames))
+    pkts = mkv._read_block(payload, 0, 1_000_000, True)
+    assert [p.data for p in pkts] == frames
+    # Fixed lacing: 2 frames of 4
+    payload2 = (ebml.encode_size(1) + (0).to_bytes(2, "big", signed=True)
+                + bytes([0x80 | 0x04]) + bytes([1]) + b"xxxxyyyy")
+    pkts2 = mkv._read_block(payload2, 0, 1_000_000, True)
+    assert [p.data for p in pkts2] == [b"xxxx", b"yyyy"]
+
+
+# --- MP4 -------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cv2_mp4(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("m") / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24.0,
+                        (320, 240))
+    assert w.isOpened()
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        img = np.full((240, 320, 3), i * 20, np.uint8)
+        img[:50] = rng.integers(0, 255, (50, 320, 3), np.uint8)
+        w.write(img)
+    w.release()
+    return path
+
+
+def test_mp4_probe(cv2_mp4):
+    pr = probe_file(cv2_mp4)
+    assert pr.format.format_name == "mov,mp4,m4a,3gp,3g2,mj2"
+    assert pr.has_video and not pr.has_av1
+    vs = pr.video_stream
+    assert (vs.width, vs.height) == (320, 240)
+    assert vs.codec_name == "mpeg4"
+    assert vs.r_frame_rate == "24/1"
+    assert abs(float(pr.format.duration) - 0.5) < 0.05
+    assert pr.format.bit_rate
+
+
+def test_mp4_packets(cv2_mp4):
+    with open(cv2_mp4, "rb") as f:
+        m = mp4.parse(f)
+        vid = [t for t in m.tracks if t.codec_type == "video"][0]
+        pkts = list(mp4.iter_packets(f, m, vid))
+    assert len(pkts) == 12
+    assert pkts[0].keyframe
+    assert all(p.data for p in pkts)
+    assert pkts[1].timestamp_ns == 1_000_000_000 // 24
+
+
+def test_mp4_to_mkv_transmux(cv2_mp4, tmp_path):
+    """Copy an MP4 video track into MKV and parse it back."""
+    with open(cv2_mp4, "rb") as f:
+        m = mp4.parse(f)
+        src = [t for t in m.tracks if t.codec_type == "video"][0]
+        pkts = list(mp4.iter_packets(f, m, src))
+    out = str(tmp_path / "out.mkv")
+    tr = Track(number=1, track_type=mkv.TRACK_TYPE_VIDEO,
+               codec_id="V_MPEG4/ISO/ASP", width=src.width,
+               height=src.height, codec_private=src.codec_private)
+    with open(out, "wb") as f:
+        w = mkv_mux.MkvWriter(f, [tr])
+        for p in pkts:
+            p.track_number = 1
+            w.write_packet(p)
+        w.finalize()
+    with open(out, "rb") as f:
+        m2 = mkv.parse(f)
+        back = list(mkv.iter_packets(f, m2))
+    assert len(back) == 12
+    assert back[5].data == pkts[5].data
+
+
+# --- IVF -------------------------------------------------------------------
+
+def test_ivf_roundtrip(tmp_path):
+    path = str(tmp_path / "t.ivf")
+    with open(path, "wb") as f:
+        ivf.write_header(f, 640, 360, 30, 1)
+        ivf.write_frame(f, b"frame-zero", 0)
+        ivf.write_frame(f, b"frame-one!", 1)
+        ivf.patch_frame_count(f, 2)
+    with open(path, "rb") as f:
+        h = ivf.read_header(f)
+        frames = list(ivf.iter_frames(f))
+    assert (h["width"], h["height"]) == (640, 360)
+    assert h["num_frames"] == 2
+    assert frames == [(b"frame-zero", 0), (b"frame-one!", 1)]
+    pr = probe_file(path)
+    assert pr.video_stream.codec_name == "av1"
+
+
+def test_probe_dispatch_unknown(tmp_path):
+    p = tmp_path / "x.mkv"
+    p.write_bytes(b"\x00" * 100)
+    from av1tpu.media.probe import ProbeError
+    with pytest.raises(ProbeError):
+        probe_file(str(p))
