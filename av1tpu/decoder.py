@@ -1,0 +1,89 @@
+"""Bitstream decoder — the conformance inverse path (SURVEY.md §4a).
+
+Decodes av1tpu-profile streams back to YUV frames: OBU parse → frame
+header → C++ tile decode → dequant + exact inverse transform + wavefront
+intra reconstruction (the same jitted commit pass the encoder runs, so
+encoder recon and decoder output are bit-identical by construction —
+verified by tests, not assumed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from av1tpu.encoder import quant
+from av1tpu.encoder.core import intra_frame
+from av1tpu.encoder.entropy import tile as tile_codec
+from av1tpu.media import obu as obu_mod
+from av1tpu.utils.testsrc import Frame
+
+
+class DecodeError(Exception):
+    pass
+
+
+@dataclasses.dataclass
+class DecoderState:
+    seq: obu_mod.SequenceHeader | None = None
+
+
+def _padded_dims(w: int, h: int, block: int) -> tuple[int, int]:
+    return -(-h // block) * block, -(-w // block) * block
+
+
+def decode_frame_payload(payload: bytes, state: DecoderState) -> Frame | None:
+    """Decode one temporal unit (bytes of OBUs).  Returns a Frame or None
+    (e.g. pure TD/seq-header units)."""
+    frame = None
+    for obu_type, data in obu_mod.parse_obus(payload):
+        if obu_type == obu_mod.OBU_SEQUENCE_HEADER:
+            state.seq = obu_mod.SequenceHeader.parse(data)
+        elif obu_type == obu_mod.OBU_FRAME:
+            if state.seq is None:
+                raise DecodeError("frame before sequence header")
+            frame = _decode_frame(data, state)
+    return frame
+
+
+def _decode_frame(data: bytes, state: DecoderState) -> Frame:
+    fh, hdr_len = obu_mod.FrameHeader.parse(data)
+    tile_data = data[hdr_len:]
+    block = 1 << fh.luma_block_log2
+    cblock = block // 2
+    hp, wp = _padded_dims(fh.width, fh.height, block)
+    rows, cols = hp // block, wp // block
+    n_blocks = rows * cols
+
+    skips, y_modes, uv_modes, y_lv, u_lv, v_lv = tile_codec.decode_tile_intra(
+        tile_data, n_blocks, block, cblock)
+
+    dc = quant.dc_q(fh.base_q_idx)
+    ac = quant.ac_q(fh.base_q_idx)
+    y = np.asarray(intra_frame.decode_plane(
+        y_lv, y_modes.astype(np.int32), dc, ac, hp, wp, block))
+    u = np.asarray(intra_frame.decode_plane(
+        u_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2, cblock))
+    v = np.asarray(intra_frame.decode_plane(
+        v_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2, cblock))
+
+    h, w = fh.height, fh.width
+    ch, cw = -(-h // 2), -(-w // 2)
+    return Frame(y=y[:h, :w].astype(np.uint8),
+                 u=u[:ch, :cw].astype(np.uint8),
+                 v=v[:ch, :cw].astype(np.uint8))
+
+
+def decode_ivf(path: str) -> list[Frame]:
+    """Decode all frames of an av1tpu IVF file."""
+    from av1tpu.media import ivf
+    state = DecoderState()
+    frames = []
+    with open(path, "rb") as f:
+        ivf.read_header(f)
+        for payload, _pts in ivf.iter_frames(f):
+            fr = decode_frame_payload(payload, state)
+            if fr is not None:
+                frames.append(fr)
+    return frames

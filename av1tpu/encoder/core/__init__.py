@@ -1,0 +1,1 @@
+"""Frame pipeline: GOP structure, per-frame encode orchestration, recon."""

@@ -1,0 +1,251 @@
+"""The TPU encode engine: the box that replaces the exec'd ffmpeg child.
+
+This is the reference's PROCESS+DEVICE boundary (SURVEY.md §3.2: "this box
+is what becomes the JAX/Pallas engine"): demux → decode source frames →
+AV1-encode on TPU → mux Matroska with copied audio/subtitle streams.
+
+v1 scope: intra-only frames (keyframe pipeline), 8-bit 4:2:0, single tile,
+single chip.  GOP/inter coding, CDEF, 10-bit, and tile-row sharding layer
+on top without changing this surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+from av1tpu.config import TpuEncoderConfig
+from av1tpu.daemon.core import TranscodeError
+from av1tpu.encoder import quant, ratectrl
+from av1tpu.encoder.core import intra_frame
+from av1tpu.encoder.entropy import tile as tile_codec
+from av1tpu.media import mkv, mkv_mux, mp4, obu as obu_mod
+from av1tpu.media.mkv import Packet, Track
+from av1tpu.media.streamcopy import interleave, output_tracks, plan_streams
+from av1tpu.utils.testsrc import Frame
+
+log = logging.getLogger("av1tpu.engine")
+
+BLOCK = 16  # v1 fixed luma block/tx size
+
+_cache_enabled = False
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the daemon is restarted by its
+    service manager after every pass (SURVEY.md §1 control-flow), so
+    first-compile costs must not recur on every restart."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    try:
+        import jax
+        cache_dir = os.path.expanduser("~/.cache/av1tpu/jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # cache is an optimization, never fatal
+        log.warning("compilation cache unavailable: %s", e)
+    _cache_enabled = True
+
+
+@dataclasses.dataclass
+class EncodeStats:
+    frames: int = 0
+    bytes: int = 0
+    encode_seconds: float = 0.0
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.encode_seconds if self.encode_seconds else 0.0
+
+
+class TpuEngine:
+    """Transcoder implementation (av1tpu.daemon.core.Transcoder protocol)."""
+
+    def __init__(self, cfg: Optional[TpuEncoderConfig] = None):
+        self.cfg = cfg or TpuEncoderConfig()
+        self.stats = EncodeStats()
+        _enable_compilation_cache()
+
+    # ------------------------------------------------------------------
+    # core per-frame encode
+
+    def encode_keyframe(self, frame: Frame, qindex: int) -> bytes:
+        """Encode one frame as an intra keyframe; returns the frame OBU."""
+        import jax.numpy as jnp
+        h, w = frame.height, frame.width
+        yp = intra_frame.pad_plane(frame.y.astype(np.int32), BLOCK)
+        cblock = BLOCK // 2
+        hp, wp = yp.shape
+        up = np.zeros((hp // 2, wp // 2), np.int32)
+        vp = np.zeros((hp // 2, wp // 2), np.int32)
+        uu = intra_frame.pad_plane(frame.u.astype(np.int32), 1)
+        vv = intra_frame.pad_plane(frame.v.astype(np.int32), 1)
+        up[:uu.shape[0], :uu.shape[1]] = uu
+        vp[:vv.shape[0], :vv.shape[1]] = vv
+        # edge-extend chroma into the pad region
+        up[uu.shape[0]:, :] = up[uu.shape[0] - 1:uu.shape[0], :]
+        up[:, uu.shape[1]:] = up[:, uu.shape[1] - 1:uu.shape[1]]
+        vp[vv.shape[0]:, :] = vp[vv.shape[0] - 1:vv.shape[0], :]
+        vp[:, vv.shape[1]:] = vp[:, vv.shape[1] - 1:vv.shape[1]]
+
+        dc, ac = quant.dc_q(qindex), quant.ac_q(qindex)
+        y_modes = intra_frame.decide_modes(jnp.asarray(yp), BLOCK)
+        zeros = jnp.zeros_like(y_modes)
+        y_lv, _yr = intra_frame.encode_plane(jnp.asarray(yp), y_modes,
+                                             dc, ac, BLOCK)
+        u_lv, _ur = intra_frame.encode_plane(jnp.asarray(up), zeros,
+                                             dc, ac, cblock)
+        v_lv, _vr = intra_frame.encode_plane(jnp.asarray(vp), zeros,
+                                             dc, ac, cblock)
+        y_lv = np.asarray(y_lv)
+        u_lv = np.asarray(u_lv)
+        v_lv = np.asarray(v_lv)
+        skips = ((y_lv == 0).all(1) & (u_lv == 0).all(1)
+                 & (v_lv == 0).all(1)).astype(np.uint8)
+        tile = tile_codec.encode_tile_intra(
+            skips, np.asarray(y_modes).astype(np.uint8),
+            np.zeros_like(skips), y_lv, u_lv, v_lv, BLOCK, cblock)
+        fh = obu_mod.FrameHeader(frame_type=obu_mod.KEY_FRAME,
+                                 base_q_idx=qindex, width=w, height=h,
+                                 luma_block_log2=BLOCK.bit_length() - 1)
+        return obu_mod.write_frame_obu(fh, tile)
+
+    def sequence_header(self, width: int, height: int,
+                        bit_depth: int = 8) -> obu_mod.SequenceHeader:
+        return obu_mod.SequenceHeader(width=width, height=height,
+                                      bit_depth=bit_depth)
+
+    def encode_smoke_frame(self, frame: Frame) -> bytes:
+        """Startup self-test payload (VerifyFFmpeg analog)."""
+        return self.encode_keyframe(frame, qindex=96)
+
+    # ------------------------------------------------------------------
+    # source decode (cv2-based pixel path)
+
+    @staticmethod
+    def iter_source_frames(path: str) -> Iterator[Frame]:
+        import cv2
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise TranscodeError(f"cannot open source video: {path}")
+        try:
+            while True:
+                ok, img = cap.read()
+                if not ok:
+                    return
+                h, w = img.shape[:2]
+                if h % 2 or w % 2:  # even-dimension policy (transcode.go:98)
+                    img = img[:h - (h % 2), :w - (w % 2)]
+                    h, w = img.shape[:2]
+                i420 = cv2.cvtColor(img, cv2.COLOR_BGR2YUV_I420)
+                y = i420[:h]
+                u = i420[h:h + h // 4].reshape(h // 2, w // 2)
+                v = i420[h + h // 4:].reshape(h // 2, w // 2)
+                yield Frame(y=y.copy(), u=u.copy(), v=v.copy())
+        finally:
+            cap.release()
+
+    # ------------------------------------------------------------------
+    # full transcode (the ProcessJob engine call)
+
+    def transcode(self, input_path: str, output_path: str, probe_result,
+                  is_webrip_like: bool) -> None:
+        vs = probe_result.video_stream
+        if vs is None:
+            raise TranscodeError("no video stream found in probe result")
+        quality = ratectrl.determine_quality(vs.height)
+        qindex = ratectrl.quality_to_qindex(quality)
+        fps_num, fps_den = _parse_rate(vs.avg_frame_rate
+                                       or vs.r_frame_rate) or (24, 1)
+        frame_dur_ns = 1_000_000_000 * fps_den // fps_num
+
+        plan = plan_streams(probe_result)
+
+        # source containers for stream copy
+        src_packets = []
+        chapters = tags = b""
+        fmt = probe_result.format.format_name
+        if "matroska" in fmt:
+            with open(input_path, "rb") as f:
+                m = mkv.parse(f)
+                chapters, tags = m.chapters_payload, m.tags_payload
+                keep = set()
+                for s in plan.copied:
+                    if s.index < len(m.tracks):
+                        keep.add(m.tracks[s.index].number)
+                number_map = {m.tracks[s.index].number:
+                              plan.output_number[s.index]
+                              for s in plan.copied if s.index < len(m.tracks)}
+                for pkt in mkv.iter_packets(f, m):
+                    if pkt.track_number in keep:
+                        pkt.track_number = number_map[pkt.track_number]
+                        src_packets.append(pkt)
+        elif "mp4" in fmt or "mov" in fmt:
+            with open(input_path, "rb") as f:
+                m4 = mp4.parse(f)
+                idx_of = {t.track_id: i for i, t in enumerate(m4.tracks)}
+                for s in plan.copied:
+                    track = m4.tracks[s.index] if s.index < len(m4.tracks) else None
+                    if track is None:
+                        continue
+                    for pkt in mp4.iter_packets(f, m4, track):
+                        pkt.track_number = plan.output_number[s.index]
+                        src_packets.append(pkt)
+            src_packets.sort(key=lambda p: p.timestamp_ns)
+
+        # encode video
+        t0 = time.monotonic()
+        video_packets = []
+        n = 0
+        width = height = 0
+        for frame in self.iter_source_frames(input_path):
+            width, height = frame.width, frame.height
+            payload = self.encode_keyframe(frame, qindex)
+            video_packets.append(Packet(
+                track_number=1, timestamp_ns=n * frame_dur_ns,
+                data=payload, keyframe=True, duration_ns=frame_dur_ns))
+            n += 1
+        dt = time.monotonic() - t0
+        if n == 0:
+            raise TranscodeError("source decoded zero frames")
+        self.stats.frames += n
+        self.stats.encode_seconds += dt
+        self.stats.bytes += sum(len(p.data) for p in video_packets)
+        log.info("encoded %d frames %dx%d in %.2fs (%.2f fps), %d bytes",
+                 n, width, height, dt, n / dt,
+                 sum(len(p.data) for p in video_packets))
+
+        # mux
+        sh = self.sequence_header(width, height)
+        tracks = output_tracks(plan, width, height, frame_dur_ns)
+        tracks[0].codec_private = obu_mod.av1c_record(sh)
+        try:
+            with open(output_path, "wb") as f:
+                writer = mkv_mux.MkvWriter(
+                    f, tracks, chapters_payload=chapters, tags_payload=tags)
+                for pkt in interleave(video_packets, src_packets):
+                    writer.write_packet(pkt)
+                writer.finalize(n * frame_dur_ns / 1e9)
+        except Exception as e:
+            raise TranscodeError(f"mux failed: {e}") from e
+
+
+def _parse_rate(rate: str) -> Optional[tuple[int, int]]:
+    if not rate:
+        return None
+    parts = rate.split("/")
+    try:
+        if len(parts) == 2:
+            num, den = int(parts[0]), int(parts[1])
+            return (num, den) if num > 0 and den > 0 else None
+        f = float(rate)
+        return (round(f * 1000), 1000) if f > 0 else None
+    except ValueError:
+        return None
