@@ -14,8 +14,9 @@ import dataclasses
 import numpy as np
 
 from av1tpu.encoder import quant
-from av1tpu.encoder.core import intra_frame
+from av1tpu.encoder.core import inter_frame, intra_frame
 from av1tpu.encoder.entropy import tile as tile_codec
+from av1tpu.encoder.kernels import motion
 from av1tpu.media import obu as obu_mod
 from av1tpu.utils.testsrc import Frame
 
@@ -27,6 +28,7 @@ class DecodeError(Exception):
 @dataclasses.dataclass
 class DecoderState:
     seq: obu_mod.SequenceHeader | None = None
+    ref: tuple | None = None   # (y, u, v) block-padded recon planes
 
 
 def _padded_dims(w: int, h: int, block: int) -> tuple[int, int]:
@@ -48,6 +50,7 @@ def decode_frame_payload(payload: bytes, state: DecoderState) -> Frame | None:
 
 
 def _decode_frame(data: bytes, state: DecoderState) -> Frame:
+    import jax.numpy as jnp
     fh, hdr_len = obu_mod.FrameHeader.parse(data)
     tile_data = data[hdr_len:]
     block = 1 << fh.luma_block_log2
@@ -55,19 +58,37 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
     hp, wp = _padded_dims(fh.width, fh.height, block)
     rows, cols = hp // block, wp // block
     n_blocks = rows * cols
-
-    skips, y_modes, uv_modes, y_lv, u_lv, v_lv = tile_codec.decode_tile_intra(
-        tile_data, n_blocks, block, cblock)
-
     dc = quant.dc_q(fh.base_q_idx)
     ac = quant.ac_q(fh.base_q_idx)
-    y = np.asarray(intra_frame.decode_plane(
-        y_lv, y_modes.astype(np.int32), dc, ac, hp, wp, block))
-    u = np.asarray(intra_frame.decode_plane(
-        u_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2, cblock))
-    v = np.asarray(intra_frame.decode_plane(
-        v_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2, cblock))
 
+    if fh.frame_type == obu_mod.KEY_FRAME:
+        (skips, y_modes, uv_modes, y_lv, u_lv,
+         v_lv) = tile_codec.decode_tile_intra(tile_data, n_blocks, block,
+                                              cblock)
+        y = np.asarray(intra_frame.decode_plane(
+            y_lv, y_modes.astype(np.int32), dc, ac, hp, wp, block))
+        u = np.asarray(intra_frame.decode_plane(
+            u_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
+            cblock))
+        v = np.asarray(intra_frame.decode_plane(
+            v_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
+            cblock))
+    else:
+        if state.ref is None:
+            raise DecodeError("inter frame without reference")
+        skips, mvs, y_lv, u_lv, v_lv = tile_codec.decode_tile_inter(
+            tile_data, n_blocks, block, cblock)
+        ry, ru, rv = state.ref
+        yj, uj, vj = inter_frame.decode_inter_frame(
+            jnp.asarray(mvs), jnp.asarray(y_lv), jnp.asarray(u_lv),
+            jnp.asarray(v_lv),
+            jnp.asarray(np.pad(ry, motion.PAD, mode="edge")),
+            jnp.asarray(np.pad(ru, motion.PAD, mode="edge")),
+            jnp.asarray(np.pad(rv, motion.PAD, mode="edge")),
+            dc, ac, hp, wp, block)
+        y, u, v = np.asarray(yj), np.asarray(uj), np.asarray(vj)
+
+    state.ref = (y, u, v)
     h, w = fh.height, fh.width
     ch, cw = -(-h // 2), -(-w // 2)
     return Frame(y=y[:h, :w].astype(np.uint8),

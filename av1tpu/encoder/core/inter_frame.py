@@ -1,0 +1,113 @@
+"""Inter (P) frame encoding: motion search + dense residual coding.
+
+Unlike intra, inter prediction references the *previous reconstructed
+frame*, so every block is independent — the whole frame encodes as one
+batched pass with no wavefront: search → MC gather → transform →
+quantize → reconstruct, in a single jit (SURVEY.md §3.2: this is the hot
+inner loop the exec'd ffmpeg used to own).
+
+The decoder-side function reuses the identical normative ops (MC gather,
+dequant, exact inverse transform, clip), so encoder recon == decoder
+recon bit-exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.encoder import quant
+from av1tpu.encoder.kernels import motion
+from av1tpu.encoder.kernels import transforms as tx
+
+
+def _to_blocks(plane: jnp.ndarray, n: int) -> jnp.ndarray:
+    hp, wp = plane.shape
+    rows, cols = hp // n, wp // n
+    return (plane.reshape(rows, n, cols, n).transpose(0, 2, 1, 3)
+            .reshape(rows * cols, n, n))
+
+
+def _from_blocks(blocks: jnp.ndarray, hp: int, wp: int, n: int) -> jnp.ndarray:
+    rows, cols = hp // n, wp // n
+    return (blocks.reshape(rows, cols, n, n).transpose(0, 2, 1, 3)
+            .reshape(hp, wp))
+
+
+def _code_plane(src_blocks, pred, dc_step, ac_step):
+    """residual → levels + recon blocks (encoder side)."""
+    res = src_blocks.astype(jnp.int32) - pred
+    coeffs = tx.fwd_txfm(res)
+    lv = quant.quantize_block(coeffs, dc_step, ac_step)
+    dq = quant.dequantize_block(lv, dc_step, ac_step)
+    resr = tx.inv_txfm(dq)
+    rec = jnp.clip(pred + resr, 0, 255)
+    return lv, rec
+
+
+def _recon_plane(levels, pred, dc_step, ac_step):
+    """levels → recon blocks (normative, shared with decoder)."""
+    dq = quant.dequantize_block(levels, dc_step, ac_step)
+    resr = tx.inv_txfm(dq)
+    return jnp.clip(pred + resr, 0, 255)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def encode_inter_frame(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
+                       dc_step, ac_step, block: int):
+    """Encode one P frame.  All planes padded to block multiples.
+
+    Returns (mvs (B,2), levels_y, levels_u, levels_v, recon_y, recon_u,
+    recon_v) — levels flattened (B, n*n) raster order.
+    """
+    n = block
+    cn = n // 2
+    hp, wp = y.shape
+
+    mvs = motion.tss_search(y, ref_y_pad, n)
+    pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
+    pred_y = motion.gather_blocks(ref_y_pad, pos_y, mvs, n)
+    lv_y, rec_y = _code_plane(_to_blocks(y, n), pred_y, dc_step, ac_step)
+
+    cmv = motion.chroma_mv(mvs)
+    hc, wc = u.shape
+    pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
+    pred_u = motion.gather_blocks(ref_u_pad, pos_c, cmv, cn)
+    pred_v = motion.gather_blocks(ref_v_pad, pos_c, cmv, cn)
+    lv_u, rec_u = _code_plane(_to_blocks(u, cn), pred_u, dc_step, ac_step)
+    lv_v, rec_v = _code_plane(_to_blocks(v, cn), pred_v, dc_step, ac_step)
+
+    return (mvs,
+            lv_y.reshape(lv_y.shape[0], -1),
+            lv_u.reshape(lv_u.shape[0], -1),
+            lv_v.reshape(lv_v.shape[0], -1),
+            _from_blocks(rec_y, hp, wp, n),
+            _from_blocks(rec_u, hc, wc, cn),
+            _from_blocks(rec_v, hc, wc, cn))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "hp", "wp"))
+def decode_inter_frame(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
+                       ref_v_pad, dc_step, ac_step, hp: int, wp: int,
+                       block: int):
+    """Decoder-side P-frame reconstruction (bit-identical to encoder)."""
+    n = block
+    cn = n // 2
+    hc, wc = hp // 2, wp // 2
+    pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
+    pred_y = motion.gather_blocks(ref_y_pad, pos_y, mvs, n)
+    rec_y = _recon_plane(lv_y.reshape(-1, n, n), pred_y, dc_step, ac_step)
+
+    cmv = motion.chroma_mv(mvs)
+    pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
+    pred_u = motion.gather_blocks(ref_u_pad, pos_c, cmv, cn)
+    pred_v = motion.gather_blocks(ref_v_pad, pos_c, cmv, cn)
+    rec_u = _recon_plane(lv_u.reshape(-1, cn, cn), pred_u, dc_step, ac_step)
+    rec_v = _recon_plane(lv_v.reshape(-1, cn, cn), pred_v, dc_step, ac_step)
+
+    return (_from_blocks(rec_y, hp, wp, n),
+            _from_blocks(rec_u, hc, wc, cn),
+            _from_blocks(rec_v, hc, wc, cn))

@@ -44,27 +44,51 @@ static int band_of(int scan_pos, int n) {
   return 3;
 }
 
-// CDF set for one tile (all uniform-initialized)
-struct TileCdfs {
-  uint16_t skip[3];
-  uint16_t y_mode[kNumIntraModes + 1];
-  uint16_t uv_mode[kNumIntraModes + 1];
+// Coefficient CDFs shared by intra and inter tiles (uniform-initialized)
+struct CoeffCdfs {
   uint16_t all_zero[2][3];          // [plane_type][..]  0=luma 1=chroma
   uint16_t eob_class[2][10 + 1];    // up to 10 classes (eob<=512)
   uint16_t base[2][4][4 + 1];       // [plane][band][4sym]
   uint16_t br[2][4 + 1];
   uint16_t dc_sign[2][3];
 
-  TileCdfs() {
-    cdf_init_uniform(skip, 2);
-    cdf_init_uniform(y_mode, kNumIntraModes);
-    cdf_init_uniform(uv_mode, kNumIntraModes);
+  CoeffCdfs() {
     for (int p = 0; p < 2; ++p) {
       cdf_init_uniform(all_zero[p], 2);
       cdf_init_uniform(eob_class[p], 10);
       for (int b = 0; b < 4; ++b) cdf_init_uniform(base[p][b], 4);
       cdf_init_uniform(br[p], 4);
       cdf_init_uniform(dc_sign[p], 2);
+    }
+  }
+};
+
+// Intra tile CDFs
+struct TileCdfs : CoeffCdfs {
+  uint16_t skip[3];
+  uint16_t y_mode[kNumIntraModes + 1];
+  uint16_t uv_mode[kNumIntraModes + 1];
+
+  TileCdfs() {
+    cdf_init_uniform(skip, 2);
+    cdf_init_uniform(y_mode, kNumIntraModes);
+    cdf_init_uniform(uv_mode, kNumIntraModes);
+  }
+};
+
+// Inter tile CDFs
+struct InterCdfs : CoeffCdfs {
+  uint16_t skip[3];
+  uint16_t mv_zero[2][3];   // [component 0=y 1=x]
+  uint16_t mv_sign[2][3];
+  uint16_t mv_base[2][4 + 1];
+
+  InterCdfs() {
+    cdf_init_uniform(skip, 2);
+    for (int c = 0; c < 2; ++c) {
+      cdf_init_uniform(mv_zero[c], 2);
+      cdf_init_uniform(mv_sign[c], 2);
+      cdf_init_uniform(mv_base[c], 4);
     }
   }
 };
@@ -92,7 +116,7 @@ static uint32_t dec_golomb(EcDec *d) {
   return x - 1;
 }
 
-static void encode_txblock(EcEnc *e, TileCdfs &cdfs, int plane_type,
+static void encode_txblock(EcEnc *e, CoeffCdfs &cdfs, int plane_type,
                            const int32_t *levels_raster, int n,
                            const std::vector<int> &scan) {
   const int nn = n * n;
@@ -136,7 +160,7 @@ static void encode_txblock(EcEnc *e, TileCdfs &cdfs, int plane_type,
   }
 }
 
-static void decode_txblock(EcDec *d, TileCdfs &cdfs, int plane_type,
+static void decode_txblock(EcDec *d, CoeffCdfs &cdfs, int plane_type,
                            int32_t *levels_raster, int n,
                            const std::vector<int> &scan) {
   const int nn = n * n;
@@ -216,6 +240,103 @@ extern "C" int32_t tile_decode_intra(
     if (ym < 0 || uvm < 0) { ec_dec_destroy(d); return -1; }
     y_modes[b] = (uint8_t)ym;
     uv_modes[b] = (uint8_t)uvm;
+    if (skip) {
+      std::memset(y_levels + (int64_t)b * ynn, 0, sizeof(int32_t) * ynn);
+      std::memset(u_levels + (int64_t)b * cnn, 0, sizeof(int32_t) * cnn);
+      std::memset(v_levels + (int64_t)b * cnn, 0, sizeof(int32_t) * cnn);
+    } else {
+      decode_txblock(d, cdfs, 0, y_levels + (int64_t)b * ynn, luma_n, scan_y);
+      decode_txblock(d, cdfs, 1, u_levels + (int64_t)b * cnn, chroma_n,
+                     scan_c);
+      decode_txblock(d, cdfs, 1, v_levels + (int64_t)b * cnn, chroma_n,
+                     scan_c);
+    }
+  }
+  ec_dec_destroy(d);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Inter tiles: per block  skip(bool) · mv_diff(y,x vs raster-previous MV) ·
+// [if !skip] 3 × txblock.  MV diff per component: zero(bool) · sign(bool) ·
+// base(4-sym adaptive) · golomb tail for |diff|-1 >= 3.
+
+namespace {
+
+static void enc_mv_component(EcEnc *e, InterCdfs &cdfs, int c, int32_t diff) {
+  if (diff == 0) {
+    ec_enc_symbol_adapt(e, 1, cdfs.mv_zero[c], 2);
+    return;
+  }
+  ec_enc_symbol_adapt(e, 0, cdfs.mv_zero[c], 2);
+  ec_enc_symbol_adapt(e, diff < 0, cdfs.mv_sign[c], 2);
+  uint32_t mag1 = (uint32_t)((diff < 0 ? -diff : diff) - 1);
+  int basev = mag1 < 3 ? (int)mag1 : 3;
+  ec_enc_symbol_adapt(e, basev, cdfs.mv_base[c], 4);
+  if (basev == 3) enc_golomb(e, mag1 - 3);
+}
+
+static int32_t dec_mv_component(EcDec *d, InterCdfs &cdfs, int c) {
+  if (ec_dec_symbol_adapt(d, cdfs.mv_zero[c], 2)) return 0;
+  int neg = ec_dec_symbol_adapt(d, cdfs.mv_sign[c], 2);
+  uint32_t mag1 = (uint32_t)ec_dec_symbol_adapt(d, cdfs.mv_base[c], 4);
+  if (mag1 == 3) mag1 += dec_golomb(d);
+  int32_t mag = (int32_t)mag1 + 1;
+  return neg ? -mag : mag;
+}
+
+}  // namespace
+
+extern "C" int32_t tile_encode_inter(
+    int32_t n_blocks, int32_t luma_n, int32_t chroma_n,
+    const uint8_t *skips, const int32_t *mvs /* [n_blocks][2] */,
+    const int32_t *y_levels, const int32_t *u_levels, const int32_t *v_levels,
+    uint8_t *out, int32_t cap) {
+  std::vector<int> scan_y, scan_c;
+  build_zigzag(luma_n, scan_y);
+  build_zigzag(chroma_n, scan_c);
+  const int ynn = luma_n * luma_n, cnn = chroma_n * chroma_n;
+  InterCdfs cdfs;
+  EcEnc *e = ec_enc_create();
+  int32_t pred[2] = {0, 0};
+  for (int32_t b = 0; b < n_blocks; ++b) {
+    int skip = skips[b] ? 1 : 0;
+    ec_enc_symbol_adapt(e, skip, cdfs.skip, 2);
+    for (int c = 0; c < 2; ++c) {
+      enc_mv_component(e, cdfs, c, mvs[b * 2 + c] - pred[c]);
+      pred[c] = mvs[b * 2 + c];
+    }
+    if (!skip) {
+      encode_txblock(e, cdfs, 0, y_levels + (int64_t)b * ynn, luma_n, scan_y);
+      encode_txblock(e, cdfs, 1, u_levels + (int64_t)b * cnn, chroma_n,
+                     scan_c);
+      encode_txblock(e, cdfs, 1, v_levels + (int64_t)b * cnn, chroma_n,
+                     scan_c);
+    }
+  }
+  int32_t size = ec_enc_done(e, out, cap);
+  ec_enc_destroy(e);
+  return size;
+}
+
+extern "C" int32_t tile_decode_inter(
+    const uint8_t *data, int32_t size, int32_t n_blocks, int32_t luma_n,
+    int32_t chroma_n, uint8_t *skips, int32_t *mvs, int32_t *y_levels,
+    int32_t *u_levels, int32_t *v_levels) {
+  std::vector<int> scan_y, scan_c;
+  build_zigzag(luma_n, scan_y);
+  build_zigzag(chroma_n, scan_c);
+  const int ynn = luma_n * luma_n, cnn = chroma_n * chroma_n;
+  InterCdfs cdfs;
+  EcDec *d = ec_dec_create(data, size);
+  int32_t pred[2] = {0, 0};
+  for (int32_t b = 0; b < n_blocks; ++b) {
+    int skip = ec_dec_symbol_adapt(d, cdfs.skip, 2);
+    skips[b] = (uint8_t)skip;
+    for (int c = 0; c < 2; ++c) {
+      pred[c] += dec_mv_component(d, cdfs, c);
+      mvs[b * 2 + c] = pred[c];
+    }
     if (skip) {
       std::memset(y_levels + (int64_t)b * ynn, 0, sizeof(int32_t) * ynn);
       std::memset(u_levels + (int64_t)b * cnn, 0, sizeof(int32_t) * cnn);

@@ -22,8 +22,9 @@ import numpy as np
 from av1tpu.config import TpuEncoderConfig
 from av1tpu.daemon.core import TranscodeError
 from av1tpu.encoder import quant, ratectrl
-from av1tpu.encoder.core import intra_frame
+from av1tpu.encoder.core import inter_frame, intra_frame
 from av1tpu.encoder.entropy import tile as tile_codec
+from av1tpu.encoder.kernels import motion
 from av1tpu.media import mkv, mkv_mux, mp4, obu as obu_mod
 from av1tpu.media.mkv import Packet, Track
 from av1tpu.media.streamcopy import interleave, output_tracks, plan_streams
@@ -71,7 +72,72 @@ class TpuEngine:
     def __init__(self, cfg: Optional[TpuEncoderConfig] = None):
         self.cfg = cfg or TpuEncoderConfig()
         self.stats = EncodeStats()
+        self._ref = None          # (y, u, v) padded recon planes (np int32)
+        self._frame_idx = 0
         _enable_compilation_cache()
+
+    def start_stream(self) -> None:
+        """Reset GOP state (call once per input video)."""
+        self._ref = None
+        self._frame_idx = 0
+
+    def encode_next(self, frame: Frame, qindex: int) -> tuple[bytes, bool]:
+        """GOP-aware encode: keyframe every cfg.keyint frames, else inter.
+        Returns (frame OBU payload, is_keyframe)."""
+        keyint = max(1, self.cfg.keyint)
+        is_key = self._ref is None or (self._frame_idx % keyint == 0)
+        if is_key:
+            payload = self.encode_keyframe(frame, qindex)
+        else:
+            payload = self._encode_interframe(frame, qindex)
+        self._frame_idx += 1
+        return payload, is_key
+
+    @staticmethod
+    def _pad_planes(frame: Frame, block: int):
+        """Pad Y to block multiples and chroma to half that (int32)."""
+        yp = intra_frame.pad_plane(frame.y.astype(np.int32), block)
+        hp, wp = yp.shape
+        up = np.zeros((hp // 2, wp // 2), np.int32)
+        vp = np.zeros((hp // 2, wp // 2), np.int32)
+        uu = frame.u.astype(np.int32)
+        vv = frame.v.astype(np.int32)
+        up[:uu.shape[0], :uu.shape[1]] = uu
+        vp[:vv.shape[0], :vv.shape[1]] = vv
+        if uu.shape[0] < up.shape[0]:
+            up[uu.shape[0]:, :] = up[uu.shape[0] - 1:uu.shape[0], :]
+            vp[vv.shape[0]:, :] = vp[vv.shape[0] - 1:vv.shape[0], :]
+        if uu.shape[1] < up.shape[1]:
+            up[:, uu.shape[1]:] = up[:, uu.shape[1] - 1:uu.shape[1]]
+            vp[:, vv.shape[1]:] = vp[:, vv.shape[1] - 1:vv.shape[1]]
+        return yp, up, vp
+
+    def _encode_interframe(self, frame: Frame, qindex: int) -> bytes:
+        import jax.numpy as jnp
+        h, w = frame.height, frame.width
+        yp, up, vp = self._pad_planes(frame, BLOCK)
+        ry, ru, rv = self._ref
+        dc, ac = quant.dc_q(qindex), quant.ac_q(qindex)
+        (mvs, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v) = \
+            inter_frame.encode_inter_frame(
+                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                jnp.asarray(np.pad(ry, motion.PAD, mode="edge")),
+                jnp.asarray(np.pad(ru, motion.PAD, mode="edge")),
+                jnp.asarray(np.pad(rv, motion.PAD, mode="edge")),
+                dc, ac, BLOCK)
+        mvs = np.asarray(mvs)
+        lv_y = np.asarray(lv_y)
+        lv_u = np.asarray(lv_u)
+        lv_v = np.asarray(lv_v)
+        self._ref = (np.asarray(rec_y), np.asarray(rec_u), np.asarray(rec_v))
+        skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1)
+                 & (lv_v == 0).all(1)).astype(np.uint8)
+        tile = tile_codec.encode_tile_inter(skips, mvs, lv_y, lv_u, lv_v,
+                                            BLOCK, BLOCK // 2)
+        fh = obu_mod.FrameHeader(frame_type=obu_mod.INTER_FRAME,
+                                 base_q_idx=qindex, width=w, height=h,
+                                 luma_block_log2=BLOCK.bit_length() - 1)
+        return obu_mod.write_frame_obu(fh, tile)
 
     # ------------------------------------------------------------------
     # core per-frame encode
@@ -98,12 +164,13 @@ class TpuEngine:
         dc, ac = quant.dc_q(qindex), quant.ac_q(qindex)
         y_modes = intra_frame.decide_modes(jnp.asarray(yp), BLOCK)
         zeros = jnp.zeros_like(y_modes)
-        y_lv, _yr = intra_frame.encode_plane(jnp.asarray(yp), y_modes,
-                                             dc, ac, BLOCK)
-        u_lv, _ur = intra_frame.encode_plane(jnp.asarray(up), zeros,
-                                             dc, ac, cblock)
-        v_lv, _vr = intra_frame.encode_plane(jnp.asarray(vp), zeros,
-                                             dc, ac, cblock)
+        y_lv, yr = intra_frame.encode_plane(jnp.asarray(yp), y_modes,
+                                            dc, ac, BLOCK)
+        u_lv, ur = intra_frame.encode_plane(jnp.asarray(up), zeros,
+                                            dc, ac, cblock)
+        v_lv, vr = intra_frame.encode_plane(jnp.asarray(vp), zeros,
+                                            dc, ac, cblock)
+        self._ref = (np.asarray(yr), np.asarray(ur), np.asarray(vr))
         y_lv = np.asarray(y_lv)
         u_lv = np.asarray(u_lv)
         v_lv = np.asarray(v_lv)
@@ -205,12 +272,13 @@ class TpuEngine:
         video_packets = []
         n = 0
         width = height = 0
+        self.start_stream()
         for frame in self.iter_source_frames(input_path):
             width, height = frame.width, frame.height
-            payload = self.encode_keyframe(frame, qindex)
+            payload, is_key = self.encode_next(frame, qindex)
             video_packets.append(Packet(
                 track_number=1, timestamp_ns=n * frame_dur_ns,
-                data=payload, keyframe=True, duration_ns=frame_dur_ns))
+                data=payload, keyframe=is_key, duration_ns=frame_dur_ns))
             n += 1
         dt = time.monotonic() - t0
         if n == 0:

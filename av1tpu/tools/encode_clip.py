@@ -18,6 +18,8 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--qindex", type=int, default=96)
+    p.add_argument("--keyint", type=int, default=120)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--fps", type=int, default=24)
     p.add_argument("--input", help="source video (default: synthetic testsrc)")
     p.add_argument("--out", required=True)
@@ -27,11 +29,16 @@ def main(argv=None) -> int:
 
     import numpy as np
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     from av1tpu.engine_tpu import TpuEngine
     from av1tpu.media import ivf, obu as obu_mod
     from av1tpu.utils.testsrc import testsrc2
 
     engine = TpuEngine()
+    engine.cfg.keyint = args.keyint
     if args.input:
         frames = []
         for i, fr in enumerate(TpuEngine.iter_source_frames(args.input)):
@@ -51,8 +58,11 @@ def main(argv=None) -> int:
     total = 0
     with open(args.out, "wb") as f:
         ivf.write_header(f, w, h, args.fps, 1, len(frames))
+        engine.start_stream()
+        n_key = 0
         for i, fr in enumerate(frames):
-            payload = engine.encode_keyframe(fr, args.qindex)
+            payload, is_key = engine.encode_next(fr, args.qindex)
+            n_key += is_key
             unit = obu_mod.write_obu(obu_mod.OBU_TEMPORAL_DELIMITER, b"")
             if i == 0:
                 unit += obu_mod.write_obu(obu_mod.OBU_SEQUENCE_HEADER,
@@ -61,9 +71,9 @@ def main(argv=None) -> int:
             ivf.write_frame(f, unit, i)
             total += len(unit)
     dt = time.monotonic() - t0
-    print(f"encoded {len(frames)} frames {w}x{h} q={args.qindex} in "
-          f"{dt:.2f}s ({len(frames)/dt:.2f} fps), {total} bytes "
-          f"({total*8/len(frames)/(w*h):.4f} bpp)")
+    print(f"encoded {len(frames)} frames ({n_key} key) {w}x{h} "
+          f"q={args.qindex} in {dt:.2f}s ({len(frames)/dt:.2f} fps), "
+          f"{total} bytes ({total*8/len(frames)/(w*h):.4f} bpp)")
 
     if args.verify:
         from av1tpu import decoder

@@ -1,0 +1,134 @@
+"""Inter coding tests: motion search, MC, GOP round-trips, tile codec."""
+
+import numpy as np
+import pytest
+
+from av1tpu import decoder as dec_mod
+from av1tpu.encoder.entropy import tile as tile_codec
+from av1tpu.encoder.kernels import motion
+from av1tpu.engine_tpu import TpuEngine
+from av1tpu.utils.testsrc import testsrc2 as make_testsrc
+
+
+def _psnr(a, b):
+    err = a.astype(np.float64) - b.astype(np.float64)
+    mse = (err ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+
+def test_tss_finds_known_shift():
+    """A reference shifted by a known offset must be found exactly."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, 256, (96, 128), np.int32)
+    dy, dx = 5, -7
+    src = np.roll(np.roll(ref, -dy, axis=0), -dx, axis=1)
+    mvs = np.asarray(motion.tss_search(
+        jnp.asarray(src), motion.pad_ref(jnp.asarray(ref)), 16))
+    # interior blocks (roll wraps at edges) must find (dy, dx)
+    rows, cols = 96 // 16, 128 // 16
+    mv_grid = mvs.reshape(rows, cols, 2)
+    interior = mv_grid[1:-1, 1:-1]
+    assert (interior[..., 0] == dy).all()
+    assert (interior[..., 1] == dx).all()
+
+
+def test_gather_blocks_clamps_out_of_frame():
+    import jax.numpy as jnp
+    ref = jnp.arange(32 * 32, dtype=jnp.int32).reshape(32, 32)
+    refp = motion.pad_ref(ref)
+    pos = jnp.array([[0, 0]], jnp.int32)
+    huge = jnp.array([[-500, -500]], jnp.int32)  # beyond padding
+    blk = np.asarray(motion.gather_blocks(refp, pos, huge, 16))
+    assert blk.shape == (1, 16, 16)
+    assert (blk == blk[0, 0, 0]).all()  # clamped into replicated corner
+
+
+def test_chroma_mv_rounds_toward_zero():
+    import jax.numpy as jnp
+    mv = jnp.array([[-3, 3], [-4, 4], [1, -1]], jnp.int32)
+    out = np.asarray(motion.chroma_mv(mv))
+    np.testing.assert_array_equal(out, [[-1, 1], [-2, 2], [0, 0]])
+
+
+def test_inter_tile_roundtrip():
+    rng = np.random.default_rng(1)
+    B = 30
+    skips = (rng.random(B) < 0.4).astype(np.uint8)
+    mvs = rng.integers(-31, 32, (B, 2)).astype(np.int32)
+    y = rng.integers(-5, 6, (B, 256)).astype(np.int32)
+    u = rng.integers(-3, 4, (B, 64)).astype(np.int32)
+    v = rng.integers(-3, 4, (B, 64)).astype(np.int32)
+    y[skips == 1] = 0
+    u[skips == 1] = 0
+    v[skips == 1] = 0
+    data = tile_codec.encode_tile_inter(skips, mvs, y, u, v)
+    s2, m2, y2, u2, v2 = tile_codec.decode_tile_inter(data, B)
+    np.testing.assert_array_equal(s2, skips)
+    np.testing.assert_array_equal(m2, mvs)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(u2, u)
+    np.testing.assert_array_equal(v2, v)
+
+
+def test_intra_tile_roundtrip():
+    rng = np.random.default_rng(2)
+    B = 24
+    skips = (rng.random(B) < 0.3).astype(np.uint8)
+    ym = rng.integers(0, 7, B).astype(np.uint8)
+    uvm = np.zeros(B, np.uint8)
+    y = rng.integers(-2000, 2000, (B, 256)).astype(np.int32)
+    y[rng.random((B, 256)) < 0.8] = 0  # sparse
+    u = np.zeros((B, 64), np.int32)
+    v = np.zeros((B, 64), np.int32)
+    y[skips == 1] = 0
+    data = tile_codec.encode_tile_intra(skips, ym, uvm, y, u, v)
+    s2, ym2, uvm2, y2, u2, v2 = tile_codec.decode_tile_intra(data, B)
+    np.testing.assert_array_equal(ym2, ym)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(s2, skips)
+
+
+def test_gop_roundtrip_and_parity():
+    """5-frame GOP: every decoded frame bit-matches the encoder's recon."""
+    eng = TpuEngine()
+    eng.cfg.keyint = 100
+    eng.start_stream()
+    state = dec_mod.DecoderState()
+    state.seq = eng.sequence_header(160, 96)
+    key_size = None
+    for i in range(5):
+        fr = make_testsrc(160, 96, i)
+        payload, is_key = eng.encode_next(fr, 96)
+        assert is_key == (i == 0)
+        if i == 0:
+            key_size = len(payload)
+        out = dec_mod.decode_frame_payload(payload, state)
+        enc_y = eng._ref[0][:96, :160]
+        assert np.array_equal(enc_y, out.y.astype(np.int32)), f"frame {i}"
+        assert _psnr(out.y, fr.y) > 34
+    # P-frames meaningfully smaller than the keyframe
+    last_payload, _ = eng.encode_next(make_testsrc(160, 96, 5), 96)
+    assert len(last_payload) < key_size
+
+
+def test_keyint_forces_keyframes():
+    eng = TpuEngine()
+    eng.cfg.keyint = 3
+    eng.start_stream()
+    kinds = []
+    for i in range(7):
+        _, is_key = eng.encode_next(make_testsrc(96, 64, i), 120)
+        kinds.append(is_key)
+    assert kinds == [True, False, False, True, False, False, True]
+
+
+def test_static_scene_mostly_skips():
+    """A static scene's P-frame should be tiny (skip-dominated)."""
+    eng = TpuEngine()
+    eng.cfg.keyint = 100
+    eng.start_stream()
+    fr = make_testsrc(160, 96, 0)
+    key, _ = eng.encode_next(fr, 96)
+    p, _ = eng.encode_next(fr, 96)  # identical frame
+    assert len(p) < len(key) / 8
