@@ -83,8 +83,8 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
             jnp.asarray(mvs), jnp.asarray(y_lv), jnp.asarray(u_lv),
             jnp.asarray(v_lv),
             jnp.asarray(np.pad(ry, motion.PAD, mode="edge")),
-            jnp.asarray(np.pad(ru, motion.PAD, mode="edge")),
-            jnp.asarray(np.pad(rv, motion.PAD, mode="edge")),
+            jnp.asarray(np.pad(ru, motion.CHROMA_PAD, mode="edge")),
+            jnp.asarray(np.pad(rv, motion.CHROMA_PAD, mode="edge")),
             dc, ac, hp, wp, block)
         y, u, v = np.asarray(yj), np.asarray(uj), np.asarray(vj)
 

@@ -75,8 +75,10 @@ def encode_inter_frame(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
     cmv = motion.chroma_mv(mvs)
     hc, wc = u.shape
     pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
-    pred_u = motion.gather_blocks(ref_u_pad, pos_c, cmv, cn)
-    pred_v = motion.gather_blocks(ref_v_pad, pos_c, cmv, cn)
+    pred_u = motion.gather_blocks(ref_u_pad, pos_c, cmv, cn,
+                                  pad=motion.CHROMA_PAD)
+    pred_v = motion.gather_blocks(ref_v_pad, pos_c, cmv, cn,
+                                  pad=motion.CHROMA_PAD)
     lv_u, rec_u = _code_plane(_to_blocks(u, cn), pred_u, dc_step, ac_step)
     lv_v, rec_v = _code_plane(_to_blocks(v, cn), pred_v, dc_step, ac_step)
 
@@ -103,8 +105,10 @@ def decode_inter_frame(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
 
     cmv = motion.chroma_mv(mvs)
     pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
-    pred_u = motion.gather_blocks(ref_u_pad, pos_c, cmv, cn)
-    pred_v = motion.gather_blocks(ref_v_pad, pos_c, cmv, cn)
+    pred_u = motion.gather_blocks(ref_u_pad, pos_c, cmv, cn,
+                                  pad=motion.CHROMA_PAD)
+    pred_v = motion.gather_blocks(ref_v_pad, pos_c, cmv, cn,
+                                  pad=motion.CHROMA_PAD)
     rec_u = _recon_plane(lv_u.reshape(-1, cn, cn), pred_u, dc_step, ac_step)
     rec_v = _recon_plane(lv_v.reshape(-1, cn, cn), pred_v, dc_step, ac_step)
 

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PAD = 64          # normative reference padding (pixels)
+PAD = 64          # normative luma reference padding (pixels)
+CHROMA_PAD = 32   # normative chroma padding (chroma MVs are half-range)
 COARSE_SCALE = 4  # downsample factor of the coarse stage
 COARSE_RADIUS = 12   # ±12 coarse = ±48 full-pel
 FINE_RADIUS = 8      # ± window around the coarse seed
@@ -53,15 +54,16 @@ def _to_blocks(plane: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def gather_blocks(ref_pad: jnp.ndarray, pos: jnp.ndarray, mvs: jnp.ndarray,
-                  n: int) -> jnp.ndarray:
+                  n: int, pad: int = PAD) -> jnp.ndarray:
     """Gather (B, n, n) blocks at pos+mv from the padded reference.
 
-    pos is unpadded block origin; mv in full-pel.  Positions clamp into
-    the padded extent (normative clamp).
+    pos is unpadded block origin; mv in full-pel; ``pad`` is the padding
+    the reference was extended by.  Positions clamp into the padded
+    extent (normative clamp).
     """
     hp2, wp2 = ref_pad.shape
-    r = jnp.clip(pos[:, 0] + PAD + mvs[:, 0], 0, hp2 - n)
-    c = jnp.clip(pos[:, 1] + PAD + mvs[:, 1], 0, wp2 - n)
+    r = jnp.clip(pos[:, 0] + pad + mvs[:, 0], 0, hp2 - n)
+    c = jnp.clip(pos[:, 1] + pad + mvs[:, 1], 0, wp2 - n)
 
     def one(ri, ci):
         return jax.lax.dynamic_slice(ref_pad, (ri, ci), (n, n))

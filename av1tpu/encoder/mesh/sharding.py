@@ -1,0 +1,145 @@
+"""Tile-row sharding over a device mesh (SURVEY.md §2 parallelism design).
+
+The TPU-native analog of the reference's (nonexistent) distributed story,
+as specified by the north star: shard superblock tile **rows** across
+chips over ICI.  Each device owns a horizontal stripe of the frame:
+
+* intra stripes are independent AV1-style tiles — no cross-tile
+  prediction, so no halo and per-stripe entropy coders (bitstream-legal
+  tile independence);
+* inter stripes reference the previous frame's recon, so each device
+  needs ``motion.PAD`` halo rows of the reference from its vertical
+  neighbors — exchanged with ``lax.ppermute`` (ICI neighbor traffic, no
+  all-to-all), with frame-edge devices edge-replicating instead.
+
+The sharded inter path reproduces the single-chip reference padding
+exactly (interior halos are real neighbor rows, frame edges replicate),
+so recon is bit-identical to the single-chip encoder for MV ranges within
+±motion.MAX_MV < PAD.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from av1tpu.encoder.core import inter_frame
+from av1tpu.encoder.kernels import motion
+
+AXIS = "rows"
+
+
+def make_mesh(n_devices: int = 0) -> Mesh:
+    devices = jax.devices()
+    if n_devices <= 0:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(f"requested {n_devices} devices, "
+                         f"have {len(devices)}")
+    return Mesh(np.array(devices[:n_devices]), (AXIS,))
+
+
+def _exchange_ref_halos(ref_local: jnp.ndarray, n_dev: int,
+                        pad: int) -> jnp.ndarray:
+    """Build the locally padded reference: ``pad`` rows from vertical
+    neighbors via ppermute (frame edges replicate), ``pad`` cols edge-pad."""
+    idx = jax.lax.axis_index(AXIS)
+
+    # bottom slice of the device above → our top halo
+    down = [(i, i + 1) for i in range(n_dev - 1)]
+    top_recv = jax.lax.ppermute(ref_local[-pad:], AXIS, down)
+    # top slice of the device below → our bottom halo
+    up = [(i + 1, i) for i in range(n_dev - 1)]
+    bot_recv = jax.lax.ppermute(ref_local[:pad], AXIS, up)
+
+    # frame-edge devices: replicate their own edge rows (normative pad)
+    top_edge = jnp.broadcast_to(ref_local[0:1], (pad,) + ref_local.shape[1:])
+    bot_edge = jnp.broadcast_to(ref_local[-1:], (pad,) + ref_local.shape[1:])
+    top = jnp.where(idx == 0, top_edge, top_recv)
+    bot = jnp.where(idx == n_dev - 1, bot_edge, bot_recv)
+
+    ext = jnp.concatenate([top, ref_local, bot], axis=0)
+    return jnp.pad(ext, ((0, 0), (pad, pad)), mode="edge")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "mesh_holder"))
+def _encode_inter_sharded_impl(y, u, v, ref_y, ref_u, ref_v, dc_step,
+                               ac_step, block: int, mesh_holder):
+    mesh = mesh_holder.mesh
+    n_dev = mesh.devices.size
+
+    def step(y_l, u_l, v_l, ry_l, ru_l, rv_l):
+        ry_p = _exchange_ref_halos(ry_l, n_dev, motion.PAD)
+        ru_p = _exchange_ref_halos(ru_l, n_dev, motion.CHROMA_PAD)
+        rv_p = _exchange_ref_halos(rv_l, n_dev, motion.CHROMA_PAD)
+        out = inter_frame.encode_inter_frame(
+            y_l, u_l, v_l, ry_p, ru_p, rv_p, dc_step, ac_step, block)
+        mvs, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v = out
+        # ICI reduction: total coded coefficients (bitrate proxy telemetry)
+        nz = jax.lax.psum((lv_y != 0).sum() + (lv_u != 0).sum()
+                          + (lv_v != 0).sum(), AXIS)
+        return mvs, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v, nz
+
+    spec_plane = P(AXIS, None)
+    spec_blocks = P(AXIS, None)
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(spec_plane,) * 6,
+        out_specs=(spec_blocks, spec_blocks, spec_blocks, spec_blocks,
+                   spec_plane, spec_plane, spec_plane, P()),
+    )
+    return fn(y, u, v, ref_y, ref_u, ref_v)
+
+
+class _MeshHolder:
+    """Hashable wrapper so a Mesh can ride a static jit arg."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash(tuple(d.id for d in self.mesh.devices.flat))
+
+    def __eq__(self, other):
+        return (isinstance(other, _MeshHolder)
+                and self.mesh.devices.shape == other.mesh.devices.shape
+                and all(a.id == b.id for a, b in
+                        zip(self.mesh.devices.flat, other.mesh.devices.flat)))
+
+
+def encode_inter_frame_sharded(y, u, v, ref_y, ref_u, ref_v, dc_step,
+                               ac_step, block: int, mesh: Mesh):
+    """Sharded P-frame encode over row stripes.
+
+    Inputs are global (unpadded-reference) planes; luma height must be
+    divisible by n_devices*block and each stripe must span at least
+    motion.PAD rows (the halo depth comes from one neighbor).  Returns
+    per-stripe-raster levels/mvs (device-major order — each stripe is an
+    independent tile), assembled recon planes, and the psum'd
+    nonzero-coefficient count.
+    """
+    n_dev = mesh.devices.size
+    h = y.shape[0]
+    if h % (n_dev * block):
+        raise ValueError(f"luma height {h} not divisible by "
+                         f"n_devices*block = {n_dev * block}")
+    stripe = h // n_dev
+    if stripe < motion.PAD:
+        raise ValueError(
+            f"stripe height {stripe} < halo depth {motion.PAD}; "
+            f"use fewer devices or taller frames")
+    if (h // 2) % n_dev or (h // 2 // n_dev) < motion.CHROMA_PAD:
+        raise ValueError("chroma stripes too short for halo exchange")
+    return _encode_inter_sharded_impl(y, u, v, ref_y, ref_u, ref_v,
+                                      dc_step, ac_step, block,
+                                      _MeshHolder(mesh))

@@ -122,8 +122,8 @@ class TpuEngine:
             inter_frame.encode_inter_frame(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
                 jnp.asarray(np.pad(ry, motion.PAD, mode="edge")),
-                jnp.asarray(np.pad(ru, motion.PAD, mode="edge")),
-                jnp.asarray(np.pad(rv, motion.PAD, mode="edge")),
+                jnp.asarray(np.pad(ru, motion.CHROMA_PAD, mode="edge")),
+                jnp.asarray(np.pad(rv, motion.CHROMA_PAD, mode="edge")),
                 dc, ac, BLOCK)
         mvs = np.asarray(mvs)
         lv_y = np.asarray(lv_y)

@@ -1,0 +1,65 @@
+"""Headline benchmark: 1080p→AV1 encode fps per chip.
+
+Measures the full per-frame encode path (TPU kernels + host C++ entropy
+coding) in GOP steady state (1 keyframe + P-frames) on synthetic 1080p
+content, excluding compilation warmup and source generation.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline is value / 400: the north-star target is ≥2× an Intel Arc
+A310's av1_vaapi 1080p throughput (BASELINE.md); the reference publishes
+no measured number, so we use ~200 fps as the Arc figure (typical
+published Arc A310 AV1 1080p hardware-encode rates), giving a 400 fps
+target.  vs_baseline ≥ 1.0 means the north star is met.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    import numpy as np
+
+    from av1tpu.engine_tpu import TpuEngine
+    from av1tpu.utils.testsrc import testsrc2
+
+    width, height = 1920, 1080
+    warmup, timed = 3, 24
+
+    frames = [testsrc2(width, height, i) for i in range(warmup + timed)]
+
+    engine = TpuEngine()
+    engine.cfg.keyint = 120
+    engine.start_stream()
+
+    # warmup: first key + first inter compile
+    for i in range(warmup):
+        engine.encode_next(frames[i], 96)
+
+    t0 = time.monotonic()
+    total_bytes = 0
+    for i in range(warmup, warmup + timed):
+        payload, _ = engine.encode_next(frames[i], 96)
+        total_bytes += len(payload)
+    dt = time.monotonic() - t0
+
+    fps = timed / dt
+    bpp = total_bytes * 8 / timed / (width * height)
+    print(json.dumps({
+        "metric": "1080p_encode_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 400.0, 4),
+        "detail": {"frames": timed, "seconds": round(dt, 3),
+                   "bits_per_pixel": round(bpp, 4), "qindex": 96,
+                   "gop": "1 key + P-frames, keyint 120"},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from av1tpu.encoder import quant
+from av1tpu.encoder.core import inter_frame
+from av1tpu.encoder.kernels import motion
+from av1tpu.encoder.mesh import sharding
+from av1tpu.utils.testsrc import testsrc2 as make_testsrc
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return sharding.make_mesh(8)
+
+
+def test_sharded_matches_single_chip(mesh8):
+    """Sharded inter encode must be bit-identical to single-chip."""
+    block = 16
+    n_dev = 8
+    h, w = n_dev * 4 * block, 4 * block  # 512 x 64: 4 block-rows (=PAD) per device
+    f0 = make_testsrc(w, h, 0)
+    f1 = make_testsrc(w, h, 1)
+    dc, ac = quant.dc_q(96), quant.ac_q(96)
+
+    # single-chip reference: ref recon = f0 luma/planes (pretend recon)
+    ry = f0.y.astype(np.int32)
+    ru = f0.u.astype(np.int32)
+    rv = f0.v.astype(np.int32)
+    y, u, v = (f1.y.astype(np.int32), f1.u.astype(np.int32),
+               f1.v.astype(np.int32))
+
+    single = inter_frame.encode_inter_frame(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+        jnp.asarray(np.pad(ry, motion.PAD, mode="edge")),
+        jnp.asarray(np.pad(ru, motion.CHROMA_PAD, mode="edge")),
+        jnp.asarray(np.pad(rv, motion.CHROMA_PAD, mode="edge")),
+        dc, ac, block)
+    s_mvs, s_lvy, s_lvu, s_lvv, s_ry, s_ru, s_rv = [np.asarray(x)
+                                                    for x in single]
+
+    shard = sharding.encode_inter_frame_sharded(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+        jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv),
+        dc, ac, block, mesh8)
+    (m_mvs, m_lvy, m_lvu, m_lvv, m_ry, m_ru, m_rv,
+     nz) = [np.asarray(x) for x in shard]
+
+    # recon planes identical (halo exchange reproduces single-chip padding)
+    np.testing.assert_array_equal(m_ry, s_ry)
+    np.testing.assert_array_equal(m_ru, s_ru)
+    np.testing.assert_array_equal(m_rv, s_rv)
+    # stripe-major block order == global raster here (stripes of full rows)
+    np.testing.assert_array_equal(m_lvy, s_lvy)
+    np.testing.assert_array_equal(m_mvs, s_mvs)
+    assert int(nz) == int((s_lvy != 0).sum() + (s_lvu != 0).sum()
+                          + (s_lvv != 0).sum())
+
+
+def test_mesh_creation_sizes():
+    assert sharding.make_mesh(1).devices.size == 1
+    assert sharding.make_mesh(0).devices.size == len(jax.devices())
+    with pytest.raises(ValueError):
+        sharding.make_mesh(1000)
