@@ -115,3 +115,55 @@ def decode_inter_frame(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
     return (_from_blocks(rec_y, hp, wp, n),
             _from_blocks(rec_u, hc, wc, cn),
             _from_blocks(rec_v, hc, wc, cn))
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
+                          dc_step, ac_step, block: int):
+    """Transfer-optimized P-frame encode: one jit, narrow I/O.
+
+    Inputs are uint8 planes (source + previous recon, both unpadded);
+    reference padding happens on device.  Returns (mvs int16 (B,2),
+    levels int16 ×3, skips bool (B,), recon uint8 ×3) — recons are meant
+    to stay device-resident as the next call's reference.
+    """
+    n = block
+    cn = n // 2
+    y = y_u8.astype(jnp.int32)
+    u = u_u8.astype(jnp.int32)
+    v = v_u8.astype(jnp.int32)
+    hp, wp = y.shape
+    hc, wc = u.shape
+    ref_y_pad = jnp.pad(ref_y_u8.astype(jnp.int32),
+                        ((motion.PAD, motion.PAD),) * 2, mode="edge")
+    ref_u_pad = jnp.pad(ref_u_u8.astype(jnp.int32),
+                        ((motion.CHROMA_PAD, motion.CHROMA_PAD),) * 2,
+                        mode="edge")
+    ref_v_pad = jnp.pad(ref_v_u8.astype(jnp.int32),
+                        ((motion.CHROMA_PAD, motion.CHROMA_PAD),) * 2,
+                        mode="edge")
+
+    mvs = motion.search_v3(y, ref_y_pad, n)
+    pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
+    pred_y = motion.gather_blocks(ref_y_pad, pos_y, mvs, n)
+    lv_y, rec_y = _code_plane(_to_blocks(y, n), pred_y, dc_step, ac_step)
+
+    cmv = motion.chroma_mv(mvs)
+    pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
+    pred_u = motion.gather_blocks(ref_u_pad, pos_c, cmv, cn,
+                                  pad=motion.CHROMA_PAD)
+    pred_v = motion.gather_blocks(ref_v_pad, pos_c, cmv, cn,
+                                  pad=motion.CHROMA_PAD)
+    lv_u, rec_u = _code_plane(_to_blocks(u, cn), pred_u, dc_step, ac_step)
+    lv_v, rec_v = _code_plane(_to_blocks(v, cn), pred_v, dc_step, ac_step)
+
+    lv_y = lv_y.reshape(lv_y.shape[0], -1)
+    lv_u = lv_u.reshape(lv_u.shape[0], -1)
+    lv_v = lv_v.reshape(lv_v.shape[0], -1)
+    skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1) & (lv_v == 0).all(1))
+    return (mvs.astype(jnp.int16),
+            lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
+            lv_v.astype(jnp.int16), skips,
+            _from_blocks(rec_y, hp, wp, n).astype(jnp.uint8),
+            _from_blocks(rec_u, hc, wc, cn).astype(jnp.uint8),
+            _from_blocks(rec_v, hc, wc, cn).astype(jnp.uint8))

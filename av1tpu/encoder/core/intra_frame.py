@@ -168,3 +168,29 @@ def decode_plane(levels, modes, dc_step, ac_step, hp: int, wp: int,
     _lv, recon = _commit(zeros, levels, modes, dc_step, ac_step, block,
                          decode=True)
     return recon
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, block: int):
+    """Transfer-optimized keyframe encode: mode decision + all three plane
+    commits fused into one jit.  uint8 planes in; (y_modes uint8, levels
+    int16 ×3, skips bool, recon uint8 ×3) out — recons stay on device as
+    the GOP reference.
+    """
+    n = block
+    cn = n // 2
+    y = y_u8.astype(jnp.int32)
+    u = u_u8.astype(jnp.int32)
+    v = v_u8.astype(jnp.int32)
+    modes = decide_modes(y, n)
+    zeros = jnp.zeros_like(modes)
+    dummy = jnp.zeros((1, 1), jnp.int32)
+    lv_y, rec_y = _commit(y, dummy, modes, dc_step, ac_step, n, decode=False)
+    lv_u, rec_u = _commit(u, dummy, zeros, dc_step, ac_step, cn, decode=False)
+    lv_v, rec_v = _commit(v, dummy, zeros, dc_step, ac_step, cn, decode=False)
+    skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1) & (lv_v == 0).all(1))
+    return (modes.astype(jnp.uint8),
+            lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
+            lv_v.astype(jnp.int16), skips,
+            rec_y.astype(jnp.uint8), rec_u.astype(jnp.uint8),
+            rec_v.astype(jnp.uint8))

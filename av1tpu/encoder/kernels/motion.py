@@ -200,3 +200,154 @@ def chroma_mv(mvs: jnp.ndarray) -> jnp.ndarray:
     """Full-pel chroma MV from luma MV (normative v1: round toward zero
     after halving; subpel chroma lands with the subpel milestone)."""
     return (mvs + jnp.where(mvs < 0, 1, 0)) >> 1
+
+
+# ---------------------------------------------------------------------------
+# v2 search: frame-level shifted-SSD scan (bandwidth-optimal, no gathers)
+
+FINE_RADIUS_V2 = 16     # direct window ±16
+COARSE_RADIUS_V2 = 16   # coarse window ±16 at 4x = ±64 full-pel
+REFINE_RADIUS_V2 = 3    # per-block refine around the coarse seed
+
+
+def _block_sum(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    h, w = x.shape
+    return x.reshape(h // n, n, w // n, n).sum(axis=(1, 3))
+
+
+def _shift_scan_search(src: jnp.ndarray, ref_pad: jnp.ndarray, n: int,
+                       radius: int, pad: int) -> tuple[jnp.ndarray,
+                                                       jnp.ndarray]:
+    """Exhaustive ±radius via lax.scan over frame shifts.
+
+    One step per displacement: slice the shifted reference window, SSD per
+    block-aligned window by reshape-reduction.  Memory-bound: each step
+    reads the two planes once; no gathers, no grouped convs.
+    Returns (best_mv (rows, cols, 2) int32, best_cost (rows, cols) f32).
+    """
+    hp, wp = src.shape
+    rows, cols = hp // n, wp // n
+    srcf = src.astype(jnp.float32)
+    reff = ref_pad.astype(jnp.float32)
+    S = 2 * radius + 1
+    dgrid = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    disps = jnp.asarray(
+        dgrid.transpose(1, 2, 0).reshape(-1, 2).astype(np.int32))
+
+    def body(carry, d):
+        best_c, best_mv = carry
+        win = jax.lax.dynamic_slice(reff, (pad + d[0], pad + d[1]), (hp, wp))
+        diff = srcf - win
+        c = _block_sum(diff * diff, n)
+        better = c < best_c
+        best_c = jnp.where(better, c, best_c)
+        best_mv = jnp.where(better[..., None],
+                            jnp.broadcast_to(d, (rows, cols, 2)), best_mv)
+        return (best_c, best_mv), None
+
+    init = (jnp.full((rows, cols), jnp.inf, jnp.float32),
+            jnp.zeros((rows, cols, 2), jnp.int32))
+    (best_c, best_mv), _ = jax.lax.scan(body, init, disps)
+    return best_mv, best_c
+
+
+def search_v2(src: jnp.ndarray, ref_pad: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Bandwidth-optimal exhaustive search.  Returns MVs (B, 2) int32.
+
+    Stage 1: direct ±FINE_RADIUS_V2 shift scan at full resolution.
+    Stage 2: ±COARSE_RADIUS_V2 shift scan on 4×-downsampled planes
+             (window ±64), refined per block by ±REFINE_RADIUS_V2 gathers.
+    Final:   best-of {fine, refined-coarse, zero} with a zero-MV bias.
+    """
+    hp, wp = src.shape
+    rows, cols = hp // n, wp // n
+    B = rows * cols
+    pos = jnp.asarray(block_positions(hp, wp, n))
+    blocks = _to_blocks(src.astype(jnp.int32), n)
+    zero = jnp.zeros((B, 2), jnp.int32)
+
+    def ssd_of(mv):
+        refb = gather_blocks(ref_pad, pos, mv, n)
+        return jnp.sum((blocks - refb) ** 2, axis=(1, 2)).astype(jnp.float32)
+
+    mv_fine, c_fine = _shift_scan_search(src, ref_pad, n, FINE_RADIUS_V2, PAD)
+    best_mv = mv_fine.reshape(B, 2)
+    best_c = c_fine.reshape(B)
+
+    s = COARSE_SCALE
+    if n // s >= 4:
+        src_c = _downsample(src, s)
+        ref_c = _downsample(ref_pad, s)
+        mv_c, _cc = _shift_scan_search(src_c, ref_c, n // s,
+                                       COARSE_RADIUS_V2, PAD // s)
+        seed = (mv_c.reshape(B, 2) * s)
+        # per-block refine: static unroll over the small offset grid
+        r = REFINE_RADIUS_V2
+        cand_best_mv = jnp.clip(seed, -MAX_MV, MAX_MV)
+        cand_best_c = ssd_of(cand_best_mv)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if dy == 0 and dx == 0:
+                    continue
+                mv = jnp.clip(seed + jnp.array([dy, dx], jnp.int32),
+                              -MAX_MV, MAX_MV)
+                c = ssd_of(mv)
+                take = c < cand_best_c
+                cand_best_mv = jnp.where(take[:, None], mv, cand_best_mv)
+                cand_best_c = jnp.minimum(cand_best_c, c)
+        take = cand_best_c < best_c
+        best_mv = jnp.where(take[:, None], cand_best_mv, best_mv)
+        best_c = jnp.minimum(best_c, cand_best_c)
+
+    # zero-MV bias (rate-aware)
+    c_zero = ssd_of(zero)
+    better = best_c + best_c / 16.0 < c_zero
+    return jnp.where(better[:, None], best_mv, zero)
+
+
+def search_v3(src: jnp.ndarray, ref_pad: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Pallas-accelerated search: coarse shift-scan + in-VMEM refinement.
+
+    Stage 1: ±COARSE_RADIUS_V2 shift scan on 4×-downsampled planes
+             (window ±64 full-pel) — cheap, sets per-block seeds.
+    Stage 2: one region gather per block per seed family ({zero, coarse}),
+             then the Pallas refine kernel evaluates all ±8 displacements
+             in VMEM (av1tpu.encoder.kernels.pallas_motion).
+    Final:   best-of with an exact zero-SSD (sliced, no gather) and a
+             rate-aware zero bias.
+    """
+    from av1tpu.encoder.kernels import pallas_motion
+
+    hp, wp = src.shape
+    rows, cols = hp // n, wp // n
+    B = rows * cols
+    pos = jnp.asarray(block_positions(hp, wp, n))
+    blocks = _to_blocks(src.astype(jnp.int32), n)
+    zero = jnp.zeros((B, 2), jnp.int32)
+    r = 8
+
+    # zero-seed refinement (local ±8 window)
+    mv_a, ssd_a = pallas_motion.refine_around_seeds(
+        blocks, ref_pad, pos, zero, n, r, PAD)
+
+    # coarse stage for wide motion
+    if n // COARSE_SCALE >= 4:
+        src_c = _downsample(src, COARSE_SCALE)
+        ref_c = _downsample(ref_pad, COARSE_SCALE)
+        mv_c, _ = _shift_scan_search(src_c, ref_c, n // COARSE_SCALE,
+                                     COARSE_RADIUS_V2, PAD // COARSE_SCALE)
+        seed = jnp.clip(mv_c.reshape(B, 2) * COARSE_SCALE, -MAX_MV, MAX_MV)
+        mv_b, ssd_b = pallas_motion.refine_around_seeds(
+            blocks, ref_pad, pos, seed, n, r, PAD)
+        take = ssd_b < ssd_a
+        mv_a = jnp.where(take[:, None], mv_b, mv_a)
+        ssd_a = jnp.minimum(ssd_a, ssd_b)
+    mv_best = jnp.clip(mv_a, -MAX_MV, MAX_MV)
+
+    # exact zero SSD without a gather: aligned center slice
+    center = jax.lax.dynamic_slice(ref_pad, (PAD, PAD), (hp, wp))
+    diff0 = (src.astype(jnp.float32) - center.astype(jnp.float32))
+    ssd_zero = _block_sum(diff0 * diff0, n).reshape(B)
+
+    better = ssd_a + ssd_a / 16.0 < ssd_zero
+    return jnp.where(better[:, None], mv_best, zero)

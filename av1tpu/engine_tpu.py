@@ -72,20 +72,28 @@ class TpuEngine:
     def __init__(self, cfg: Optional[TpuEncoderConfig] = None):
         self.cfg = cfg or TpuEncoderConfig()
         self.stats = EncodeStats()
-        self._ref = None          # (y, u, v) padded recon planes (np int32)
+        self._ref_dev = None      # (y, u, v) uint8 recon planes ON DEVICE
         self._frame_idx = 0
         _enable_compilation_cache()
 
+    @property
+    def _ref(self):
+        """Reference recon planes materialized to host int32 (tests/tools).
+        The hot path never calls this — recons stay device-resident."""
+        if self._ref_dev is None:
+            return None
+        return tuple(np.asarray(p).astype(np.int32) for p in self._ref_dev)
+
     def start_stream(self) -> None:
         """Reset GOP state (call once per input video)."""
-        self._ref = None
+        self._ref_dev = None
         self._frame_idx = 0
 
     def encode_next(self, frame: Frame, qindex: int) -> tuple[bytes, bool]:
         """GOP-aware encode: keyframe every cfg.keyint frames, else inter.
         Returns (frame OBU payload, is_keyframe)."""
         keyint = max(1, self.cfg.keyint)
-        is_key = self._ref is None or (self._frame_idx % keyint == 0)
+        is_key = self._ref_dev is None or (self._frame_idx % keyint == 0)
         if is_key:
             payload = self.encode_keyframe(frame, qindex)
         else:
@@ -93,15 +101,78 @@ class TpuEngine:
         self._frame_idx += 1
         return payload, is_key
 
+    # ------------------------------------------------------------------
+    # pipelined encode: device compute of frame N+1 overlaps host entropy
+    # coding of frame N (jax dispatch is async; we defer materialization)
+
+    def _submit(self, frame: Frame, qindex: int):
+        """Dispatch one frame to the device; returns an un-materialized
+        pending record.  Updates GOP state immediately (recons are device
+        arrays produced by the async computation)."""
+        import jax.numpy as jnp
+        keyint = max(1, self.cfg.keyint)
+        is_key = self._ref_dev is None or (self._frame_idx % keyint == 0)
+        self._frame_idx += 1
+        h, w = frame.height, frame.width
+        yp, up, vp = self._pad_planes(frame, BLOCK)
+        dc, ac = quant.dc_q(qindex), quant.ac_q(qindex)
+        if is_key:
+            out = intra_frame.encode_key_frame_v2(
+                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                dc, ac, BLOCK)
+            self._ref_dev = out[5:8]
+        else:
+            out = inter_frame.encode_inter_frame_v2(
+                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                *self._ref_dev, dc, ac, BLOCK)
+            self._ref_dev = out[5:8]
+        return (is_key, qindex, w, h, out)
+
+    @staticmethod
+    def _finalize(pending) -> tuple[bytes, bool]:
+        """Materialize a pending frame's outputs and entropy-code them."""
+        is_key, qindex, w, h, out = pending
+        fh = obu_mod.FrameHeader(
+            frame_type=obu_mod.KEY_FRAME if is_key else obu_mod.INTER_FRAME,
+            base_q_idx=qindex, width=w, height=h,
+            luma_block_log2=BLOCK.bit_length() - 1)
+        if is_key:
+            modes, lv_y, lv_u, lv_v, skips = [np.asarray(x) for x in out[:5]]
+            tile = tile_codec.encode_tile_intra(
+                skips.astype(np.uint8), modes, np.zeros_like(modes),
+                lv_y, lv_u, lv_v, BLOCK, BLOCK // 2)
+        else:
+            mvs, lv_y, lv_u, lv_v, skips = [np.asarray(x) for x in out[:5]]
+            tile = tile_codec.encode_tile_inter(
+                skips.astype(np.uint8), mvs.astype(np.int32),
+                lv_y, lv_u, lv_v, BLOCK, BLOCK // 2)
+        return obu_mod.write_frame_obu(fh, tile), is_key
+
+    def encode_stream(self, frames, qindex: int):
+        """Pipelined GOP encode over an iterable of Frames.
+
+        Yields (payload, is_keyframe) in order; while frame N's symbols
+        are entropy-coded on the host, frame N+1 is already running on
+        the TPU.
+        """
+        pending = None
+        for frame in frames:
+            sub = self._submit(frame, qindex)
+            if pending is not None:
+                yield self._finalize(pending)
+            pending = sub
+        if pending is not None:
+            yield self._finalize(pending)
+
     @staticmethod
     def _pad_planes(frame: Frame, block: int):
-        """Pad Y to block multiples and chroma to half that (int32)."""
-        yp = intra_frame.pad_plane(frame.y.astype(np.int32), block)
+        """Pad Y to block multiples and chroma to half that (uint8)."""
+        yp = intra_frame.pad_plane(frame.y.astype(np.uint8), block)
         hp, wp = yp.shape
-        up = np.zeros((hp // 2, wp // 2), np.int32)
-        vp = np.zeros((hp // 2, wp // 2), np.int32)
-        uu = frame.u.astype(np.int32)
-        vv = frame.v.astype(np.int32)
+        up = np.zeros((hp // 2, wp // 2), np.uint8)
+        vp = np.zeros((hp // 2, wp // 2), np.uint8)
+        uu = frame.u.astype(np.uint8)
+        vv = frame.v.astype(np.uint8)
         up[:uu.shape[0], :uu.shape[1]] = uu
         vp[:vv.shape[0], :vv.shape[1]] = vv
         if uu.shape[0] < up.shape[0]:
@@ -116,22 +187,18 @@ class TpuEngine:
         import jax.numpy as jnp
         h, w = frame.height, frame.width
         yp, up, vp = self._pad_planes(frame, BLOCK)
-        ry, ru, rv = self._ref
+        ry, ru, rv = self._ref_dev
         dc, ac = quant.dc_q(qindex), quant.ac_q(qindex)
-        (mvs, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v) = \
-            inter_frame.encode_inter_frame(
+        (mvs, lv_y, lv_u, lv_v, skips, rec_y, rec_u, rec_v) = \
+            inter_frame.encode_inter_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                jnp.asarray(np.pad(ry, motion.PAD, mode="edge")),
-                jnp.asarray(np.pad(ru, motion.CHROMA_PAD, mode="edge")),
-                jnp.asarray(np.pad(rv, motion.CHROMA_PAD, mode="edge")),
-                dc, ac, BLOCK)
-        mvs = np.asarray(mvs)
+                ry, ru, rv, dc, ac, BLOCK)
+        self._ref_dev = (rec_y, rec_u, rec_v)  # stays on device
+        mvs = np.asarray(mvs).astype(np.int32)
         lv_y = np.asarray(lv_y)
         lv_u = np.asarray(lv_u)
         lv_v = np.asarray(lv_v)
-        self._ref = (np.asarray(rec_y), np.asarray(rec_u), np.asarray(rec_v))
-        skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1)
-                 & (lv_v == 0).all(1)).astype(np.uint8)
+        skips = np.asarray(skips).astype(np.uint8)
         tile = tile_codec.encode_tile_inter(skips, mvs, lv_y, lv_u, lv_v,
                                             BLOCK, BLOCK // 2)
         fh = obu_mod.FrameHeader(frame_type=obu_mod.INTER_FRAME,
@@ -146,39 +213,22 @@ class TpuEngine:
         """Encode one frame as an intra keyframe; returns the frame OBU."""
         import jax.numpy as jnp
         h, w = frame.height, frame.width
-        yp = intra_frame.pad_plane(frame.y.astype(np.int32), BLOCK)
+        yp, up, vp = self._pad_planes(frame, BLOCK)
         cblock = BLOCK // 2
-        hp, wp = yp.shape
-        up = np.zeros((hp // 2, wp // 2), np.int32)
-        vp = np.zeros((hp // 2, wp // 2), np.int32)
-        uu = intra_frame.pad_plane(frame.u.astype(np.int32), 1)
-        vv = intra_frame.pad_plane(frame.v.astype(np.int32), 1)
-        up[:uu.shape[0], :uu.shape[1]] = uu
-        vp[:vv.shape[0], :vv.shape[1]] = vv
-        # edge-extend chroma into the pad region
-        up[uu.shape[0]:, :] = up[uu.shape[0] - 1:uu.shape[0], :]
-        up[:, uu.shape[1]:] = up[:, uu.shape[1] - 1:uu.shape[1]]
-        vp[vv.shape[0]:, :] = vp[vv.shape[0] - 1:vv.shape[0], :]
-        vp[:, vv.shape[1]:] = vp[:, vv.shape[1] - 1:vv.shape[1]]
-
         dc, ac = quant.dc_q(qindex), quant.ac_q(qindex)
-        y_modes = intra_frame.decide_modes(jnp.asarray(yp), BLOCK)
-        zeros = jnp.zeros_like(y_modes)
-        y_lv, yr = intra_frame.encode_plane(jnp.asarray(yp), y_modes,
-                                            dc, ac, BLOCK)
-        u_lv, ur = intra_frame.encode_plane(jnp.asarray(up), zeros,
-                                            dc, ac, cblock)
-        v_lv, vr = intra_frame.encode_plane(jnp.asarray(vp), zeros,
-                                            dc, ac, cblock)
-        self._ref = (np.asarray(yr), np.asarray(ur), np.asarray(vr))
+        (y_modes, y_lv, u_lv, v_lv, skips, rec_y, rec_u,
+         rec_v) = intra_frame.encode_key_frame_v2(
+            jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+            dc, ac, BLOCK)
+        self._ref_dev = (rec_y, rec_u, rec_v)  # stays on device
+        y_modes = np.asarray(y_modes)
         y_lv = np.asarray(y_lv)
         u_lv = np.asarray(u_lv)
         v_lv = np.asarray(v_lv)
-        skips = ((y_lv == 0).all(1) & (u_lv == 0).all(1)
-                 & (v_lv == 0).all(1)).astype(np.uint8)
+        skips = np.asarray(skips).astype(np.uint8)
         tile = tile_codec.encode_tile_intra(
-            skips, np.asarray(y_modes).astype(np.uint8),
-            np.zeros_like(skips), y_lv, u_lv, v_lv, BLOCK, cblock)
+            skips, y_modes, np.zeros_like(skips), y_lv, u_lv, v_lv,
+            BLOCK, cblock)
         fh = obu_mod.FrameHeader(frame_type=obu_mod.KEY_FRAME,
                                  base_q_idx=qindex, width=w, height=h,
                                  luma_block_log2=BLOCK.bit_length() - 1)
@@ -273,9 +323,15 @@ class TpuEngine:
         n = 0
         width = height = 0
         self.start_stream()
-        for frame in self.iter_source_frames(input_path):
-            width, height = frame.width, frame.height
-            payload, is_key = self.encode_next(frame, qindex)
+
+        def _measured_frames():
+            nonlocal width, height
+            for frame in self.iter_source_frames(input_path):
+                width, height = frame.width, frame.height
+                yield frame
+
+        for payload, is_key in self.encode_stream(_measured_frames(),
+                                                  qindex):
             video_packets.append(Packet(
                 track_number=1, timestamp_ns=n * frame_dur_ns,
                 data=payload, keyframe=is_key, duration_ns=frame_dur_ns))

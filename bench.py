@@ -42,8 +42,8 @@ def main() -> int:
 
     t0 = time.monotonic()
     total_bytes = 0
-    for i in range(warmup, warmup + timed):
-        payload, _ = engine.encode_next(frames[i], 96)
+    for payload, _ in engine.encode_stream(frames[warmup:warmup + timed],
+                                           96):
         total_bytes += len(payload)
     dt = time.monotonic() - t0
 
