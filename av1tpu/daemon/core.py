@@ -135,6 +135,13 @@ def process_job(job: jobs.Job, engine: Transcoder, probe_result,
             os.remove(output_path)
         raise
 
+    # Per-job encode telemetry (additive; SURVEY §5 tracing)
+    stats = getattr(engine, "last_job_stats", None)
+    if stats:
+        job.encoded_frames = int(stats.get("encoded_frames", 0))
+        job.encode_fps = float(stats.get("encode_fps", 0.0))
+        job.resumed_frames = int(stats.get("resumed_frames", 0))
+
     # Stat output (daemon.go:115-126)
     try:
         job.new_bytes = os.stat(output_path).st_size

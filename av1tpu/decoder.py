@@ -15,6 +15,7 @@ import numpy as np
 
 from av1tpu.encoder import quant
 from av1tpu.encoder.core import inter_frame, intra_frame
+from av1tpu.encoder.kernels import deblock as deblock_mod
 from av1tpu.encoder.entropy import tile as tile_codec
 from av1tpu.encoder.kernels import motion
 from av1tpu.media import obu as obu_mod
@@ -23,6 +24,15 @@ from av1tpu.utils.testsrc import Frame
 
 class DecodeError(Exception):
     pass
+
+
+import functools as _functools
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("n", "bit_depth"))
+def _deblock_jit(rec, n: int, qindex, bit_depth: int = 8):
+    return deblock_mod.deblock_plane(rec, n, qindex, bit_depth)
 
 
 @dataclasses.dataclass
@@ -58,42 +68,45 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
     hp, wp = _padded_dims(fh.width, fh.height, block)
     rows, cols = hp // block, wp // block
     n_blocks = rows * cols
-    dc = quant.dc_q(fh.base_q_idx)
-    ac = quant.ac_q(fh.base_q_idx)
+    bd = state.seq.bit_depth if state.seq else 8
+    dc = quant.dc_q(fh.base_q_idx, bd)
+    ac = quant.ac_q(fh.base_q_idx, bd)
 
     if fh.frame_type == obu_mod.KEY_FRAME:
         (skips, y_modes, uv_modes, y_lv, u_lv,
          v_lv) = tile_codec.decode_tile_intra(tile_data, n_blocks, block,
                                               cblock)
-        y = np.asarray(intra_frame.decode_plane(
-            y_lv, y_modes.astype(np.int32), dc, ac, hp, wp, block))
-        u = np.asarray(intra_frame.decode_plane(
+        y = np.asarray(_deblock_jit(intra_frame.decode_plane(
+            y_lv, y_modes.astype(np.int32), dc, ac, hp, wp, block, bd),
+            block, fh.base_q_idx, bd))
+        u = np.asarray(_deblock_jit(intra_frame.decode_plane(
             u_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
-            cblock))
-        v = np.asarray(intra_frame.decode_plane(
+            cblock, bd), cblock, fh.base_q_idx, bd))
+        v = np.asarray(_deblock_jit(intra_frame.decode_plane(
             v_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
-            cblock))
+            cblock, bd), cblock, fh.base_q_idx, bd))
     else:
         if state.ref is None:
             raise DecodeError("inter frame without reference")
         skips, mvs, y_lv, u_lv, v_lv = tile_codec.decode_tile_inter(
             tile_data, n_blocks, block, cblock)
         ry, ru, rv = state.ref
-        yj, uj, vj = inter_frame.decode_inter_frame(
+        yj, uj, vj = inter_frame.decode_inter_frame_v2(
             jnp.asarray(mvs), jnp.asarray(y_lv), jnp.asarray(u_lv),
             jnp.asarray(v_lv),
             jnp.asarray(np.pad(ry, motion.PAD, mode="edge")),
             jnp.asarray(np.pad(ru, motion.CHROMA_PAD, mode="edge")),
             jnp.asarray(np.pad(rv, motion.CHROMA_PAD, mode="edge")),
-            dc, ac, hp, wp, block)
+            dc, ac, fh.base_q_idx, hp, wp, block, bd)
         y, u, v = np.asarray(yj), np.asarray(uj), np.asarray(vj)
 
     state.ref = (y, u, v)
     h, w = fh.height, fh.width
     ch, cw = -(-h // 2), -(-w // 2)
-    return Frame(y=y[:h, :w].astype(np.uint8),
-                 u=u[:ch, :cw].astype(np.uint8),
-                 v=v[:ch, :cw].astype(np.uint8))
+    dtype = np.uint8 if bd == 8 else np.uint16
+    return Frame(y=y[:h, :w].astype(dtype),
+                 u=u[:ch, :cw].astype(dtype),
+                 v=v[:ch, :cw].astype(dtype), bit_depth=bd)
 
 
 def decode_ivf(path: str) -> list[Frame]:

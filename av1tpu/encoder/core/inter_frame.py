@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from av1tpu.encoder import quant
-from av1tpu.encoder.kernels import motion
+from av1tpu.encoder.kernels import deblock, mc, motion
 from av1tpu.encoder.kernels import transforms as tx
 
 
@@ -37,22 +37,22 @@ def _from_blocks(blocks: jnp.ndarray, hp: int, wp: int, n: int) -> jnp.ndarray:
             .reshape(hp, wp))
 
 
-def _code_plane(src_blocks, pred, dc_step, ac_step):
+def _code_plane(src_blocks, pred, dc_step, ac_step, maxval: int = 255):
     """residual → levels + recon blocks (encoder side)."""
     res = src_blocks.astype(jnp.int32) - pred
     coeffs = tx.fwd_txfm(res)
     lv = quant.quantize_block(coeffs, dc_step, ac_step)
     dq = quant.dequantize_block(lv, dc_step, ac_step)
     resr = tx.inv_txfm(dq)
-    rec = jnp.clip(pred + resr, 0, 255)
+    rec = jnp.clip(pred + resr, 0, maxval)
     return lv, rec
 
 
-def _recon_plane(levels, pred, dc_step, ac_step):
+def _recon_plane(levels, pred, dc_step, ac_step, maxval: int = 255):
     """levels → recon blocks (normative, shared with decoder)."""
     dq = quant.dequantize_block(levels, dc_step, ac_step)
     resr = tx.inv_txfm(dq)
-    return jnp.clip(pred + resr, 0, 255)
+    return jnp.clip(pred + resr, 0, maxval)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -117,9 +117,10 @@ def decode_inter_frame(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
             _from_blocks(rec_v, hc, wc, cn))
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
+@functools.partial(jax.jit, static_argnames=("block", "bit_depth"))
 def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
-                          dc_step, ac_step, block: int):
+                          dc_step, ac_step, qindex, block: int,
+                          bit_depth: int = 8):
     """Transfer-optimized P-frame encode: one jit, narrow I/O.
 
     Inputs are uint8 planes (source + previous recon, both unpadded);
@@ -129,6 +130,7 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
     """
     n = block
     cn = n // 2
+    maxval = (1 << bit_depth) - 1
     y = y_u8.astype(jnp.int32)
     u = u_u8.astype(jnp.int32)
     v = v_u8.astype(jnp.int32)
@@ -143,27 +145,74 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                         ((motion.CHROMA_PAD, motion.CHROMA_PAD),) * 2,
                         mode="edge")
 
-    mvs = motion.search_v3(y, ref_y_pad, n)
     pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
-    pred_y = motion.gather_blocks(ref_y_pad, pos_y, mvs, n)
-    lv_y, rec_y = _code_plane(_to_blocks(y, n), pred_y, dc_step, ac_step)
+    y_blocks = _to_blocks(y, n)
+    mv_full = motion.search_v3(y, ref_y_pad, n)
+    mvs = motion.subpel_refine(y_blocks, ref_y_pad, pos_y, mv_full, n)
+    pred_y = mc.predict_subpel_luma(ref_y_pad, pos_y, mvs, n, motion.PAD,
+                                    maxval)
+    lv_y, rec_y = _code_plane(y_blocks, pred_y, dc_step, ac_step, maxval)
 
-    cmv = motion.chroma_mv(mvs)
     pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
-    pred_u = motion.gather_blocks(ref_u_pad, pos_c, cmv, cn,
-                                  pad=motion.CHROMA_PAD)
-    pred_v = motion.gather_blocks(ref_v_pad, pos_c, cmv, cn,
-                                  pad=motion.CHROMA_PAD)
-    lv_u, rec_u = _code_plane(_to_blocks(u, cn), pred_u, dc_step, ac_step)
-    lv_v, rec_v = _code_plane(_to_blocks(v, cn), pred_v, dc_step, ac_step)
+    pred_u = mc.predict_subpel_chroma(ref_u_pad, pos_c, mvs, cn,
+                                      motion.CHROMA_PAD, maxval)
+    pred_v = mc.predict_subpel_chroma(ref_v_pad, pos_c, mvs, cn,
+                                      motion.CHROMA_PAD, maxval)
+    lv_u, rec_u = _code_plane(_to_blocks(u, cn), pred_u, dc_step, ac_step,
+                              maxval)
+    lv_v, rec_v = _code_plane(_to_blocks(v, cn), pred_v, dc_step, ac_step,
+                              maxval)
 
     lv_y = lv_y.reshape(lv_y.shape[0], -1)
     lv_u = lv_u.reshape(lv_u.shape[0], -1)
     lv_v = lv_v.reshape(lv_v.shape[0], -1)
     skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1) & (lv_v == 0).all(1))
+    out_y = deblock.deblock_plane(_from_blocks(rec_y, hp, wp, n), n, qindex,
+                                  bit_depth)
+    out_u = deblock.deblock_plane(_from_blocks(rec_u, hc, wc, cn), cn,
+                                  qindex, bit_depth)
+    out_v = deblock.deblock_plane(_from_blocks(rec_v, hc, wc, cn), cn,
+                                  qindex, bit_depth)
+    out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
     return (mvs.astype(jnp.int16),
             lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
             lv_v.astype(jnp.int16), skips,
-            _from_blocks(rec_y, hp, wp, n).astype(jnp.uint8),
-            _from_blocks(rec_u, hc, wc, cn).astype(jnp.uint8),
-            _from_blocks(rec_v, hc, wc, cn).astype(jnp.uint8))
+            out_y.astype(out_dtype), out_u.astype(out_dtype),
+            out_v.astype(out_dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "hp", "wp",
+                                              "bit_depth"))
+def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
+                          ref_v_pad, dc_step, ac_step, qindex, hp: int,
+                          wp: int, block: int, bit_depth: int = 8):
+    """Decoder-side subpel P-frame reconstruction (matches
+    encode_inter_frame_v2 bit-exactly).  mvs in q4 luma units."""
+    n = block
+    cn = n // 2
+    maxval = (1 << bit_depth) - 1
+    hc, wc = hp // 2, wp // 2
+    mvs = mvs.astype(jnp.int32)
+    pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
+    pred_y = mc.predict_subpel_luma(ref_y_pad, pos_y, mvs, n, motion.PAD,
+                                    maxval)
+    rec_y = _recon_plane(lv_y.reshape(-1, n, n), pred_y, dc_step, ac_step,
+                         maxval)
+
+    pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
+    pred_u = mc.predict_subpel_chroma(ref_u_pad, pos_c, mvs, cn,
+                                      motion.CHROMA_PAD, maxval)
+    pred_v = mc.predict_subpel_chroma(ref_v_pad, pos_c, mvs, cn,
+                                      motion.CHROMA_PAD, maxval)
+    rec_u = _recon_plane(lv_u.reshape(-1, cn, cn), pred_u, dc_step, ac_step,
+                         maxval)
+    rec_v = _recon_plane(lv_v.reshape(-1, cn, cn), pred_v, dc_step, ac_step,
+                         maxval)
+
+    out_y = deblock.deblock_plane(_from_blocks(rec_y, hp, wp, n), n, qindex,
+                                  bit_depth)
+    out_u = deblock.deblock_plane(_from_blocks(rec_u, hc, wc, cn), cn,
+                                  qindex, bit_depth)
+    out_v = deblock.deblock_plane(_from_blocks(rec_v, hc, wc, cn), cn,
+                                  qindex, bit_depth)
+    return out_y, out_u, out_v

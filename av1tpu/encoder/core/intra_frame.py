@@ -27,10 +27,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from av1tpu.encoder import quant
-from av1tpu.encoder.kernels import intra
+from av1tpu.encoder.kernels import deblock, intra
 from av1tpu.encoder.kernels import transforms as tx
 
-BORDER = 128  # normative out-of-frame neighbor value (8-bit)
+BORDER = 128  # normative out-of-frame neighbor value at 8-bit
+
+
+def _border(bit_depth: int) -> int:
+    return 1 << (bit_depth - 1)
+
+
+def _maxval(bit_depth: int) -> int:
+    return (1 << bit_depth) - 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -64,12 +72,13 @@ def pad_plane(plane: np.ndarray, block: int) -> np.ndarray:
     return np.pad(plane, ((0, hp - h), (0, wp - w)), mode="edge")
 
 
-def decide_modes(src: jnp.ndarray, block: int) -> jnp.ndarray:
+def decide_modes(src: jnp.ndarray, block: int,
+                 bit_depth: int = 8) -> jnp.ndarray:
     """Dense all-mode SSE argmin using source neighbors.  src: (Hp, Wp)."""
     hp, wp = src.shape
     rows, cols = hp // block, wp // block
     n = block
-    ps = jnp.full((hp + 1, wp + 1), BORDER, jnp.int32)
+    ps = jnp.full((hp + 1, wp + 1), _border(bit_depth), jnp.int32)
     ps = ps.at[1:, 1:].set(src.astype(jnp.int32))
     above = ps[0:hp:n, 1:].reshape(rows, cols, n).reshape(-1, n)
     left = (ps[1:, 0:wp:n].reshape(rows, n, cols)
@@ -82,7 +91,8 @@ def decide_modes(src: jnp.ndarray, block: int) -> jnp.ndarray:
     return jnp.argmin(sse, axis=1).astype(jnp.int32)  # (B,)
 
 
-def _commit(src, levels_in, modes, dc_step, ac_step, block, *, decode):
+def _commit(src, levels_in, modes, dc_step, ac_step, block, *, decode,
+            bit_depth: int = 8):
     """Shared wavefront commit.
 
     Encode (decode=False): src is the padded source plane; levels are
@@ -103,7 +113,7 @@ def _commit(src, levels_in, modes, dc_step, ac_step, block, *, decode):
     modes = modes.astype(jnp.int32)
     rn = jnp.arange(n)
 
-    recon = jnp.full((hp + 1, wp + 1), BORDER, jnp.int32)
+    recon = jnp.full((hp + 1, wp + 1), _border(bit_depth), jnp.int32)
     levels_buf = (levels_in.astype(jnp.int32) if decode
                   else jnp.zeros((rows * cols, n * n), jnp.int32))
 
@@ -134,7 +144,7 @@ def _commit(src, levels_in, modes, dc_step, ac_step, block, *, decode):
             lv = quant.quantize_block(coeffs, dc_step, ac_step)
         dq = quant.dequantize_block(lv, dc_step, ac_step)
         resr = tx.inv_txfm(dq)
-        rec = jnp.clip(pred + resr, 0, 255)
+        rec = jnp.clip(pred + resr, 0, _maxval(bit_depth))
 
         # masked scatter: dead lanes pushed out of bounds and dropped
         rr = jnp.where(m, r, rows + 1)
@@ -152,26 +162,29 @@ def _commit(src, levels_in, modes, dc_step, ac_step, block, *, decode):
     return levels_buf, recon[1:, 1:]
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def encode_plane(src, modes, dc_step, ac_step, block: int):
+@functools.partial(jax.jit, static_argnames=("block", "bit_depth"))
+def encode_plane(src, modes, dc_step, ac_step, block: int,
+                 bit_depth: int = 8):
     """Encode one padded plane: returns (levels (B, n*n), recon (Hp, Wp))."""
     dummy_levels = jnp.zeros((1, 1), jnp.int32)
     return _commit(src, dummy_levels, modes, dc_step, ac_step, block,
-                   decode=False)
+                   decode=False, bit_depth=bit_depth)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "hp", "wp"))
+@functools.partial(jax.jit, static_argnames=("block", "hp", "wp",
+                                              "bit_depth"))
 def decode_plane(levels, modes, dc_step, ac_step, hp: int, wp: int,
-                 block: int):
+                 block: int, bit_depth: int = 8):
     """Decoder-side commit: levels in, recon out (bit-identical to encode)."""
     zeros = jnp.zeros((hp, wp), jnp.int32)
     _lv, recon = _commit(zeros, levels, modes, dc_step, ac_step, block,
-                         decode=True)
+                         decode=True, bit_depth=bit_depth)
     return recon
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, block: int):
+@functools.partial(jax.jit, static_argnames=("block", "bit_depth"))
+def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
+                        block: int, bit_depth: int = 8):
     """Transfer-optimized keyframe encode: mode decision + all three plane
     commits fused into one jit.  uint8 planes in; (y_modes uint8, levels
     int16 ×3, skips bool, recon uint8 ×3) out — recons stay on device as
@@ -182,15 +195,25 @@ def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, block: int):
     y = y_u8.astype(jnp.int32)
     u = u_u8.astype(jnp.int32)
     v = v_u8.astype(jnp.int32)
-    modes = decide_modes(y, n)
-    zeros = jnp.zeros_like(modes)
+    modes = decide_modes(y, n, bit_depth)
+    # chroma prediction reuses the luma mode per block (same grid): the
+    # directional structure usually matches, and DC-only chroma was the
+    # main reason P-frames right after a keyframe cost ~2x (weak chroma
+    # reference).  uv modes are still coded explicitly in the tile.
     dummy = jnp.zeros((1, 1), jnp.int32)
-    lv_y, rec_y = _commit(y, dummy, modes, dc_step, ac_step, n, decode=False)
-    lv_u, rec_u = _commit(u, dummy, zeros, dc_step, ac_step, cn, decode=False)
-    lv_v, rec_v = _commit(v, dummy, zeros, dc_step, ac_step, cn, decode=False)
+    lv_y, rec_y = _commit(y, dummy, modes, dc_step, ac_step, n,
+                          decode=False, bit_depth=bit_depth)
+    lv_u, rec_u = _commit(u, dummy, modes, dc_step, ac_step, cn,
+                          decode=False, bit_depth=bit_depth)
+    lv_v, rec_v = _commit(v, dummy, modes, dc_step, ac_step, cn,
+                          decode=False, bit_depth=bit_depth)
     skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1) & (lv_v == 0).all(1))
+    rec_y = deblock.deblock_plane(rec_y, n, qindex, bit_depth)
+    rec_u = deblock.deblock_plane(rec_u, cn, qindex, bit_depth)
+    rec_v = deblock.deblock_plane(rec_v, cn, qindex, bit_depth)
+    out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
     return (modes.astype(jnp.uint8),
             lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
             lv_v.astype(jnp.int16), skips,
-            rec_y.astype(jnp.uint8), rec_u.astype(jnp.uint8),
-            rec_v.astype(jnp.uint8))
+            rec_y.astype(out_dtype), rec_u.astype(out_dtype),
+            rec_v.astype(out_dtype))

@@ -42,7 +42,11 @@ def smooth_weights(n: int) -> np.ndarray:
 
 def predict_all_modes(above: jnp.ndarray, left: jnp.ndarray,
                       corner: jnp.ndarray, n: int) -> jnp.ndarray:
-    """All-mode prediction: (B,N),(B,N),(B,) → (B, M, N, N) int32."""
+    """All-mode prediction: (B,N),(B,N),(B,) → (B, M, N, N) int32.
+
+    Depth-agnostic: all modes are linear/select ops on neighbor samples,
+    so 8-bit and 10-bit share this code (only the caller's clip differs).
+    """
     B = above.shape[0]
     a = above.astype(jnp.int32)           # (B, N)
     l = left.astype(jnp.int32)            # (B, N)

@@ -351,3 +351,67 @@ def search_v3(src: jnp.ndarray, ref_pad: jnp.ndarray, n: int) -> jnp.ndarray:
 
     better = ssd_a + ssd_a / 16.0 < ssd_zero
     return jnp.where(better[:, None], mv_best, zero)
+
+
+def subpel_refine(src_blocks: jnp.ndarray, ref_pad: jnp.ndarray,
+                  pos: jnp.ndarray, mv_full: jnp.ndarray, n: int,
+                  pad: int = PAD) -> jnp.ndarray:
+    """Quarter-pel refinement around the full-pel winner.
+
+    Evaluates the 7x7 quarter-pel grid (±3/4 pel) with the NORMATIVE
+    interpolation (static phases per candidate — the full-pel anchor makes
+    every candidate's phase the same for all blocks, so this is pure
+    dense math on one gathered region).  Returns MVs in q4 units.
+    Keeps the full-pel center unless a candidate wins by >1/32 SSD
+    (rate-aware bias).
+    """
+    from av1tpu.encoder.kernels import mc
+
+    taps = mc.LUMA_TAPS
+    B = src_blocks.shape[0]
+    R = n + taps - 1 + 1          # covers candidate floor in {-1, 0}
+    off = taps // 2 - 1
+    hp2, wp2 = ref_pad.shape
+    r0 = jnp.clip(pos[:, 0] + pad + mv_full[:, 0] - off - 1, 0, hp2 - R)
+    c0 = jnp.clip(pos[:, 1] + pad + mv_full[:, 1] - off - 1, 0, wp2 - R)
+
+    def one(ri, ci):
+        return jax.lax.dynamic_slice(ref_pad, (ri, ci), (R, R))
+
+    regions = jax.vmap(one)(r0, c0).astype(jnp.int32)
+    src_f = src_blocks.astype(jnp.int32)
+
+    center_q = mv_full * (1 << mc.MV_PREC)
+    best_q = center_q
+    best_ssd = None
+    center_ssd = None
+    for qy in range(-3, 4):
+        fy, py = (qy >> 2), qy & 3
+        for qx in range(-3, 4):
+            fx, px = (qx >> 2), qx & 3
+            sub = regions[:, 1 + fy:1 + fy + n + taps - 1,
+                          1 + fx:1 + fx + n + taps - 1]
+            pred = mc.interp_block(sub, py, px, n, mc.luma_filters())
+            # SAD, not SSD: robust to the noise-overfitting failure mode
+            # where interpolation "wins" SSD by smoothing reference noise
+            # without reducing coded bits.
+            ssd = jnp.sum(jnp.abs(src_f - pred), axis=(1, 2))
+            if qy == 0 and qx == 0:
+                center_ssd = ssd
+            if best_ssd is None:
+                best_ssd = ssd
+                best_q = center_q + jnp.array([qy, qx], jnp.int32)
+            else:
+                take = ssd < best_ssd
+                best_ssd = jnp.minimum(best_ssd, ssd)
+                cand = center_q + jnp.array([qy, qx], jnp.int32)
+                best_q = jnp.where(take[:, None], cand, best_q)
+
+    # conservative acceptance: interpolated prediction must clearly win.
+    # SAD gains on noise-like residuals do not convert into rate savings
+    # (phase-shifted references spread energy across coefficients and the
+    # prediction chain re-codes detail every frame), so require a 25%
+    # improvement before leaving the full-pel anchor — real subpel motion
+    # clears this easily, reference-noise smoothing does not.
+    keep_center = best_ssd >= center_ssd - center_ssd / 4.0
+    return jnp.where(keep_center[:, None], center_q, best_q)

@@ -28,6 +28,7 @@ from av1tpu.encoder.kernels import motion
 from av1tpu.media import mkv, mkv_mux, mp4, obu as obu_mod
 from av1tpu.media.mkv import Packet, Track
 from av1tpu.media.streamcopy import interleave, output_tracks, plan_streams
+from av1tpu.utils import spool as spool_mod
 from av1tpu.utils.testsrc import Frame
 
 log = logging.getLogger("av1tpu.engine")
@@ -114,17 +115,18 @@ class TpuEngine:
         is_key = self._ref_dev is None or (self._frame_idx % keyint == 0)
         self._frame_idx += 1
         h, w = frame.height, frame.width
+        bd = frame.bit_depth
         yp, up, vp = self._pad_planes(frame, BLOCK)
-        dc, ac = quant.dc_q(qindex), quant.ac_q(qindex)
+        dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
         if is_key:
             out = intra_frame.encode_key_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                dc, ac, BLOCK)
+                dc, ac, qindex, BLOCK, bd)
             self._ref_dev = out[5:8]
         else:
             out = inter_frame.encode_inter_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                *self._ref_dev, dc, ac, BLOCK)
+                *self._ref_dev, dc, ac, qindex, BLOCK, bd)
             self._ref_dev = out[5:8]
         return (is_key, qindex, w, h, out)
 
@@ -139,7 +141,7 @@ class TpuEngine:
         if is_key:
             modes, lv_y, lv_u, lv_v, skips = [np.asarray(x) for x in out[:5]]
             tile = tile_codec.encode_tile_intra(
-                skips.astype(np.uint8), modes, np.zeros_like(modes),
+                skips.astype(np.uint8), modes, modes,
                 lv_y, lv_u, lv_v, BLOCK, BLOCK // 2)
         else:
             mvs, lv_y, lv_u, lv_v, skips = [np.asarray(x) for x in out[:5]]
@@ -166,13 +168,14 @@ class TpuEngine:
 
     @staticmethod
     def _pad_planes(frame: Frame, block: int):
-        """Pad Y to block multiples and chroma to half that (uint8)."""
-        yp = intra_frame.pad_plane(frame.y.astype(np.uint8), block)
+        """Pad Y to block multiples and chroma to half that (uint8/uint16)."""
+        dtype = np.uint8 if frame.bit_depth == 8 else np.uint16
+        yp = intra_frame.pad_plane(frame.y.astype(dtype), block)
         hp, wp = yp.shape
-        up = np.zeros((hp // 2, wp // 2), np.uint8)
-        vp = np.zeros((hp // 2, wp // 2), np.uint8)
-        uu = frame.u.astype(np.uint8)
-        vv = frame.v.astype(np.uint8)
+        up = np.zeros((hp // 2, wp // 2), dtype)
+        vp = np.zeros((hp // 2, wp // 2), dtype)
+        uu = frame.u.astype(dtype)
+        vv = frame.v.astype(dtype)
         up[:uu.shape[0], :uu.shape[1]] = uu
         vp[:vv.shape[0], :vv.shape[1]] = vv
         if uu.shape[0] < up.shape[0]:
@@ -186,13 +189,14 @@ class TpuEngine:
     def _encode_interframe(self, frame: Frame, qindex: int) -> bytes:
         import jax.numpy as jnp
         h, w = frame.height, frame.width
+        bd = frame.bit_depth
         yp, up, vp = self._pad_planes(frame, BLOCK)
         ry, ru, rv = self._ref_dev
-        dc, ac = quant.dc_q(qindex), quant.ac_q(qindex)
+        dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
         (mvs, lv_y, lv_u, lv_v, skips, rec_y, rec_u, rec_v) = \
             inter_frame.encode_inter_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                ry, ru, rv, dc, ac, BLOCK)
+                ry, ru, rv, dc, ac, qindex, BLOCK, bd)
         self._ref_dev = (rec_y, rec_u, rec_v)  # stays on device
         mvs = np.asarray(mvs).astype(np.int32)
         lv_y = np.asarray(lv_y)
@@ -213,13 +217,14 @@ class TpuEngine:
         """Encode one frame as an intra keyframe; returns the frame OBU."""
         import jax.numpy as jnp
         h, w = frame.height, frame.width
+        bd = frame.bit_depth
         yp, up, vp = self._pad_planes(frame, BLOCK)
         cblock = BLOCK // 2
-        dc, ac = quant.dc_q(qindex), quant.ac_q(qindex)
+        dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
         (y_modes, y_lv, u_lv, v_lv, skips, rec_y, rec_u,
          rec_v) = intra_frame.encode_key_frame_v2(
             jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-            dc, ac, BLOCK)
+            dc, ac, qindex, BLOCK, bd)
         self._ref_dev = (rec_y, rec_u, rec_v)  # stays on device
         y_modes = np.asarray(y_modes)
         y_lv = np.asarray(y_lv)
@@ -227,7 +232,7 @@ class TpuEngine:
         v_lv = np.asarray(v_lv)
         skips = np.asarray(skips).astype(np.uint8)
         tile = tile_codec.encode_tile_intra(
-            skips, y_modes, np.zeros_like(skips), y_lv, u_lv, v_lv,
+            skips, y_modes, y_modes, y_lv, u_lv, v_lv,
             BLOCK, cblock)
         fh = obu_mod.FrameHeader(frame_type=obu_mod.KEY_FRAME,
                                  base_q_idx=qindex, width=w, height=h,
@@ -317,34 +322,68 @@ class TpuEngine:
                         src_packets.append(pkt)
             src_packets.sort(key=lambda p: p.timestamp_ns)
 
-        # encode video
+        # encode video (with GOP-granular checkpoint/resume, SURVEY §5c)
         t0 = time.monotonic()
-        video_packets = []
-        n = 0
-        width = height = 0
-        self.start_stream()
+        src_iter = self.iter_source_frames(input_path)
+        first = next(src_iter, None)
+        if first is None:
+            raise TranscodeError("source decoded zero frames")
+        width, height = first.width, first.height
 
-        def _measured_frames():
-            nonlocal width, height
-            for frame in self.iter_source_frames(input_path):
-                width, height = frame.width, frame.height
+        spool_path = output_path + ".spool"
+        sig = spool_mod.source_signature(input_path)
+        resumed = spool_mod.read_spool(spool_path, sig, qindex, width,
+                                       height) or []
+        n_resume = len(resumed)
+        if n_resume:
+            log.info("resuming from spool: %d frames already encoded",
+                     n_resume)
+            writer = spool_mod.SpoolAppender(spool_path)
+        else:
+            writer = spool_mod.SpoolWriter(spool_path, sig, qindex,
+                                           width, height)
+
+        def _all_frames():
+            yield first
+            yield from src_iter
+
+        def _to_encode():
+            for i, frame in enumerate(_all_frames()):
+                if i < n_resume:
+                    continue  # decoded + discarded (cheap vs re-encoding)
                 yield frame
 
-        for payload, is_key in self.encode_stream(_measured_frames(),
-                                                  qindex):
-            video_packets.append(Packet(
-                track_number=1, timestamp_ns=n * frame_dur_ns,
-                data=payload, keyframe=is_key, duration_ns=frame_dur_ns))
-            n += 1
+        records = list(resumed)
+        n_new = 0
+        self.start_stream()  # resume point opens a fresh GOP (keyframe)
+        try:
+            for payload, is_key in self.encode_stream(_to_encode(), qindex):
+                writer.append(payload, is_key)
+                records.append((payload, is_key))
+                n_new += 1
+                if is_key:
+                    writer.flush()  # durable at GOP boundaries
+        finally:
+            writer.flush()
+            writer.close()
+
+        n = len(records)
         dt = time.monotonic() - t0
         if n == 0:
             raise TranscodeError("source decoded zero frames")
-        self.stats.frames += n
+        video_packets = [
+            Packet(track_number=1, timestamp_ns=i * frame_dur_ns,
+                   data=payload, keyframe=is_key, duration_ns=frame_dur_ns)
+            for i, (payload, is_key) in enumerate(records)]
+        self.stats.frames += n_new
         self.stats.encode_seconds += dt
         self.stats.bytes += sum(len(p.data) for p in video_packets)
-        log.info("encoded %d frames %dx%d in %.2fs (%.2f fps), %d bytes",
-                 n, width, height, dt, n / dt,
-                 sum(len(p.data) for p in video_packets))
+        fps = n_new / dt if dt > 0 else 0.0
+        self.last_job_stats = {"encoded_frames": n, "encode_fps": fps,
+                               "resumed_frames": n_resume}
+        log.info("encoded %d frames (%d resumed) %dx%d in %.2fs "
+                 "(%.2f fps), %d bytes", n, n_resume, width, height, dt,
+                 fps, sum(len(p.data) for p in video_packets))
 
         # mux
         sh = self.sequence_header(width, height)
@@ -352,13 +391,14 @@ class TpuEngine:
         tracks[0].codec_private = obu_mod.av1c_record(sh)
         try:
             with open(output_path, "wb") as f:
-                writer = mkv_mux.MkvWriter(
+                mkv_writer = mkv_mux.MkvWriter(
                     f, tracks, chapters_payload=chapters, tags_payload=tags)
                 for pkt in interleave(video_packets, src_packets):
-                    writer.write_packet(pkt)
-                writer.finalize(n * frame_dur_ns / 1e9)
+                    mkv_writer.write_packet(pkt)
+                mkv_writer.finalize(n * frame_dur_ns / 1e9)
         except Exception as e:
             raise TranscodeError(f"mux failed: {e}") from e
+        spool_mod.delete(spool_path)  # checkpoint no longer needed
 
 
 def _parse_rate(rate: str) -> Optional[tuple[int, int]]:

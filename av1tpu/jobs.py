@@ -67,6 +67,10 @@ class Job:
     video_codec: str = ""                    # omitempty (never written by daemon; TUI-only read, SURVEY §2)
     audio_streams: int = 0                   # omitempty
     subtitle_streams: int = 0                # omitempty
+    # --- additive telemetry (no reference counterpart; SURVEY §5 tracing) ---
+    encoded_frames: int = 0                  # omitempty
+    encode_fps: float = 0.0                  # omitempty
+    resumed_frames: int = 0                  # omitempty
 
     def to_dict(self) -> dict:
         """JSON object with reference field order + omitempty behavior."""
@@ -106,6 +110,12 @@ class Job:
             d["audio_streams"] = self.audio_streams
         if self.subtitle_streams:
             d["subtitle_streams"] = self.subtitle_streams
+        if self.encoded_frames:
+            d["encoded_frames"] = self.encoded_frames
+        if self.encode_fps:
+            d["encode_fps"] = round(self.encode_fps, 2)
+        if self.resumed_frames:
+            d["resumed_frames"] = self.resumed_frames
         return d
 
     @classmethod
@@ -131,6 +141,9 @@ class Job:
             video_codec=d.get("video_codec", "") or "",
             audio_streams=int(d.get("audio_streams", 0) or 0),
             subtitle_streams=int(d.get("subtitle_streams", 0) or 0),
+            encoded_frames=int(d.get("encoded_frames", 0) or 0),
+            encode_fps=float(d.get("encode_fps", 0.0) or 0.0),
+            resumed_frames=int(d.get("resumed_frames", 0) or 0),
         )
 
 
