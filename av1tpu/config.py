@@ -29,6 +29,11 @@ class TpuEncoderConfig:
     num_chips: int = 0         # 0 = all visible devices
     speed: int = 6             # 0 (slowest/best) .. 9 (fastest)
     lowres_decode: bool = False
+    # startup self-test frame (VerifyFFmpeg analog is 1280x720;
+    # binary.go:282-295). Smaller sizes cut first-compile cost on
+    # platforms where the XLA compile cache is ineffective.
+    self_test: bool = True
+    self_test_size: str = "1280x720"
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "TpuEncoderConfig":

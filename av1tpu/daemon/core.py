@@ -118,7 +118,14 @@ def process_job(job: jobs.Job, engine: Transcoder, probe_result,
     output_path = tmp_output_path(job.source_path)
     job.output_path = output_path
 
-    # Run transcode (daemon.go:101-112)
+    # Run transcode (daemon.go:101-112); the engine's gate-aware rate
+    # control needs the gate ratio (the reference's ffmpeg had no such
+    # feedback — ICQ only)
+    if hasattr(engine, "gate_ratio") or hasattr(engine, "cfg"):
+        try:
+            engine.gate_ratio = cfg.max_size_ratio
+        except AttributeError:
+            pass
     try:
         engine.transcode(job.source_path, output_path, probe_result,
                          job.is_webrip_like)

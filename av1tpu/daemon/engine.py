@@ -33,16 +33,22 @@ def make_engine(cfg):
     return TpuEngine(cfg.tpu)
 
 
-def verify_engine(engine) -> float:
-    """1-frame 1280x720 synthetic encode self-test; returns elapsed seconds.
+def verify_engine(engine, size: str = "1280x720") -> float:
+    """1-frame synthetic encode self-test; returns elapsed seconds.
 
     Hermetic input, real hardware — the analog of the reference's
     ``-f lavfi -i testsrc2=s=1280x720:d=1 ... -c:v av1_qsv -f null -``
     startup probe (binary.go:244-310).  Raises EngineError on failure with
-    an actionable message.
+    an actionable message.  ``size`` is configurable (tpu.self_test_size)
+    because first-compile of a fresh shape costs minutes on tunneled TPU
+    platforms without an effective XLA compile cache.
     """
     from av1tpu.utils.testsrc import testsrc2
-    frame = testsrc2(1280, 720, frame_index=0)
+    try:
+        w, h = (int(x) for x in size.lower().split("x"))
+    except ValueError:
+        w, h = 1280, 720
+    frame = testsrc2(w, h, frame_index=0)
     t0 = time.monotonic()
     try:
         payload = engine.encode_smoke_frame(frame)

@@ -242,8 +242,10 @@ def _make_engine(cfg: config_mod.TranscodeConfig):
     """
     from av1tpu.daemon import engine as engine_mod
     eng = engine_mod.make_engine(cfg)
+    if not cfg.tpu.self_test:
+        return eng
     try:
-        engine_mod.verify_engine(eng)
+        engine_mod.verify_engine(eng, cfg.tpu.self_test_size)
     except Exception as e:
         log.warning("Warning: engine self-test failed during startup: %s", e)
         log.warning("Daemon will start anyway - engine will be exercised "

@@ -30,9 +30,13 @@ import functools as _functools
 import jax as _jax
 
 
-@_functools.partial(_jax.jit, static_argnames=("n", "bit_depth"))
-def _deblock_jit(rec, n: int, qindex, bit_depth: int = 8):
-    return deblock_mod.deblock_plane(rec, n, qindex, bit_depth)
+@_functools.partial(_jax.jit, static_argnames=("n", "bit_depth",
+                                                "is_chroma"))
+def _deblock_jit(rec, n: int, qindex, bit_depth: int = 8,
+                 is_chroma: bool = False):
+    from av1tpu.encoder.kernels import cdef as cdef_mod
+    rec = deblock_mod.deblock_plane(rec, n, qindex, bit_depth)
+    return cdef_mod.cdef_plane(rec, qindex, bit_depth, is_chroma=is_chroma)
 
 
 @dataclasses.dataclass
@@ -81,10 +85,10 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
             block, fh.base_q_idx, bd))
         u = np.asarray(_deblock_jit(intra_frame.decode_plane(
             u_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
-            cblock, bd), cblock, fh.base_q_idx, bd))
+            cblock, bd), cblock, fh.base_q_idx, bd, True))
         v = np.asarray(_deblock_jit(intra_frame.decode_plane(
             v_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
-            cblock, bd), cblock, fh.base_q_idx, bd))
+            cblock, bd), cblock, fh.base_q_idx, bd, True))
     else:
         if state.ref is None:
             raise DecodeError("inter frame without reference")

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from av1tpu.encoder import quant
-from av1tpu.encoder.kernels import deblock, mc, motion
+from av1tpu.encoder.kernels import cdef, deblock, mc, motion
 from av1tpu.encoder.kernels import transforms as tx
 
 
@@ -173,6 +173,9 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                                   qindex, bit_depth)
     out_v = deblock.deblock_plane(_from_blocks(rec_v, hc, wc, cn), cn,
                                   qindex, bit_depth)
+    out_y = cdef.cdef_plane(out_y, qindex, bit_depth)
+    out_u = cdef.cdef_plane(out_u, qindex, bit_depth, is_chroma=True)
+    out_v = cdef.cdef_plane(out_v, qindex, bit_depth, is_chroma=True)
     out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
     return (mvs.astype(jnp.int16),
             lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
@@ -215,4 +218,7 @@ def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
                                   qindex, bit_depth)
     out_v = deblock.deblock_plane(_from_blocks(rec_v, hc, wc, cn), cn,
                                   qindex, bit_depth)
+    out_y = cdef.cdef_plane(out_y, qindex, bit_depth)
+    out_u = cdef.cdef_plane(out_u, qindex, bit_depth, is_chroma=True)
+    out_v = cdef.cdef_plane(out_v, qindex, bit_depth, is_chroma=True)
     return out_y, out_u, out_v

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from av1tpu.encoder import quant
-from av1tpu.encoder.kernels import deblock, intra
+from av1tpu.encoder.kernels import cdef, deblock, intra
 from av1tpu.encoder.kernels import transforms as tx
 
 BORDER = 128  # normative out-of-frame neighbor value at 8-bit
@@ -211,6 +211,9 @@ def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
     rec_y = deblock.deblock_plane(rec_y, n, qindex, bit_depth)
     rec_u = deblock.deblock_plane(rec_u, cn, qindex, bit_depth)
     rec_v = deblock.deblock_plane(rec_v, cn, qindex, bit_depth)
+    rec_y = cdef.cdef_plane(rec_y, qindex, bit_depth)
+    rec_u = cdef.cdef_plane(rec_u, qindex, bit_depth, is_chroma=True)
+    rec_v = cdef.cdef_plane(rec_v, qindex, bit_depth, is_chroma=True)
     out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
     return (modes.astype(jnp.uint8),
             lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),

@@ -1,0 +1,124 @@
+"""CDEF: constrained directional enhancement filter (NORMATIVE).
+
+AV1-shaped (PAPERS.md: "The AV1 Constrained Directional Enhancement
+Filter"): per 8×8 block, estimate the dominant edge direction, then apply
+a small directional low-pass whose tap differences are *constrained* —
+large differences (real edges/detail) pass through untouched, small ones
+(ringing/quantization noise) are smoothed along the edge.
+
+This codec's normative definition (documented deltas from AV1 in
+docs/BITSTREAM.md):
+
+* 8 directions with primary tap offsets per direction (two taps each
+  side at distances 1 and 2 along the direction), weights (4, 2), and
+  secondary taps from the two 45°-adjacent directions at distance 1,
+  weight 2; total weight 16 (shift 4).
+* ``constrain(d, s, damping) = sign(d)·min(|d|, max(0, s − (|d| >>
+  (damping − ⌈log2 s⌉))))`` — AV1's constraint.
+* Direction per 8×8 block = argmin over directions of the intra-block
+  energy of (x − x shifted one step along the direction); derived from
+  the pre-CDEF reconstruction on both encoder and decoder, so no
+  signaling is needed.
+* Strength from base_q_idx: ``pri = clamp((q − 40) // 16, 0, 12)``,
+  damping 5 (4 for chroma); strength 0 disables (identity).
+
+Applied after deblocking, before the frame becomes reference/output.
+All integer ops — bit-exact across encoder/decoder and backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# primary tap offsets (dy, dx) at distance 1 and 2 for 8 directions,
+# ordered like AV1 (0 = 45°, 2 = horizontal, 4 = 135°, 6 = vertical)
+DIRECTIONS = (
+    ((-1, 1), (-2, 2)),    # 0: 45° up-right
+    ((0, 1), (-1, 2)),     # 1: ~22°
+    ((0, 1), (0, 2)),      # 2: horizontal
+    ((0, 1), (1, 2)),      # 3: ~-22°
+    ((1, 1), (2, 2)),      # 4: 135° (down-right)
+    ((1, 0), (2, 1)),      # 5
+    ((1, 0), (2, 0)),      # 6: vertical
+    ((1, 0), (2, -1)),     # 7
+)
+
+
+def strength_from_qindex(qindex):
+    """Primary strength from base_q_idx; traced-friendly."""
+    return jnp.clip((qindex - 40) // 16, 0, 12)
+
+
+def _shift(plane: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Edge-replicated static shift."""
+    h, w = plane.shape
+    padded = jnp.pad(plane, ((2, 2), (2, 2)), mode="edge")
+    return jax.lax.dynamic_slice(padded, (2 + dy, 2 + dx), (h, w))
+
+
+def _constrain(diff: jnp.ndarray, s, damping: int) -> jnp.ndarray:
+    """AV1 constraint: pass large differences, damp small ones."""
+    mag = jnp.abs(diff)
+    # ceil(log2(s)) for s in [1, 15]; s==0 handled by the outer max
+    log2s = jnp.where(s > 0,
+                      jnp.ceil(jnp.log2(jnp.maximum(s, 1).astype(
+                          jnp.float32))).astype(jnp.int32), 0)
+    shift = jnp.maximum(0, damping - log2s)
+    limit = jnp.maximum(0, s - (mag >> shift))
+    delta = jnp.minimum(mag, limit)
+    return jnp.sign(diff) * delta
+
+
+def _block_directions(plane: jnp.ndarray, blk: int = 8) -> jnp.ndarray:
+    """Per-8×8-block dominant direction: argmin of along-direction
+    first-difference energy (low energy ⇒ edges aligned with d)."""
+    h, w = plane.shape
+    costs = []
+    for d, ((dy, dx), _) in enumerate(DIRECTIONS):
+        diff = plane - _shift(plane, dy, dx)
+        e = (diff * diff).reshape(h // blk, blk, w // blk, blk).sum(
+            axis=(1, 3))
+        costs.append(e)
+    cost = jnp.stack(costs, axis=0)            # (8, H/8, W/8)
+    return jnp.argmin(cost, axis=0)            # (H/8, W/8)
+
+
+def cdef_plane(rec: jnp.ndarray, qindex, bit_depth: int = 8,
+               is_chroma: bool = False) -> jnp.ndarray:
+    """Filter one recon plane (int32 H×W, dims multiples of 8)."""
+    h, w = rec.shape
+    if h % 8 or w % 8:
+        return rec  # safety: only whole 8x8 grids (padded planes qualify)
+    depth_scale = 1 << (bit_depth - 8)
+    s = strength_from_qindex(qindex) * depth_scale
+    if is_chroma:
+        s = s >> 1
+    damping = (4 if is_chroma else 5) + (bit_depth - 8)
+    maxval = (1 << bit_depth) - 1
+
+    dirs = _block_directions(rec, 8)           # (H/8, W/8)
+    dirs_up = jnp.repeat(jnp.repeat(dirs, 8, axis=0), 8, axis=1)
+
+    out_per_dir = []
+    for d, (p1, p2) in enumerate(DIRECTIONS):
+        sec_a = DIRECTIONS[(d + 2) % 8][0]
+        sec_b = DIRECTIONS[(d - 2) % 8][0]
+        acc = jnp.zeros_like(rec)
+        for (dy, dx), wgt in ((p1, 4), (p2, 2)):
+            for sgn in (1, -1):
+                tap = _shift(rec, sgn * dy, sgn * dx)
+                acc = acc + wgt * _constrain(tap - rec, s, damping)
+        for (dy, dx) in (sec_a, sec_b):
+            for sgn in (1, -1):
+                tap = _shift(rec, sgn * dy, sgn * dx)
+                acc = acc + 1 * _constrain(tap - rec, s, damping)
+        filtered = rec + ((acc + 8) >> 4)
+        out_per_dir.append(filtered)
+
+    stacked = jnp.stack(out_per_dir, axis=0)   # (8, H, W)
+    sel = jnp.take_along_axis(stacked, dirs_up[None], axis=0)[0]
+    return jnp.clip(sel, 0, maxval)

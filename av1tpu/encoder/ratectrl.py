@@ -120,3 +120,57 @@ def estimate_output_size(original_size: int, probe_result,
     if estimated_total > original_size:
         estimated_total = int(original_size * 0.95)
     return estimated_total
+
+
+class GateRateController:
+    """Gate-aware rate control: quality-floored adaptive qindex.
+
+    The reference runs fixed-quality (ICQ) and relies on the daemon's size
+    gate to reject outputs that don't shrink (daemon.go:18-21) — a whole
+    encode is wasted on rejection.  This controller keeps the ladder
+    quality as a FLOOR (qindex never drops below the ladder point, so
+    quality parity is preserved) and raises qindex between GOPs when the
+    projected output size would fail the gate — converting would-be gate
+    rejections into passes.
+
+    Projection: bits-so-far extrapolated to total_frames, compared to
+    target_bits; correction uses the ~2^(q/28.8) step curve of the quant
+    tables (quant.ac_quant_table).
+    """
+
+    MAX_BOOST = 48  # qindex never raised more than this above the ladder
+
+    def __init__(self, base_qindex: int, target_bits: float,
+                 total_frames: int, keyint: int):
+        import math
+        self._math = math
+        self.base = base_qindex
+        self.q = base_qindex
+        self.target_bits = max(1.0, target_bits)
+        self.total_frames = max(1, total_frames)
+        self.keyint = max(1, keyint)
+        # per-frame qindex is legal (each frame header carries its own
+        # base_q_idx), so adapt at a short fixed cadence — long GOPs would
+        # otherwise leave short clips with no adaptation point at all
+        self.adapt_interval = max(1, min(keyint, 16))
+        self.bits = 0.0
+        self.frames = 0
+
+    def qindex_for(self, frame_idx: int) -> int:
+        """Per-frame qindex; adapts every adapt_interval frames."""
+        if (frame_idx > 0 and frame_idx % self.adapt_interval == 0
+                and self.frames):
+            projected = self.bits / self.frames * self.total_frames
+            ratio = projected / self.target_bits
+            if ratio > 1.0:
+                boost = round(28.8 * self._math.log2(ratio))
+                self.q = min(self.base + self.MAX_BOOST,
+                             max(self.q, self.base + boost))
+            elif ratio < 0.85:
+                # undershooting: relax toward the quality floor
+                self.q = max(self.base, self.q - 4)
+        return self.q
+
+    def record(self, frame_bits: int) -> None:
+        self.bits += frame_bits
+        self.frames += 1

@@ -106,7 +106,7 @@ class TpuEngine:
     # pipelined encode: device compute of frame N+1 overlaps host entropy
     # coding of frame N (jax dispatch is async; we defer materialization)
 
-    def _submit(self, frame: Frame, qindex: int):
+    def _submit(self, frame: Frame, qindex):
         """Dispatch one frame to the device; returns an un-materialized
         pending record.  Updates GOP state immediately (recons are device
         arrays produced by the async computation)."""
@@ -150,21 +150,33 @@ class TpuEngine:
                 lv_y, lv_u, lv_v, BLOCK, BLOCK // 2)
         return obu_mod.write_frame_obu(fh, tile), is_key
 
-    def encode_stream(self, frames, qindex: int):
+    def encode_stream(self, frames, qindex):
         """Pipelined GOP encode over an iterable of Frames.
 
-        Yields (payload, is_keyframe) in order; while frame N's symbols
-        are entropy-coded on the host, frame N+1 is already running on
-        the TPU.
+        ``qindex`` is an int (constant quality) or a
+        ratectrl.GateRateController (adaptive, quality-floored).  Yields
+        (payload, is_keyframe) in order; while frame N's symbols are
+        entropy-coded on the host, frame N+1 is already running on the
+        TPU.
         """
+        rate = qindex if hasattr(qindex, "qindex_for") else None
         pending = None
+        idx = 0
         for frame in frames:
-            sub = self._submit(frame, qindex)
+            q = rate.qindex_for(idx) if rate else qindex
+            sub = self._submit(frame, q)
+            idx += 1
             if pending is not None:
-                yield self._finalize(pending)
+                payload, is_key = self._finalize(pending)
+                if rate:
+                    rate.record(len(payload) * 8)
+                yield payload, is_key
             pending = sub
         if pending is not None:
-            yield self._finalize(pending)
+            payload, is_key = self._finalize(pending)
+            if rate:
+                rate.record(len(payload) * 8)
+            yield payload, is_key
 
     @staticmethod
     def _pad_planes(frame: Frame, block: int):
@@ -288,6 +300,27 @@ class TpuEngine:
                                        or vs.r_frame_rate) or (24, 1)
         frame_dur_ns = 1_000_000_000 * fps_den // fps_num
 
+        # gate-aware rate control: quality-floored (see GateRateController)
+        rate = None
+        try:
+            duration = float(probe_result.format.duration or 0)
+            orig_bytes = int(probe_result.format.size or 0)
+        except (TypeError, ValueError):
+            duration, orig_bytes = 0.0, 0
+        if duration > 0 and orig_bytes > 0:
+            total_frames = max(1, int(duration * fps_num / fps_den))
+            gate_ratio = getattr(self, "gate_ratio", 0.90)
+            # video budget = gate target minus copied-stream bytes, with
+            # a 5% safety margin and ~2% mux overhead (main.go:384-449
+            # estimator shape)
+            video_fraction = 0.95
+            target_bytes = (orig_bytes * gate_ratio * 0.95
+                            - orig_bytes * (1 - video_fraction)) / 1.02
+            if target_bytes > 0:
+                rate = ratectrl.GateRateController(
+                    qindex, target_bytes * 8, total_frames,
+                    max(1, self.cfg.keyint))
+
         plan = plan_streams(probe_result)
 
         # source containers for stream copy
@@ -357,7 +390,8 @@ class TpuEngine:
         n_new = 0
         self.start_stream()  # resume point opens a fresh GOP (keyframe)
         try:
-            for payload, is_key in self.encode_stream(_to_encode(), qindex):
+            for payload, is_key in self.encode_stream(
+                    _to_encode(), rate if rate is not None else qindex):
                 writer.append(payload, is_key)
                 records.append((payload, is_key))
                 n_new += 1

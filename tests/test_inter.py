@@ -132,3 +132,41 @@ def test_static_scene_mostly_skips():
     key, _ = eng.encode_next(fr, 96)
     p, _ = eng.encode_next(fr, 96)  # identical frame
     assert len(p) < len(key) / 8
+
+
+def test_gate_rate_controller():
+    from av1tpu.encoder.ratectrl import GateRateController
+    rc = GateRateController(base_qindex=96, target_bits=100_000,
+                            total_frames=100, keyint=10)
+    # first GOP at the ladder point
+    assert rc.qindex_for(0) == 96
+    # massively overshooting -> q rises at the next GOP boundary
+    for i in range(10):
+        rc.record(5000)  # 50k bits in 10 frames -> projected 500k vs 100k
+    q2 = rc.qindex_for(10)
+    assert q2 > 96
+    assert q2 <= 96 + GateRateController.MAX_BOOST
+    # quality floor: undershooting can only relax back to base, not below
+    rc2 = GateRateController(96, 1_000_000_000, 100, 10)
+    for i in range(10):
+        rc2.record(10)
+    assert rc2.qindex_for(10) == 96
+
+
+def test_cdef_preserves_edges_smooths_ringing():
+    import jax.numpy as jnp
+    from av1tpu.encoder.kernels import cdef
+    rng = np.random.default_rng(0)
+    # strong vertical edge + small noise (kept inside [0,255]: cdef
+    # clips to the sample range like any recon plane)
+    base = np.full((32, 32), 30, np.int32)
+    base[:, 16:] = 220
+    noisy = base + rng.integers(-3, 4, base.shape)
+    out = np.asarray(cdef.cdef_plane(jnp.asarray(noisy), 120, 8))
+    # edge magnitude preserved
+    assert abs(int(out[:, 16].mean()) - int(out[:, 15].mean())) > 150
+    # noise variance reduced away from the edge
+    assert out[:, :12].std() <= noisy[:, :12].std()
+    # strength 0 (low q) is identity
+    out0 = np.asarray(cdef.cdef_plane(jnp.asarray(noisy), 30, 8))
+    np.testing.assert_array_equal(out0, noisy)
