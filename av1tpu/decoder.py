@@ -31,12 +31,15 @@ import jax as _jax
 
 
 @_functools.partial(_jax.jit, static_argnames=("n", "bit_depth",
-                                                "is_chroma"))
+                                                "is_chroma", "lr_mode"))
 def _deblock_jit(rec, n: int, qindex, bit_depth: int = 8,
-                 is_chroma: bool = False):
+                 is_chroma: bool = False, lr_mode: int = 0):
     from av1tpu.encoder.kernels import cdef as cdef_mod
+    from av1tpu.encoder.kernels import restoration as lr_mod
     rec = deblock_mod.deblock_plane(rec, n, qindex, bit_depth)
-    return cdef_mod.cdef_plane(rec, qindex, bit_depth, is_chroma=is_chroma)
+    rec = cdef_mod.cdef_plane(rec, qindex, bit_depth, is_chroma=is_chroma)
+    maxval = (1 << bit_depth) - 1
+    return lr_mod.apply_restoration(rec, lr_mode, maxval)
 
 
 @dataclasses.dataclass
@@ -82,13 +85,13 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
                                               cblock)
         y = np.asarray(_deblock_jit(intra_frame.decode_plane(
             y_lv, y_modes.astype(np.int32), dc, ac, hp, wp, block, bd),
-            block, fh.base_q_idx, bd))
+            block, fh.base_q_idx, bd, False, fh.lr_mode))
         u = np.asarray(_deblock_jit(intra_frame.decode_plane(
             u_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
-            cblock, bd), cblock, fh.base_q_idx, bd, True))
+            cblock, bd), cblock, fh.base_q_idx, bd, True, fh.lr_mode))
         v = np.asarray(_deblock_jit(intra_frame.decode_plane(
             v_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
-            cblock, bd), cblock, fh.base_q_idx, bd, True))
+            cblock, bd), cblock, fh.base_q_idx, bd, True, fh.lr_mode))
     else:
         if state.ref is None:
             raise DecodeError("inter frame without reference")
@@ -101,7 +104,8 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
             jnp.asarray(np.pad(ry, motion.PAD, mode="edge")),
             jnp.asarray(np.pad(ru, motion.CHROMA_PAD, mode="edge")),
             jnp.asarray(np.pad(rv, motion.CHROMA_PAD, mode="edge")),
-            dc, ac, fh.base_q_idx, hp, wp, block, bd)
+            dc, ac, fh.base_q_idx, jnp.asarray(fh.lr_mode, jnp.int32),
+            hp, wp, block, bd)
         y, u, v = np.asarray(yj), np.asarray(uj), np.asarray(vj)
 
     state.ref = (y, u, v)

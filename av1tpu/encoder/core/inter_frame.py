@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from av1tpu.encoder import quant
-from av1tpu.encoder.kernels import cdef, deblock, mc, motion
+from av1tpu.encoder.kernels import cdef, deblock, mc, motion, restoration
 from av1tpu.encoder.kernels import transforms as tx
 
 
@@ -176,19 +176,23 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
     out_y = cdef.cdef_plane(out_y, qindex, bit_depth)
     out_u = cdef.cdef_plane(out_u, qindex, bit_depth, is_chroma=True)
     out_v = cdef.cdef_plane(out_v, qindex, bit_depth, is_chroma=True)
+    lr_mode = restoration.choose_mode(y, out_y, maxval)
+    out_y = restoration.apply_restoration_dynamic(out_y, lr_mode, maxval)
+    out_u = restoration.apply_restoration_dynamic(out_u, lr_mode, maxval)
+    out_v = restoration.apply_restoration_dynamic(out_v, lr_mode, maxval)
     out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
     return (mvs.astype(jnp.int16),
             lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
             lv_v.astype(jnp.int16), skips,
             out_y.astype(out_dtype), out_u.astype(out_dtype),
-            out_v.astype(out_dtype))
+            out_v.astype(out_dtype), lr_mode)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "hp", "wp",
                                               "bit_depth"))
 def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
-                          ref_v_pad, dc_step, ac_step, qindex, hp: int,
-                          wp: int, block: int, bit_depth: int = 8):
+                          ref_v_pad, dc_step, ac_step, qindex, lr_mode,
+                          hp: int, wp: int, block: int, bit_depth: int = 8):
     """Decoder-side subpel P-frame reconstruction (matches
     encode_inter_frame_v2 bit-exactly).  mvs in q4 luma units."""
     n = block
@@ -221,4 +225,7 @@ def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
     out_y = cdef.cdef_plane(out_y, qindex, bit_depth)
     out_u = cdef.cdef_plane(out_u, qindex, bit_depth, is_chroma=True)
     out_v = cdef.cdef_plane(out_v, qindex, bit_depth, is_chroma=True)
+    out_y = restoration.apply_restoration_dynamic(out_y, lr_mode, maxval)
+    out_u = restoration.apply_restoration_dynamic(out_u, lr_mode, maxval)
+    out_v = restoration.apply_restoration_dynamic(out_v, lr_mode, maxval)
     return out_y, out_u, out_v

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from av1tpu.encoder import quant
-from av1tpu.encoder.kernels import cdef, deblock, intra
+from av1tpu.encoder.kernels import cdef, deblock, intra, restoration
 from av1tpu.encoder.kernels import transforms as tx
 
 BORDER = 128  # normative out-of-frame neighbor value at 8-bit
@@ -214,9 +214,14 @@ def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
     rec_y = cdef.cdef_plane(rec_y, qindex, bit_depth)
     rec_u = cdef.cdef_plane(rec_u, qindex, bit_depth, is_chroma=True)
     rec_v = cdef.cdef_plane(rec_v, qindex, bit_depth, is_chroma=True)
+    maxval = _maxval(bit_depth)
+    lr_mode = restoration.choose_mode(y, rec_y, maxval)
+    rec_y = restoration.apply_restoration_dynamic(rec_y, lr_mode, maxval)
+    rec_u = restoration.apply_restoration_dynamic(rec_u, lr_mode, maxval)
+    rec_v = restoration.apply_restoration_dynamic(rec_v, lr_mode, maxval)
     out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
     return (modes.astype(jnp.uint8),
             lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
             lv_v.astype(jnp.int16), skips,
             rec_y.astype(out_dtype), rec_u.astype(out_dtype),
-            rec_v.astype(out_dtype))
+            rec_v.astype(out_dtype), lr_mode)

@@ -138,6 +138,7 @@ class TpuEngine:
             frame_type=obu_mod.KEY_FRAME if is_key else obu_mod.INTER_FRAME,
             base_q_idx=qindex, width=w, height=h,
             luma_block_log2=BLOCK.bit_length() - 1)
+        fh.lr_mode = int(np.asarray(out[8]))
         if is_key:
             modes, lv_y, lv_u, lv_v, skips = [np.asarray(x) for x in out[:5]]
             tile = tile_codec.encode_tile_intra(
@@ -205,8 +206,8 @@ class TpuEngine:
         yp, up, vp = self._pad_planes(frame, BLOCK)
         ry, ru, rv = self._ref_dev
         dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
-        (mvs, lv_y, lv_u, lv_v, skips, rec_y, rec_u, rec_v) = \
-            inter_frame.encode_inter_frame_v2(
+        (mvs, lv_y, lv_u, lv_v, skips, rec_y, rec_u, rec_v,
+         lr_mode) = inter_frame.encode_inter_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
                 ry, ru, rv, dc, ac, qindex, BLOCK, bd)
         self._ref_dev = (rec_y, rec_u, rec_v)  # stays on device
@@ -219,7 +220,8 @@ class TpuEngine:
                                             BLOCK, BLOCK // 2)
         fh = obu_mod.FrameHeader(frame_type=obu_mod.INTER_FRAME,
                                  base_q_idx=qindex, width=w, height=h,
-                                 luma_block_log2=BLOCK.bit_length() - 1)
+                                 luma_block_log2=BLOCK.bit_length() - 1,
+                                 lr_mode=int(np.asarray(lr_mode)))
         return obu_mod.write_frame_obu(fh, tile)
 
     # ------------------------------------------------------------------
@@ -234,7 +236,7 @@ class TpuEngine:
         cblock = BLOCK // 2
         dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
         (y_modes, y_lv, u_lv, v_lv, skips, rec_y, rec_u,
-         rec_v) = intra_frame.encode_key_frame_v2(
+         rec_v, lr_mode) = intra_frame.encode_key_frame_v2(
             jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
             dc, ac, qindex, BLOCK, bd)
         self._ref_dev = (rec_y, rec_u, rec_v)  # stays on device
@@ -248,7 +250,8 @@ class TpuEngine:
             BLOCK, cblock)
         fh = obu_mod.FrameHeader(frame_type=obu_mod.KEY_FRAME,
                                  base_q_idx=qindex, width=w, height=h,
-                                 luma_block_log2=BLOCK.bit_length() - 1)
+                                 luma_block_log2=BLOCK.bit_length() - 1,
+                                 lr_mode=int(np.asarray(lr_mode)))
         return obu_mod.write_frame_obu(fh, tile)
 
     def sequence_header(self, width: int, height: int,
