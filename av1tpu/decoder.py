@@ -31,13 +31,17 @@ import jax as _jax
 
 
 @_functools.partial(_jax.jit, static_argnames=("n", "bit_depth",
-                                                "is_chroma", "lr_mode"))
+                                                "is_chroma", "lr_mode",
+                                                "cdef_on"))
 def _deblock_jit(rec, n: int, qindex, bit_depth: int = 8,
-                 is_chroma: bool = False, lr_mode: int = 0):
+                 is_chroma: bool = False, lr_mode: int = 0,
+                 cdef_on: bool = True):
     from av1tpu.encoder.kernels import cdef as cdef_mod
     from av1tpu.encoder.kernels import restoration as lr_mod
     rec = deblock_mod.deblock_plane(rec, n, qindex, bit_depth)
-    rec = cdef_mod.cdef_plane(rec, qindex, bit_depth, is_chroma=is_chroma)
+    if cdef_on:
+        rec = cdef_mod.cdef_plane(rec, qindex, bit_depth,
+                                  is_chroma=is_chroma)
     maxval = (1 << bit_depth) - 1
     return lr_mod.apply_restoration(rec, lr_mode, maxval)
 
@@ -85,13 +89,15 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
                                               cblock)
         y = np.asarray(_deblock_jit(intra_frame.decode_plane(
             y_lv, y_modes.astype(np.int32), dc, ac, hp, wp, block, bd),
-            block, fh.base_q_idx, bd, False, fh.lr_mode))
+            block, fh.base_q_idx, bd, False, fh.lr_mode, fh.cdef_on))
         u = np.asarray(_deblock_jit(intra_frame.decode_plane(
             u_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
-            cblock, bd), cblock, fh.base_q_idx, bd, True, fh.lr_mode))
+            cblock, bd), cblock, fh.base_q_idx, bd, True, fh.lr_mode,
+            fh.cdef_on))
         v = np.asarray(_deblock_jit(intra_frame.decode_plane(
             v_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
-            cblock, bd), cblock, fh.base_q_idx, bd, True, fh.lr_mode))
+            cblock, bd), cblock, fh.base_q_idx, bd, True, fh.lr_mode,
+            fh.cdef_on))
     else:
         if state.ref is None:
             raise DecodeError("inter frame without reference")
@@ -105,7 +111,7 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
             jnp.asarray(np.pad(ru, motion.CHROMA_PAD, mode="edge")),
             jnp.asarray(np.pad(rv, motion.CHROMA_PAD, mode="edge")),
             dc, ac, fh.base_q_idx, jnp.asarray(fh.lr_mode, jnp.int32),
-            hp, wp, block, bd)
+            jnp.asarray(fh.cdef_on), hp, wp, block, bd)
         y, u, v = np.asarray(yj), np.asarray(uj), np.asarray(vj)
 
     state.ref = (y, u, v)

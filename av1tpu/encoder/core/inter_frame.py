@@ -173,26 +173,35 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                                   qindex, bit_depth)
     out_v = deblock.deblock_plane(_from_blocks(rec_v, hc, wc, cn), cn,
                                   qindex, bit_depth)
-    out_y = cdef.cdef_plane(out_y, qindex, bit_depth)
-    out_u = cdef.cdef_plane(out_u, qindex, bit_depth, is_chroma=True)
-    out_v = cdef.cdef_plane(out_v, qindex, bit_depth, is_chroma=True)
+    cdef_y = cdef.cdef_plane(out_y, qindex, bit_depth)
+    cdef_u = cdef.cdef_plane(out_u, qindex, bit_depth, is_chroma=True)
+    cdef_v = cdef.cdef_plane(out_v, qindex, bit_depth, is_chroma=True)
+    cdef_on = cdef.cdef_gate(y, out_y, cdef_y)
+    out_y = cdef.select(cdef_on, cdef_y, out_y)
+    out_u = cdef.select(cdef_on, cdef_u, out_u)
+    out_v = cdef.select(cdef_on, cdef_v, out_v)
     lr_mode = restoration.choose_mode(y, out_y, maxval)
     out_y = restoration.apply_restoration_dynamic(out_y, lr_mode, maxval)
     out_u = restoration.apply_restoration_dynamic(out_u, lr_mode, maxval)
     out_v = restoration.apply_restoration_dynamic(out_v, lr_mode, maxval)
     out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
+    lv_y16 = lv_y.astype(jnp.int16)
+    lv_u16 = lv_u.astype(jnp.int16)
+    lv_v16 = lv_v.astype(jnp.int16)
+    sp_mask, sp_vals, sp_count = sparse_pack_levels(lv_y16, lv_u16, lv_v16)
     return (mvs.astype(jnp.int16),
-            lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
-            lv_v.astype(jnp.int16), skips,
+            lv_y16, lv_u16, lv_v16, skips,
             out_y.astype(out_dtype), out_u.astype(out_dtype),
-            out_v.astype(out_dtype), lr_mode)
+            out_v.astype(out_dtype), lr_mode, cdef_on,
+            sp_mask, sp_vals, sp_count)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "hp", "wp",
                                               "bit_depth"))
 def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
                           ref_v_pad, dc_step, ac_step, qindex, lr_mode,
-                          hp: int, wp: int, block: int, bit_depth: int = 8):
+                          cdef_on, hp: int, wp: int, block: int,
+                          bit_depth: int = 8):
     """Decoder-side subpel P-frame reconstruction (matches
     encode_inter_frame_v2 bit-exactly).  mvs in q4 luma units."""
     n = block
@@ -222,10 +231,60 @@ def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
                                   qindex, bit_depth)
     out_v = deblock.deblock_plane(_from_blocks(rec_v, hc, wc, cn), cn,
                                   qindex, bit_depth)
-    out_y = cdef.cdef_plane(out_y, qindex, bit_depth)
-    out_u = cdef.cdef_plane(out_u, qindex, bit_depth, is_chroma=True)
-    out_v = cdef.cdef_plane(out_v, qindex, bit_depth, is_chroma=True)
+    out_y = cdef.select(cdef_on, cdef.cdef_plane(out_y, qindex, bit_depth),
+                        out_y)
+    out_u = cdef.select(cdef_on,
+                        cdef.cdef_plane(out_u, qindex, bit_depth,
+                                        is_chroma=True), out_u)
+    out_v = cdef.select(cdef_on,
+                        cdef.cdef_plane(out_v, qindex, bit_depth,
+                                        is_chroma=True), out_v)
     out_y = restoration.apply_restoration_dynamic(out_y, lr_mode, maxval)
     out_u = restoration.apply_restoration_dynamic(out_u, lr_mode, maxval)
     out_v = restoration.apply_restoration_dynamic(out_v, lr_mode, maxval)
     return out_y, out_u, out_v
+
+
+SPARSE_CAP_FRACTION = 16  # capacity = total_coeffs / 16
+
+
+def sparse_pack_levels(lv_y, lv_u, lv_v):
+    """Compact the (mostly zero) level arrays for cheap host transfer.
+
+    Returns (mask_packed uint8, vals int16[cap], count int32) over the
+    concatenated y|u|v coefficient vector.  The caller must fall back to
+    materializing the full arrays when count > cap (rare: cap is ~6% of
+    coefficients; typical frames code 1-3%).
+    """
+    flat = jnp.concatenate([lv_y.reshape(-1), lv_u.reshape(-1),
+                            lv_v.reshape(-1)])
+    n = flat.shape[0]
+    cap = n // SPARSE_CAP_FRACTION
+    mask = flat != 0
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    vals = jnp.zeros((cap,), jnp.int16)
+    vals = vals.at[jnp.where(mask, idx, cap)].set(flat, mode="drop")
+    count = mask.sum().astype(jnp.int32)
+    return jnp.packbits(mask), vals, count
+
+
+def sparse_unpack_levels(mask_packed, vals, count, shapes):
+    """Host-side inverse of sparse_pack_levels (numpy).
+
+    shapes: [(B, ny), (B, nc), (B, nc)] for y/u/v.  Returns the three
+    int16 arrays, or None if count exceeded the capacity (caller falls
+    back to the full arrays)."""
+    total = sum(b * n for b, n in shapes)
+    cap = total // SPARSE_CAP_FRACTION
+    count = int(count)
+    if count > cap:
+        return None
+    mask = np.unpackbits(np.asarray(mask_packed))[:total].astype(bool)
+    flat = np.zeros(total, np.int16)
+    flat[mask] = np.asarray(vals)[:count]
+    out = []
+    off = 0
+    for b, n in shapes:
+        out.append(flat[off:off + b * n].reshape(b, n))
+        off += b * n
+    return out

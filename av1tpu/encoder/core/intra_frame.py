@@ -211,17 +211,26 @@ def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
     rec_y = deblock.deblock_plane(rec_y, n, qindex, bit_depth)
     rec_u = deblock.deblock_plane(rec_u, cn, qindex, bit_depth)
     rec_v = deblock.deblock_plane(rec_v, cn, qindex, bit_depth)
-    rec_y = cdef.cdef_plane(rec_y, qindex, bit_depth)
-    rec_u = cdef.cdef_plane(rec_u, qindex, bit_depth, is_chroma=True)
-    rec_v = cdef.cdef_plane(rec_v, qindex, bit_depth, is_chroma=True)
+    cdef_y = cdef.cdef_plane(rec_y, qindex, bit_depth)
+    cdef_u = cdef.cdef_plane(rec_u, qindex, bit_depth, is_chroma=True)
+    cdef_v = cdef.cdef_plane(rec_v, qindex, bit_depth, is_chroma=True)
+    cdef_on = cdef.cdef_gate(y, rec_y, cdef_y)
+    rec_y = cdef.select(cdef_on, cdef_y, rec_y)
+    rec_u = cdef.select(cdef_on, cdef_u, rec_u)
+    rec_v = cdef.select(cdef_on, cdef_v, rec_v)
     maxval = _maxval(bit_depth)
     lr_mode = restoration.choose_mode(y, rec_y, maxval)
     rec_y = restoration.apply_restoration_dynamic(rec_y, lr_mode, maxval)
     rec_u = restoration.apply_restoration_dynamic(rec_u, lr_mode, maxval)
     rec_v = restoration.apply_restoration_dynamic(rec_v, lr_mode, maxval)
     out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
+    from av1tpu.encoder.core.inter_frame import sparse_pack_levels
+    lv_y16 = lv_y.astype(jnp.int16)
+    lv_u16 = lv_u.astype(jnp.int16)
+    lv_v16 = lv_v.astype(jnp.int16)
+    sp_mask, sp_vals, sp_count = sparse_pack_levels(lv_y16, lv_u16, lv_v16)
     return (modes.astype(jnp.uint8),
-            lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
-            lv_v.astype(jnp.int16), skips,
+            lv_y16, lv_u16, lv_v16, skips,
             rec_y.astype(out_dtype), rec_u.astype(out_dtype),
-            rec_v.astype(out_dtype), lr_mode)
+            rec_v.astype(out_dtype), lr_mode, cdef_on,
+            sp_mask, sp_vals, sp_count)

@@ -122,3 +122,20 @@ def cdef_plane(rec: jnp.ndarray, qindex, bit_depth: int = 8,
     stacked = jnp.stack(out_per_dir, axis=0)   # (8, H, W)
     sel = jnp.take_along_axis(stacked, dirs_up[None], axis=0)[0]
     return jnp.clip(sel, 0, maxval)
+
+
+def cdef_gate(src_y: jnp.ndarray, rec_y: jnp.ndarray,
+              cdef_y: jnp.ndarray) -> jnp.ndarray:
+    """Frame-level gate (traced bool): keep CDEF only when it moves the
+    luma recon toward the source.  On noisy content CDEF smooths real
+    texture out of the reference and inflates the next frame's residual;
+    this converts the filter into a win-only tool (one header bit)."""
+    sf = src_y.astype(jnp.float32)   # f32 sums: int32 overflows at 1080p
+    e_off = jnp.sum((rec_y.astype(jnp.float32) - sf) ** 2)
+    e_on = jnp.sum((cdef_y.astype(jnp.float32) - sf) ** 2)
+    return e_on < e_off
+
+
+def select(flag, a, b):
+    """where-select whole planes by a traced scalar flag."""
+    return jnp.where(flag, a, b)

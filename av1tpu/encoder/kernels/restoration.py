@@ -61,10 +61,12 @@ def choose_mode(src_y: jnp.ndarray, rec_y: jnp.ndarray,
                 maxval: int = 255) -> jnp.ndarray:
     """Encoder-side: SSE argmin over all modes on luma.  Returns a traced
     int32 scalar mode (0..3)."""
-    src = src_y.astype(jnp.int64)
+    # float32 sums: comparison-only metric; int32 would overflow at
+    # 1080p+ and int64 is unavailable on TPU (x64 disabled)
+    src = src_y.astype(jnp.float32)
     costs = []
     for m in range(N_MODES):
-        out = apply_restoration(rec_y, m, maxval).astype(jnp.int64)
+        out = apply_restoration(rec_y, m, maxval).astype(jnp.float32)
         costs.append(jnp.sum((out - src) ** 2))
     return jnp.argmin(jnp.stack(costs)).astype(jnp.int32)
 

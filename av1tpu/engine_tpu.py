@@ -139,13 +139,26 @@ class TpuEngine:
             base_q_idx=qindex, width=w, height=h,
             luma_block_log2=BLOCK.bit_length() - 1)
         fh.lr_mode = int(np.asarray(out[8]))
+        fh.cdef_on = bool(np.asarray(out[9]))
+        # sparse levels: tiny bitmap+values transfer; full arrays only
+        # materialize on capacity overflow (np.asarray is the transfer)
+        from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
+        shapes = [tuple(out[1].shape), tuple(out[2].shape),
+                  tuple(out[3].shape)]
+        lvs = sparse_unpack_levels(out[10], out[11], out[12], shapes)
+        if lvs is None:
+            lv_y, lv_u, lv_v = (np.asarray(out[1]), np.asarray(out[2]),
+                                np.asarray(out[3]))
+        else:
+            lv_y, lv_u, lv_v = lvs
+        skips = np.asarray(out[4])
         if is_key:
-            modes, lv_y, lv_u, lv_v, skips = [np.asarray(x) for x in out[:5]]
+            modes = np.asarray(out[0])
             tile = tile_codec.encode_tile_intra(
                 skips.astype(np.uint8), modes, modes,
                 lv_y, lv_u, lv_v, BLOCK, BLOCK // 2)
         else:
-            mvs, lv_y, lv_u, lv_v, skips = [np.asarray(x) for x in out[:5]]
+            mvs = np.asarray(out[0])
             tile = tile_codec.encode_tile_inter(
                 skips.astype(np.uint8), mvs.astype(np.int32),
                 lv_y, lv_u, lv_v, BLOCK, BLOCK // 2)
@@ -207,7 +220,7 @@ class TpuEngine:
         ry, ru, rv = self._ref_dev
         dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
         (mvs, lv_y, lv_u, lv_v, skips, rec_y, rec_u, rec_v,
-         lr_mode) = inter_frame.encode_inter_frame_v2(
+         lr_mode, cdef_on, *_sp) = inter_frame.encode_inter_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
                 ry, ru, rv, dc, ac, qindex, BLOCK, bd)
         self._ref_dev = (rec_y, rec_u, rec_v)  # stays on device
@@ -221,7 +234,8 @@ class TpuEngine:
         fh = obu_mod.FrameHeader(frame_type=obu_mod.INTER_FRAME,
                                  base_q_idx=qindex, width=w, height=h,
                                  luma_block_log2=BLOCK.bit_length() - 1,
-                                 lr_mode=int(np.asarray(lr_mode)))
+                                 lr_mode=int(np.asarray(lr_mode)),
+                                 cdef_on=bool(np.asarray(cdef_on)))
         return obu_mod.write_frame_obu(fh, tile)
 
     # ------------------------------------------------------------------
@@ -236,7 +250,7 @@ class TpuEngine:
         cblock = BLOCK // 2
         dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
         (y_modes, y_lv, u_lv, v_lv, skips, rec_y, rec_u,
-         rec_v, lr_mode) = intra_frame.encode_key_frame_v2(
+         rec_v, lr_mode, cdef_on, *_sp) = intra_frame.encode_key_frame_v2(
             jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
             dc, ac, qindex, BLOCK, bd)
         self._ref_dev = (rec_y, rec_u, rec_v)  # stays on device
@@ -251,7 +265,8 @@ class TpuEngine:
         fh = obu_mod.FrameHeader(frame_type=obu_mod.KEY_FRAME,
                                  base_q_idx=qindex, width=w, height=h,
                                  luma_block_log2=BLOCK.bit_length() - 1,
-                                 lr_mode=int(np.asarray(lr_mode)))
+                                 lr_mode=int(np.asarray(lr_mode)),
+                                 cdef_on=bool(np.asarray(cdef_on)))
         return obu_mod.write_frame_obu(fh, tile)
 
     def sequence_header(self, width: int, height: int,

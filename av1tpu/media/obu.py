@@ -10,7 +10,7 @@ conformance reference (SURVEY.md §4a: "else our own inverse path").
 Frame header layout (av1tpu profile v1):
   frame_type f(2) · show_frame f(1) · base_q_idx f(8) ·
   frame_width_minus_1 f(16) · frame_height_minus_1 f(16) ·
-  luma_block_log2 f(3) · lr_mode f(2) · trailing_bits
+  luma_block_log2 f(3) · cdef_on f(1) · lr_mode f(2) · trailing_bits
 """
 
 from __future__ import annotations
@@ -165,6 +165,7 @@ class FrameHeader:
     width: int = 0
     height: int = 0
     luma_block_log2: int = 4
+    cdef_on: bool = True    # frame-level CDEF gate (kernels/cdef)
     lr_mode: int = 0        # loop restoration preset (kernels/restoration)
 
     def write(self) -> bytes:
@@ -175,6 +176,7 @@ class FrameHeader:
         w.f(self.width - 1, 16)
         w.f(self.height - 1, 16)
         w.f(self.luma_block_log2, 3)
+        w.f(1 if self.cdef_on else 0, 1)
         w.f(self.lr_mode, 2)
         w.trailing_bits()
         return w.bytes()
@@ -190,6 +192,7 @@ class FrameHeader:
         fh.width = r.f(16) + 1
         fh.height = r.f(16) + 1
         fh.luma_block_log2 = r.f(3)
+        fh.cdef_on = bool(r.f(1))
         fh.lr_mode = r.f(2)
         if r.f(1) != 1:
             raise ValueError("bad trailing bit in frame header")
