@@ -32,18 +32,23 @@ import jax as _jax
 
 @_functools.partial(_jax.jit, static_argnames=("n", "bit_depth",
                                                 "is_chroma", "lr_mode",
-                                                "cdef_on"))
+                                                "cdef_on", "tile_rows"))
 def _deblock_jit(rec, n: int, qindex, bit_depth: int = 8,
                  is_chroma: bool = False, lr_mode: int = 0,
-                 cdef_on: bool = True):
+                 cdef_on: bool = True, tile_rows: int = 1):
+    from av1tpu.encoder.core.inter_frame import per_tile
     from av1tpu.encoder.kernels import cdef as cdef_mod
     from av1tpu.encoder.kernels import restoration as lr_mod
-    rec = deblock_mod.deblock_plane(rec, n, qindex, bit_depth)
-    if cdef_on:
-        rec = cdef_mod.cdef_plane(rec, qindex, bit_depth,
-                                  is_chroma=is_chroma)
     maxval = (1 << bit_depth) - 1
-    return lr_mod.apply_restoration(rec, lr_mode, maxval)
+
+    def chain(p):
+        p = deblock_mod.deblock_plane(p, n, qindex, bit_depth)
+        if cdef_on:
+            p = cdef_mod.cdef_plane(p, qindex, bit_depth,
+                                    is_chroma=is_chroma)
+        return lr_mod.apply_restoration(p, lr_mode, maxval)
+
+    return per_tile(chain, rec, tile_rows)
 
 
 @dataclasses.dataclass
@@ -83,26 +88,33 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
     dc = quant.dc_q(fh.base_q_idx, bd)
     ac = quant.ac_q(fh.base_q_idx, bd)
 
+    tiles = 1 << fh.tile_rows_log2
+    tile_payloads = obu_mod.split_tiles(tile_data, tiles)
+    bpt = n_blocks // tiles
     if fh.frame_type == obu_mod.KEY_FRAME:
-        (skips, y_modes, uv_modes, y_lv, u_lv,
-         v_lv) = tile_codec.decode_tile_intra(tile_data, n_blocks, block,
-                                              cblock)
+        parts = [tile_codec.decode_tile_intra(p, bpt, block, cblock)
+                 for p in tile_payloads]
+        skips, y_modes, uv_modes, y_lv, u_lv, v_lv = (
+            np.concatenate([pt[i] for pt in parts]) for i in range(6))
         y = np.asarray(_deblock_jit(intra_frame.decode_plane(
-            y_lv, y_modes.astype(np.int32), dc, ac, hp, wp, block, bd),
-            block, fh.base_q_idx, bd, False, fh.lr_mode, fh.cdef_on))
+            y_lv, y_modes.astype(np.int32), dc, ac, hp, wp, block, bd,
+            tiles), block, fh.base_q_idx, bd, False, fh.lr_mode,
+            fh.cdef_on, tiles))
         u = np.asarray(_deblock_jit(intra_frame.decode_plane(
             u_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
-            cblock, bd), cblock, fh.base_q_idx, bd, True, fh.lr_mode,
-            fh.cdef_on))
+            cblock, bd, tiles), cblock, fh.base_q_idx, bd, True,
+            fh.lr_mode, fh.cdef_on, tiles))
         v = np.asarray(_deblock_jit(intra_frame.decode_plane(
             v_lv, uv_modes.astype(np.int32), dc, ac, hp // 2, wp // 2,
-            cblock, bd), cblock, fh.base_q_idx, bd, True, fh.lr_mode,
-            fh.cdef_on))
+            cblock, bd, tiles), cblock, fh.base_q_idx, bd, True,
+            fh.lr_mode, fh.cdef_on, tiles))
     else:
         if state.ref is None:
             raise DecodeError("inter frame without reference")
-        skips, mvs, y_lv, u_lv, v_lv = tile_codec.decode_tile_inter(
-            tile_data, n_blocks, block, cblock)
+        parts = [tile_codec.decode_tile_inter(p, bpt, block, cblock)
+                 for p in tile_payloads]
+        skips, mvs, y_lv, u_lv, v_lv = (
+            np.concatenate([pt[i] for pt in parts]) for i in range(5))
         ry, ru, rv = state.ref
         yj, uj, vj = inter_frame.decode_inter_frame_v2(
             jnp.asarray(mvs), jnp.asarray(y_lv), jnp.asarray(u_lv),
@@ -111,7 +123,7 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
             jnp.asarray(np.pad(ru, motion.CHROMA_PAD, mode="edge")),
             jnp.asarray(np.pad(rv, motion.CHROMA_PAD, mode="edge")),
             dc, ac, fh.base_q_idx, jnp.asarray(fh.lr_mode, jnp.int32),
-            jnp.asarray(fh.cdef_on), hp, wp, block, bd)
+            jnp.asarray(fh.cdef_on), hp, wp, block, bd, tiles)
         y, u, v = np.asarray(yj), np.asarray(uj), np.asarray(vj)
 
     state.ref = (y, u, v)

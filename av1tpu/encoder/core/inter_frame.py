@@ -37,6 +37,17 @@ def _from_blocks(blocks: jnp.ndarray, hp: int, wp: int, n: int) -> jnp.ndarray:
             .reshape(hp, wp))
 
 
+def per_tile(fn, plane, tiles: int):
+    """Apply a (H,W)->(H,W) filter independently per horizontal stripe
+    (loop filters do not cross tile-row boundaries; matches the sharded
+    encoder's per-device filtering)."""
+    if tiles <= 1:
+        return fn(plane)
+    h, w = plane.shape
+    st = plane.reshape(tiles, h // tiles, w)
+    return jax.vmap(fn)(st).reshape(h, w)
+
+
 def _code_plane(src_blocks, pred, dc_step, ac_step, maxval: int = 255):
     """residual → levels + recon blocks (encoder side)."""
     res = src_blocks.astype(jnp.int32) - pred
@@ -117,10 +128,11 @@ def decode_inter_frame(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
             _from_blocks(rec_v, hc, wc, cn))
 
 
-@functools.partial(jax.jit, static_argnames=("block", "bit_depth"))
+@functools.partial(jax.jit, static_argnames=("block", "bit_depth",
+                                              "tile_rows"))
 def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                           dc_step, ac_step, qindex, block: int,
-                          bit_depth: int = 8):
+                          bit_depth: int = 8, tile_rows: int = 1):
     """Transfer-optimized P-frame encode: one jit, narrow I/O.
 
     Inputs are uint8 planes (source + previous recon, both unpadded);
@@ -167,23 +179,33 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
     lv_u = lv_u.reshape(lv_u.shape[0], -1)
     lv_v = lv_v.reshape(lv_v.shape[0], -1)
     skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1) & (lv_v == 0).all(1))
-    out_y = deblock.deblock_plane(_from_blocks(rec_y, hp, wp, n), n, qindex,
-                                  bit_depth)
-    out_u = deblock.deblock_plane(_from_blocks(rec_u, hc, wc, cn), cn,
-                                  qindex, bit_depth)
-    out_v = deblock.deblock_plane(_from_blocks(rec_v, hc, wc, cn), cn,
-                                  qindex, bit_depth)
-    cdef_y = cdef.cdef_plane(out_y, qindex, bit_depth)
-    cdef_u = cdef.cdef_plane(out_u, qindex, bit_depth, is_chroma=True)
-    cdef_v = cdef.cdef_plane(out_v, qindex, bit_depth, is_chroma=True)
+    T = tile_rows
+    out_y = per_tile(lambda p: deblock.deblock_plane(p, n, qindex,
+                                                     bit_depth),
+                     _from_blocks(rec_y, hp, wp, n), T)
+    out_u = per_tile(lambda p: deblock.deblock_plane(p, cn, qindex,
+                                                     bit_depth),
+                     _from_blocks(rec_u, hc, wc, cn), T)
+    out_v = per_tile(lambda p: deblock.deblock_plane(p, cn, qindex,
+                                                     bit_depth),
+                     _from_blocks(rec_v, hc, wc, cn), T)
+    cdef_y = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth),
+                      out_y, T)
+    cdef_u = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth,
+                                                is_chroma=True), out_u, T)
+    cdef_v = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth,
+                                                is_chroma=True), out_v, T)
     cdef_on = cdef.cdef_gate(y, out_y, cdef_y)
     out_y = cdef.select(cdef_on, cdef_y, out_y)
     out_u = cdef.select(cdef_on, cdef_u, out_u)
     out_v = cdef.select(cdef_on, cdef_v, out_v)
     lr_mode = restoration.choose_mode(y, out_y, maxval)
-    out_y = restoration.apply_restoration_dynamic(out_y, lr_mode, maxval)
-    out_u = restoration.apply_restoration_dynamic(out_u, lr_mode, maxval)
-    out_v = restoration.apply_restoration_dynamic(out_v, lr_mode, maxval)
+    out_y = per_tile(lambda p: restoration.apply_restoration_dynamic(
+        p, lr_mode, maxval), out_y, T)
+    out_u = per_tile(lambda p: restoration.apply_restoration_dynamic(
+        p, lr_mode, maxval), out_u, T)
+    out_v = per_tile(lambda p: restoration.apply_restoration_dynamic(
+        p, lr_mode, maxval), out_v, T)
     out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
     lv_y16 = lv_y.astype(jnp.int16)
     lv_u16 = lv_u.astype(jnp.int16)
@@ -197,11 +219,11 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "hp", "wp",
-                                              "bit_depth"))
+                                              "bit_depth", "tile_rows"))
 def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
                           ref_v_pad, dc_step, ac_step, qindex, lr_mode,
                           cdef_on, hp: int, wp: int, block: int,
-                          bit_depth: int = 8):
+                          bit_depth: int = 8, tile_rows: int = 1):
     """Decoder-side subpel P-frame reconstruction (matches
     encode_inter_frame_v2 bit-exactly).  mvs in q4 luma units."""
     n = block
@@ -225,23 +247,30 @@ def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
     rec_v = _recon_plane(lv_v.reshape(-1, cn, cn), pred_v, dc_step, ac_step,
                          maxval)
 
-    out_y = deblock.deblock_plane(_from_blocks(rec_y, hp, wp, n), n, qindex,
-                                  bit_depth)
-    out_u = deblock.deblock_plane(_from_blocks(rec_u, hc, wc, cn), cn,
-                                  qindex, bit_depth)
-    out_v = deblock.deblock_plane(_from_blocks(rec_v, hc, wc, cn), cn,
-                                  qindex, bit_depth)
-    out_y = cdef.select(cdef_on, cdef.cdef_plane(out_y, qindex, bit_depth),
-                        out_y)
-    out_u = cdef.select(cdef_on,
-                        cdef.cdef_plane(out_u, qindex, bit_depth,
-                                        is_chroma=True), out_u)
-    out_v = cdef.select(cdef_on,
-                        cdef.cdef_plane(out_v, qindex, bit_depth,
-                                        is_chroma=True), out_v)
-    out_y = restoration.apply_restoration_dynamic(out_y, lr_mode, maxval)
-    out_u = restoration.apply_restoration_dynamic(out_u, lr_mode, maxval)
-    out_v = restoration.apply_restoration_dynamic(out_v, lr_mode, maxval)
+    T = tile_rows
+    out_y = per_tile(lambda p: deblock.deblock_plane(p, n, qindex,
+                                                     bit_depth),
+                     _from_blocks(rec_y, hp, wp, n), T)
+    out_u = per_tile(lambda p: deblock.deblock_plane(p, cn, qindex,
+                                                     bit_depth),
+                     _from_blocks(rec_u, hc, wc, cn), T)
+    out_v = per_tile(lambda p: deblock.deblock_plane(p, cn, qindex,
+                                                     bit_depth),
+                     _from_blocks(rec_v, hc, wc, cn), T)
+    out_y = cdef.select(cdef_on, per_tile(
+        lambda p: cdef.cdef_plane(p, qindex, bit_depth), out_y, T), out_y)
+    out_u = cdef.select(cdef_on, per_tile(
+        lambda p: cdef.cdef_plane(p, qindex, bit_depth, is_chroma=True),
+        out_u, T), out_u)
+    out_v = cdef.select(cdef_on, per_tile(
+        lambda p: cdef.cdef_plane(p, qindex, bit_depth, is_chroma=True),
+        out_v, T), out_v)
+    out_y = per_tile(lambda p: restoration.apply_restoration_dynamic(
+        p, lr_mode, maxval), out_y, T)
+    out_u = per_tile(lambda p: restoration.apply_restoration_dynamic(
+        p, lr_mode, maxval), out_u, T)
+    out_v = per_tile(lambda p: restoration.apply_restoration_dynamic(
+        p, lr_mode, maxval), out_v, T)
     return out_y, out_u, out_v
 
 

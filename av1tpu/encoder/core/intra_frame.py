@@ -172,19 +172,68 @@ def encode_plane(src, modes, dc_step, ac_step, block: int,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "hp", "wp",
-                                              "bit_depth"))
+                                              "bit_depth", "tile_rows"))
 def decode_plane(levels, modes, dc_step, ac_step, hp: int, wp: int,
-                 block: int, bit_depth: int = 8):
+                 block: int, bit_depth: int = 8, tile_rows: int = 1):
     """Decoder-side commit: levels in, recon out (bit-identical to encode)."""
-    zeros = jnp.zeros((hp, wp), jnp.int32)
-    _lv, recon = _commit(zeros, levels, modes, dc_step, ac_step, block,
-                         decode=True, bit_depth=bit_depth)
-    return recon
+    if tile_rows <= 1:
+        zeros = jnp.zeros((hp, wp), jnp.int32)
+        _lv, recon = _commit(zeros, levels, modes, dc_step, ac_step, block,
+                             decode=True, bit_depth=bit_depth)
+        return recon
+    T = tile_rows
+    n = block
+    bpt = (hp // n // T) * (wp // n)   # blocks per tile
+    lv_t = levels.reshape(T, bpt, n * n)
+    m_t = modes.reshape(T, bpt)
+    zeros = jnp.zeros((hp // T, wp), jnp.int32)
+
+    def one(lv, md):
+        _l, rec = _commit(zeros, lv, md, dc_step, ac_step, block,
+                          decode=True, bit_depth=bit_depth)
+        return rec
+
+    rec = jax.vmap(one)(lv_t, m_t)
+    return rec.reshape(hp, wp)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "bit_depth"))
+def _commit_tiled(plane, modes, dc_step, ac_step, n: int, tiles: int,
+                  bit_depth: int):
+    """Per-tile wavefront commits (intra prediction never crosses tile
+    rows — required for tile independence, and each stripe's wavefront
+    runs in parallel under vmap)."""
+    if tiles <= 1:
+        dummy = jnp.zeros((1, 1), jnp.int32)
+        return _commit(plane, dummy, modes, dc_step, ac_step, n,
+                       decode=False, bit_depth=bit_depth)
+    hp, wp = plane.shape
+    rows = hp // n
+    st = plane.reshape(tiles, hp // tiles, wp)
+    m = modes.reshape(tiles, (rows // tiles) * (wp // n))
+    dummy = jnp.zeros((1, 1), jnp.int32)
+
+    def one(pl, md):
+        return _commit(pl, dummy, md, dc_step, ac_step, n, decode=False,
+                       bit_depth=bit_depth)
+
+    lv, rec = jax.vmap(one)(st, m)
+    return lv.reshape(-1, n * n), rec.reshape(hp, wp)
+
+
+def _decide_modes_tiled(plane, n: int, tiles: int, bit_depth: int):
+    if tiles <= 1:
+        return decide_modes(plane, n, bit_depth)
+    hp, wp = plane.shape
+    st = plane.reshape(tiles, hp // tiles, wp)
+    m = jax.vmap(lambda p: decide_modes(p, n, bit_depth))(st)
+    return m.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "bit_depth",
+                                             "tile_rows"))
 def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
-                        block: int, bit_depth: int = 8):
+                        block: int, bit_depth: int = 8,
+                        tile_rows: int = 1):
     """Transfer-optimized keyframe encode: mode decision + all three plane
     commits fused into one jit.  uint8 planes in; (y_modes uint8, levels
     int16 ×3, skips bool, recon uint8 ×3) out — recons stay on device as
@@ -195,34 +244,44 @@ def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
     y = y_u8.astype(jnp.int32)
     u = u_u8.astype(jnp.int32)
     v = v_u8.astype(jnp.int32)
-    modes = decide_modes(y, n, bit_depth)
+    T = tile_rows
+    modes = _decide_modes_tiled(y, n, T, bit_depth)
     # chroma prediction reuses the luma mode per block (same grid): the
     # directional structure usually matches, and DC-only chroma was the
     # main reason P-frames right after a keyframe cost ~2x (weak chroma
     # reference).  uv modes are still coded explicitly in the tile.
-    dummy = jnp.zeros((1, 1), jnp.int32)
-    lv_y, rec_y = _commit(y, dummy, modes, dc_step, ac_step, n,
-                          decode=False, bit_depth=bit_depth)
-    lv_u, rec_u = _commit(u, dummy, modes, dc_step, ac_step, cn,
-                          decode=False, bit_depth=bit_depth)
-    lv_v, rec_v = _commit(v, dummy, modes, dc_step, ac_step, cn,
-                          decode=False, bit_depth=bit_depth)
+    lv_y, rec_y = _commit_tiled(y, modes, dc_step, ac_step, n, T,
+                                bit_depth)
+    lv_u, rec_u = _commit_tiled(u, modes, dc_step, ac_step, cn, T,
+                                bit_depth)
+    lv_v, rec_v = _commit_tiled(v, modes, dc_step, ac_step, cn, T,
+                                bit_depth)
     skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1) & (lv_v == 0).all(1))
-    rec_y = deblock.deblock_plane(rec_y, n, qindex, bit_depth)
-    rec_u = deblock.deblock_plane(rec_u, cn, qindex, bit_depth)
-    rec_v = deblock.deblock_plane(rec_v, cn, qindex, bit_depth)
-    cdef_y = cdef.cdef_plane(rec_y, qindex, bit_depth)
-    cdef_u = cdef.cdef_plane(rec_u, qindex, bit_depth, is_chroma=True)
-    cdef_v = cdef.cdef_plane(rec_v, qindex, bit_depth, is_chroma=True)
+    from av1tpu.encoder.core.inter_frame import per_tile
+    rec_y = per_tile(lambda p: deblock.deblock_plane(p, n, qindex,
+                                                     bit_depth), rec_y, T)
+    rec_u = per_tile(lambda p: deblock.deblock_plane(p, cn, qindex,
+                                                     bit_depth), rec_u, T)
+    rec_v = per_tile(lambda p: deblock.deblock_plane(p, cn, qindex,
+                                                     bit_depth), rec_v, T)
+    cdef_y = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth),
+                      rec_y, T)
+    cdef_u = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth,
+                                                is_chroma=True), rec_u, T)
+    cdef_v = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth,
+                                                is_chroma=True), rec_v, T)
     cdef_on = cdef.cdef_gate(y, rec_y, cdef_y)
     rec_y = cdef.select(cdef_on, cdef_y, rec_y)
     rec_u = cdef.select(cdef_on, cdef_u, rec_u)
     rec_v = cdef.select(cdef_on, cdef_v, rec_v)
     maxval = _maxval(bit_depth)
     lr_mode = restoration.choose_mode(y, rec_y, maxval)
-    rec_y = restoration.apply_restoration_dynamic(rec_y, lr_mode, maxval)
-    rec_u = restoration.apply_restoration_dynamic(rec_u, lr_mode, maxval)
-    rec_v = restoration.apply_restoration_dynamic(rec_v, lr_mode, maxval)
+    rec_y = per_tile(lambda p: restoration.apply_restoration_dynamic(
+        p, lr_mode, maxval), rec_y, T)
+    rec_u = per_tile(lambda p: restoration.apply_restoration_dynamic(
+        p, lr_mode, maxval), rec_u, T)
+    rec_v = per_tile(lambda p: restoration.apply_restoration_dynamic(
+        p, lr_mode, maxval), rec_v, T)
     out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
     from av1tpu.encoder.core.inter_frame import sparse_pack_levels
     lv_y16 = lv_y.astype(jnp.int16)

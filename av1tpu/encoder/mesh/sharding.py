@@ -143,3 +143,131 @@ def encode_inter_frame_sharded(y, u, v, ref_y, ref_u, ref_v, dc_step,
     return _encode_inter_sharded_impl(y, u, v, ref_y, ref_u, ref_v,
                                       dc_step, ac_step, block,
                                       _MeshHolder(mesh))
+
+
+# ---------------------------------------------------------------------------
+# v2 sharded pipeline: full-featured stripes (= tiles)
+
+@functools.partial(jax.jit, static_argnames=("block", "bit_depth",
+                                             "mesh_holder"))
+def _encode_v2_sharded_impl(y, u, v, ref_y, ref_u, ref_v, dc_step, ac_step,
+                            qindex, block: int, bit_depth: int,
+                            mesh_holder):
+    from av1tpu.encoder.core import inter_frame as IF
+    from av1tpu.encoder.kernels import cdef as cdef_mod
+    from av1tpu.encoder.kernels import deblock as db_mod
+    from av1tpu.encoder.kernels import mc as mc_mod
+    from av1tpu.encoder.kernels import restoration as lr_mod
+
+    mesh = mesh_holder.mesh
+    n_dev = mesh.devices.size
+    n = block
+    cn = n // 2
+    maxval = (1 << bit_depth) - 1
+
+    def step(y_l, u_l, v_l, ry_l, ru_l, rv_l):
+        y_i = y_l.astype(jnp.int32)
+        u_i = u_l.astype(jnp.int32)
+        v_i = v_l.astype(jnp.int32)
+        ry_p = _exchange_ref_halos(ry_l.astype(jnp.int32), n_dev, motion.PAD)
+        ru_p = _exchange_ref_halos(ru_l.astype(jnp.int32), n_dev,
+                                   motion.CHROMA_PAD)
+        rv_p = _exchange_ref_halos(rv_l.astype(jnp.int32), n_dev,
+                                   motion.CHROMA_PAD)
+        hp, wp = y_i.shape
+        hc, wc = u_i.shape
+
+        pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
+        y_blocks = IF._to_blocks(y_i, n)
+        mv_full = motion.search_v3(y_i, ry_p, n)
+        mvs = motion.subpel_refine(y_blocks, ry_p, pos_y, mv_full, n)
+        pred_y = mc_mod.predict_subpel_luma(ry_p, pos_y, mvs, n,
+                                            motion.PAD, maxval)
+        lv_y, rec_y = IF._code_plane(y_blocks, pred_y, dc_step, ac_step,
+                                     maxval)
+        pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
+        pred_u = mc_mod.predict_subpel_chroma(ru_p, pos_c, mvs, cn,
+                                              motion.CHROMA_PAD, maxval)
+        pred_v = mc_mod.predict_subpel_chroma(rv_p, pos_c, mvs, cn,
+                                              motion.CHROMA_PAD, maxval)
+        lv_u, rec_u = IF._code_plane(IF._to_blocks(u_i, cn), pred_u,
+                                     dc_step, ac_step, maxval)
+        lv_v, rec_v = IF._code_plane(IF._to_blocks(v_i, cn), pred_v,
+                                     dc_step, ac_step, maxval)
+
+        out_y = db_mod.deblock_plane(IF._from_blocks(rec_y, hp, wp, n), n,
+                                     qindex, bit_depth)
+        out_u = db_mod.deblock_plane(IF._from_blocks(rec_u, hc, wc, cn),
+                                     cn, qindex, bit_depth)
+        out_v = db_mod.deblock_plane(IF._from_blocks(rec_v, hc, wc, cn),
+                                     cn, qindex, bit_depth)
+        cdef_y = cdef_mod.cdef_plane(out_y, qindex, bit_depth)
+        cdef_u = cdef_mod.cdef_plane(out_u, qindex, bit_depth,
+                                     is_chroma=True)
+        cdef_v = cdef_mod.cdef_plane(out_v, qindex, bit_depth,
+                                     is_chroma=True)
+
+        # frame-global gates via ICI psum of per-stripe partial SSEs
+        yf = y_i.astype(jnp.float32)
+        e_off = jax.lax.psum(jnp.sum(
+            (out_y.astype(jnp.float32) - yf) ** 2), AXIS)
+        e_on = jax.lax.psum(jnp.sum(
+            (cdef_y.astype(jnp.float32) - yf) ** 2), AXIS)
+        cdef_on = e_on < e_off
+        out_y = cdef_mod.select(cdef_on, cdef_y, out_y)
+        out_u = cdef_mod.select(cdef_on, cdef_u, out_u)
+        out_v = cdef_mod.select(cdef_on, cdef_v, out_v)
+
+        lr_costs = []
+        for m in range(lr_mod.N_MODES):
+            cand = lr_mod.apply_restoration(out_y, m, maxval)
+            lr_costs.append(jax.lax.psum(jnp.sum(
+                (cand.astype(jnp.float32) - yf) ** 2), AXIS))
+        lr_mode = jnp.argmin(jnp.stack(lr_costs)).astype(jnp.int32)
+        out_y = lr_mod.apply_restoration_dynamic(out_y, lr_mode, maxval)
+        out_u = lr_mod.apply_restoration_dynamic(out_u, lr_mode, maxval)
+        out_v = lr_mod.apply_restoration_dynamic(out_v, lr_mode, maxval)
+
+        skips = ((lv_y.reshape(lv_y.shape[0], -1) == 0).all(1)
+                 & (lv_u.reshape(lv_u.shape[0], -1) == 0).all(1)
+                 & (lv_v.reshape(lv_v.shape[0], -1) == 0).all(1))
+        out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
+        return (mvs.astype(jnp.int16),
+                lv_y.reshape(lv_y.shape[0], -1).astype(jnp.int16),
+                lv_u.reshape(lv_u.shape[0], -1).astype(jnp.int16),
+                lv_v.reshape(lv_v.shape[0], -1).astype(jnp.int16),
+                skips,
+                out_y.astype(out_dtype), out_u.astype(out_dtype),
+                out_v.astype(out_dtype), lr_mode, cdef_on)
+
+    sp = P(AXIS, None)
+    sb = P(AXIS, None)
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(sp,) * 6,
+        out_specs=(sb, sb, sb, sb, P(AXIS), sp, sp, sp, P(), P()),
+        # the Pallas search kernel's out_shape has no vma annotation;
+        # varying-ness is fully described by the out_specs above
+        check_vma=False,
+    )
+    return fn(y, u, v, ref_y, ref_u, ref_v)
+
+
+def encode_inter_frame_sharded_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8,
+                                  ref_v_u8, dc_step, ac_step, qindex,
+                                  block: int, mesh: Mesh,
+                                  bit_depth: int = 8):
+    """Full-featured sharded P-frame encode: each device stripe is one
+    bitstream tile (subpel MC, deblock, gated CDEF, restoration; gates are
+    frame-global via psum).  Same output layout as encode_inter_frame_v2
+    minus the sparse pack (stripe-major == raster order)."""
+    n_dev = mesh.devices.size
+    h = y_u8.shape[0]
+    if h % (n_dev * block):
+        raise ValueError(f"luma height {h} not divisible by "
+                         f"n_devices*block = {n_dev * block}")
+    if h // n_dev < motion.PAD or (h // 2 // n_dev) < motion.CHROMA_PAD:
+        raise ValueError("stripes too short for halo exchange")
+    return _encode_v2_sharded_impl(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8,
+                                   ref_v_u8, dc_step, ac_step, qindex,
+                                   block, bit_depth, _MeshHolder(mesh))

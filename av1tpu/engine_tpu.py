@@ -93,51 +93,57 @@ class TpuEngine:
     def encode_next(self, frame: Frame, qindex: int) -> tuple[bytes, bool]:
         """GOP-aware encode: keyframe every cfg.keyint frames, else inter.
         Returns (frame OBU payload, is_keyframe)."""
-        keyint = max(1, self.cfg.keyint)
-        is_key = self._ref_dev is None or (self._frame_idx % keyint == 0)
-        if is_key:
-            payload = self.encode_keyframe(frame, qindex)
-        else:
-            payload = self._encode_interframe(frame, qindex)
-        self._frame_idx += 1
-        return payload, is_key
+        return self._finalize(self._submit(frame, qindex))
 
     # ------------------------------------------------------------------
     # pipelined encode: device compute of frame N+1 overlaps host entropy
     # coding of frame N (jax dispatch is async; we defer materialization)
 
-    def _submit(self, frame: Frame, qindex):
+    def _tile_rows_for(self, hp: int) -> int:
+        """Largest legal power-of-two tile-row count ≤ the configured one
+        (stripes must be whole block rows; cfg: tpu.tile_rows_log2)."""
+        want = 1 << max(0, int(getattr(self.cfg, "tile_rows_log2", 0)))
+        rows = hp // BLOCK
+        t = want
+        while t > 1 and (rows % t or (hp // t) % 16 or rows // t < 1):
+            t //= 2
+        return max(1, t)
+
+    def _submit(self, frame: Frame, qindex, force_key: bool = False):
         """Dispatch one frame to the device; returns an un-materialized
         pending record.  Updates GOP state immediately (recons are device
         arrays produced by the async computation)."""
         import jax.numpy as jnp
         keyint = max(1, self.cfg.keyint)
-        is_key = self._ref_dev is None or (self._frame_idx % keyint == 0)
+        is_key = (force_key or self._ref_dev is None
+                  or (self._frame_idx % keyint == 0))
         self._frame_idx += 1
         h, w = frame.height, frame.width
         bd = frame.bit_depth
         yp, up, vp = self._pad_planes(frame, BLOCK)
+        tiles = self._tile_rows_for(yp.shape[0])
         dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
         if is_key:
             out = intra_frame.encode_key_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                dc, ac, qindex, BLOCK, bd)
+                dc, ac, qindex, BLOCK, bd, tiles)
             self._ref_dev = out[5:8]
         else:
             out = inter_frame.encode_inter_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                *self._ref_dev, dc, ac, qindex, BLOCK, bd)
+                *self._ref_dev, dc, ac, qindex, BLOCK, bd, tiles)
             self._ref_dev = out[5:8]
-        return (is_key, qindex, w, h, out)
+        return (is_key, qindex, w, h, out, tiles)
 
     @staticmethod
     def _finalize(pending) -> tuple[bytes, bool]:
         """Materialize a pending frame's outputs and entropy-code them."""
-        is_key, qindex, w, h, out = pending
+        is_key, qindex, w, h, out, tiles = pending
         fh = obu_mod.FrameHeader(
             frame_type=obu_mod.KEY_FRAME if is_key else obu_mod.INTER_FRAME,
             base_q_idx=qindex, width=w, height=h,
-            luma_block_log2=BLOCK.bit_length() - 1)
+            luma_block_log2=BLOCK.bit_length() - 1,
+            tile_rows_log2=tiles.bit_length() - 1)
         fh.lr_mode = int(np.asarray(out[8]))
         fh.cdef_on = bool(np.asarray(out[9]))
         # sparse levels: tiny bitmap+values transfer; full arrays only
@@ -152,17 +158,150 @@ class TpuEngine:
         else:
             lv_y, lv_u, lv_v = lvs
         skips = np.asarray(out[4])
+        B = len(skips)
+        bpt = B // tiles  # stripes are contiguous block-row ranges
+        payloads = []
+        first = np.asarray(out[0])
+        for t in range(tiles):
+            sl = slice(t * bpt, (t + 1) * bpt)
+            if is_key:
+                payloads.append(tile_codec.encode_tile_intra(
+                    skips[sl].astype(np.uint8), first[sl], first[sl],
+                    lv_y[sl], lv_u[sl], lv_v[sl], BLOCK, BLOCK // 2))
+            else:
+                payloads.append(tile_codec.encode_tile_inter(
+                    skips[sl].astype(np.uint8),
+                    first[sl].astype(np.int32),
+                    lv_y[sl], lv_u[sl], lv_v[sl], BLOCK, BLOCK // 2))
+        return obu_mod.write_frame_obu(fh, payloads), is_key
+
+    def encode_stream(self, frames, qindex):
+        """Pipelined GOP encode over an iterable of Frames.
+
+        ``qindex`` is an int (constant quality) or a
+        ratectrl.GateRateController (adaptive, quality-floored).  Yields
+        (payload, is_keyframe) in order; while frame N's symbols are
+        entropy-coded on the host, frame N+1 is already running on the
+        TPU.
+        """
+        rate = qindex if hasattr(qindex, "qindex_for") else None
+        pending = None
+        idx = 0
+        for frame in frames:
+            q = rate.qindex_for(idx) if rate else qindex
+            sub = self._submit(frame, q)
+            idx += 1
+            if pending is not None:
+                payload, is_key = self._finalize(pending)
+                if rate:
+                    rate.record(len(payload) * 8)
+                yield payload, is_key
+            pending = sub
+        if pending is not None:
+            payload, is_key = self._finalize(pending)
+            if rate:
+                rate.record(len(payload) * 8)
+            yield payload, is_key
+
+    @staticmethod
+    def _pad_planes(frame: Frame, block: int):
+        """Pad Y to block multiples and chroma to half that (uint8/uint16)."""
+        dtype = np.uint8 if frame.bit_depth == 8 else np.uint16
+        yp = intra_frame.pad_plane(frame.y.astype(dtype), block)
+        hp, wp = yp.shape
+        up = np.zeros((hp // 2, wp // 2), dtype)
+        vp = np.zeros((hp // 2, wp // 2), dtype)
+        uu = frame.u.astype(dtype)
+        vv = frame.v.astype(dtype)
+        up[:uu.shape[0], :uu.shape[1]] = uu
+        vp[:vv.shape[0], :vv.shape[1]] = vv
+        if uu.shape[0] < up.shape[0]:
+            up[uu.shape[0]:, :] = up[uu.shape[0] - 1:uu.shape[0], :]
+            vp[vv.shape[0]:, :] = vp[vv.shape[0] - 1:vv.shape[0], :]
+        if uu.shape[1] < up.shape[1]:
+            up[:, uu.shape[1]:] = up[:, uu.shape[1] - 1:uu.shape[1]]
+            vp[:, vv.shape[1]:] = vp[:, vv.shape[1] - 1:vv.shape[1]]
+        return yp, up, vp
+
+    # ------------------------------------------------------------------
+    # pipelined encode: device compute of frame N+1 overlaps host entropy
+    # coding of frame N (jax dispatch is async; we defer materialization)
+
+    def _tile_rows_for(self, hp: int) -> int:
+        """Largest legal power-of-two tile-row count ≤ the configured one
+        (stripes must be whole block rows; cfg: tpu.tile_rows_log2)."""
+        want = 1 << max(0, int(getattr(self.cfg, "tile_rows_log2", 0)))
+        rows = hp // BLOCK
+        t = want
+        while t > 1 and (rows % t or (hp // t) % 16 or rows // t < 1):
+            t //= 2
+        return max(1, t)
+
+    def _submit(self, frame: Frame, qindex, force_key: bool = False):
+        """Dispatch one frame to the device; returns an un-materialized
+        pending record.  Updates GOP state immediately (recons are device
+        arrays produced by the async computation)."""
+        import jax.numpy as jnp
+        keyint = max(1, self.cfg.keyint)
+        is_key = (force_key or self._ref_dev is None
+                  or (self._frame_idx % keyint == 0))
+        self._frame_idx += 1
+        h, w = frame.height, frame.width
+        bd = frame.bit_depth
+        yp, up, vp = self._pad_planes(frame, BLOCK)
+        tiles = self._tile_rows_for(yp.shape[0])
+        dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
         if is_key:
-            modes = np.asarray(out[0])
-            tile = tile_codec.encode_tile_intra(
-                skips.astype(np.uint8), modes, modes,
-                lv_y, lv_u, lv_v, BLOCK, BLOCK // 2)
+            out = intra_frame.encode_key_frame_v2(
+                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                dc, ac, qindex, BLOCK, bd, tiles)
+            self._ref_dev = out[5:8]
         else:
-            mvs = np.asarray(out[0])
-            tile = tile_codec.encode_tile_inter(
-                skips.astype(np.uint8), mvs.astype(np.int32),
-                lv_y, lv_u, lv_v, BLOCK, BLOCK // 2)
-        return obu_mod.write_frame_obu(fh, tile), is_key
+            out = inter_frame.encode_inter_frame_v2(
+                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                *self._ref_dev, dc, ac, qindex, BLOCK, bd, tiles)
+            self._ref_dev = out[5:8]
+        return (is_key, qindex, w, h, out, tiles)
+
+    @staticmethod
+    def _finalize(pending) -> tuple[bytes, bool]:
+        """Materialize a pending frame's outputs and entropy-code them."""
+        is_key, qindex, w, h, out, tiles = pending
+        fh = obu_mod.FrameHeader(
+            frame_type=obu_mod.KEY_FRAME if is_key else obu_mod.INTER_FRAME,
+            base_q_idx=qindex, width=w, height=h,
+            luma_block_log2=BLOCK.bit_length() - 1,
+            tile_rows_log2=tiles.bit_length() - 1)
+        fh.lr_mode = int(np.asarray(out[8]))
+        fh.cdef_on = bool(np.asarray(out[9]))
+        # sparse levels: tiny bitmap+values transfer; full arrays only
+        # materialize on capacity overflow (np.asarray is the transfer)
+        from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
+        shapes = [tuple(out[1].shape), tuple(out[2].shape),
+                  tuple(out[3].shape)]
+        lvs = sparse_unpack_levels(out[10], out[11], out[12], shapes)
+        if lvs is None:
+            lv_y, lv_u, lv_v = (np.asarray(out[1]), np.asarray(out[2]),
+                                np.asarray(out[3]))
+        else:
+            lv_y, lv_u, lv_v = lvs
+        skips = np.asarray(out[4])
+        B = len(skips)
+        bpt = B // tiles  # stripes are contiguous block-row ranges
+        payloads = []
+        first = np.asarray(out[0])
+        for t in range(tiles):
+            sl = slice(t * bpt, (t + 1) * bpt)
+            if is_key:
+                payloads.append(tile_codec.encode_tile_intra(
+                    skips[sl].astype(np.uint8), first[sl], first[sl],
+                    lv_y[sl], lv_u[sl], lv_v[sl], BLOCK, BLOCK // 2))
+            else:
+                payloads.append(tile_codec.encode_tile_inter(
+                    skips[sl].astype(np.uint8),
+                    first[sl].astype(np.int32),
+                    lv_y[sl], lv_u[sl], lv_v[sl], BLOCK, BLOCK // 2))
+        return obu_mod.write_frame_obu(fh, payloads), is_key
 
     def encode_stream(self, frames, qindex):
         """Pipelined GOP encode over an iterable of Frames.
@@ -242,32 +381,11 @@ class TpuEngine:
     # core per-frame encode
 
     def encode_keyframe(self, frame: Frame, qindex: int) -> bytes:
-        """Encode one frame as an intra keyframe; returns the frame OBU."""
-        import jax.numpy as jnp
-        h, w = frame.height, frame.width
-        bd = frame.bit_depth
-        yp, up, vp = self._pad_planes(frame, BLOCK)
-        cblock = BLOCK // 2
-        dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
-        (y_modes, y_lv, u_lv, v_lv, skips, rec_y, rec_u,
-         rec_v, lr_mode, cdef_on, *_sp) = intra_frame.encode_key_frame_v2(
-            jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-            dc, ac, qindex, BLOCK, bd)
-        self._ref_dev = (rec_y, rec_u, rec_v)  # stays on device
-        y_modes = np.asarray(y_modes)
-        y_lv = np.asarray(y_lv)
-        u_lv = np.asarray(u_lv)
-        v_lv = np.asarray(v_lv)
-        skips = np.asarray(skips).astype(np.uint8)
-        tile = tile_codec.encode_tile_intra(
-            skips, y_modes, y_modes, y_lv, u_lv, v_lv,
-            BLOCK, cblock)
-        fh = obu_mod.FrameHeader(frame_type=obu_mod.KEY_FRAME,
-                                 base_q_idx=qindex, width=w, height=h,
-                                 luma_block_log2=BLOCK.bit_length() - 1,
-                                 lr_mode=int(np.asarray(lr_mode)),
-                                 cdef_on=bool(np.asarray(cdef_on)))
-        return obu_mod.write_frame_obu(fh, tile)
+        """Encode one frame as an intra keyframe; returns the frame OBU.
+        (Updates GOP reference state like any encoded frame.)"""
+        payload, _ = self._finalize(self._submit(frame, qindex,
+                                                 force_key=True))
+        return payload
 
     def sequence_header(self, width: int, height: int,
                         bit_depth: int = 8) -> obu_mod.SequenceHeader:

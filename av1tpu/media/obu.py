@@ -10,7 +10,14 @@ conformance reference (SURVEY.md §4a: "else our own inverse path").
 Frame header layout (av1tpu profile v1):
   frame_type f(2) · show_frame f(1) · base_q_idx f(8) ·
   frame_width_minus_1 f(16) · frame_height_minus_1 f(16) ·
-  luma_block_log2 f(3) · cdef_on f(1) · lr_mode f(2) · trailing_bits
+  luma_block_log2 f(3) · cdef_on f(1) · lr_mode f(2) ·
+  tile_rows_log2 f(2) · trailing_bits
+
+Tile payload: tiles 0..T−2 are prefixed with a leb128 byte size; the last
+tile runs to the end of the OBU.  Tiles split the frame into equal
+horizontal stripes of block rows; each tile has independent entropy
+contexts and loop filters do not cross tile boundaries (the sharded
+encoder's stripes are exactly these tiles).
 """
 
 from __future__ import annotations
@@ -167,6 +174,7 @@ class FrameHeader:
     luma_block_log2: int = 4
     cdef_on: bool = True    # frame-level CDEF gate (kernels/cdef)
     lr_mode: int = 0        # loop restoration preset (kernels/restoration)
+    tile_rows_log2: int = 0  # frame splits into 2^n independent tile rows
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -178,6 +186,7 @@ class FrameHeader:
         w.f(self.luma_block_log2, 3)
         w.f(1 if self.cdef_on else 0, 1)
         w.f(self.lr_mode, 2)
+        w.f(self.tile_rows_log2, 2)
         w.trailing_bits()
         return w.bytes()
 
@@ -194,15 +203,43 @@ class FrameHeader:
         fh.luma_block_log2 = r.f(3)
         fh.cdef_on = bool(r.f(1))
         fh.lr_mode = r.f(2)
+        fh.tile_rows_log2 = r.f(2)
         if r.f(1) != 1:
             raise ValueError("bad trailing bit in frame header")
         r.byte_align()
         return fh, r.bit_pos // 8
 
 
-def write_frame_obu(fh: FrameHeader, tile_data: bytes) -> bytes:
-    """OBU_FRAME = frame header (byte aligned) + tile payload."""
-    return write_obu(OBU_FRAME, fh.write() + tile_data)
+def write_frame_obu(fh: FrameHeader, tile_data) -> bytes:
+    """OBU_FRAME = frame header (byte aligned) + tile payload.
+
+    tile_data: bytes (single tile) or list[bytes] (size-prefixed tiles,
+    last tile unprefixed).
+    """
+    if isinstance(tile_data, (list, tuple)):
+        parts = []
+        for i, t in enumerate(tile_data):
+            if i < len(tile_data) - 1:
+                parts.append(write_leb128(len(t)))
+            parts.append(t)
+        payload = b"".join(parts)
+    else:
+        payload = tile_data
+    return write_obu(OBU_FRAME, fh.write() + payload)
+
+
+def split_tiles(payload: bytes, n_tiles: int) -> list[bytes]:
+    """Inverse of the multi-tile packing."""
+    if n_tiles <= 1:
+        return [payload]
+    out = []
+    pos = 0
+    for _ in range(n_tiles - 1):
+        size, pos = read_leb128(payload, pos)
+        out.append(payload[pos:pos + size])
+        pos += size
+    out.append(payload[pos:])
+    return out
 
 
 def av1c_record(sh: SequenceHeader) -> bytes:

@@ -170,3 +170,33 @@ def test_cdef_preserves_edges_smooths_ringing():
     # strength 0 (low q) is identity
     out0 = np.asarray(cdef.cdef_plane(jnp.asarray(noisy), 30, 8))
     np.testing.assert_array_equal(out0, noisy)
+
+
+def test_multitile_gop_parity():
+    """tile_rows_log2=2 → 4 independent tile rows; decode bit-matches."""
+    eng = TpuEngine()
+    eng.cfg.keyint = 100
+    eng.cfg.tile_rows_log2 = 2
+    eng.start_stream()
+    state = dec_mod.DecoderState()
+    state.seq = eng.sequence_header(160, 128)
+    from av1tpu.media import obu as obu_mod
+    for i in range(4):
+        fr = make_testsrc(160, 128, i)   # 8 block rows → 4 tiles of 2
+        payload, is_key = eng.encode_next(fr, 96)
+        # header carries the tile configuration
+        obus = obu_mod.parse_obus(payload)
+        fh, _ = obu_mod.FrameHeader.parse(obus[0][1])
+        assert fh.tile_rows_log2 == 2
+        out = dec_mod.decode_frame_payload(payload, state)
+        enc_y = eng._ref[0][:128, :160]
+        assert np.array_equal(enc_y, out.y.astype(np.int32)), f"frame {i}"
+
+
+def test_multitile_clamps_to_divisor():
+    """Requested tiles clamp to a legal divisor of the block rows."""
+    eng = TpuEngine()
+    eng.cfg.tile_rows_log2 = 3  # 8 tiles requested
+    # 96px → 6 block rows: 8∤6, 4∤6, 2|6 → 2 tiles
+    assert eng._tile_rows_for(96) == 2
+    assert eng._tile_rows_for(128) == 8

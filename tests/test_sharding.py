@@ -68,3 +68,37 @@ def test_mesh_creation_sizes():
     assert sharding.make_mesh(0).devices.size == len(jax.devices())
     with pytest.raises(ValueError):
         sharding.make_mesh(1000)
+
+
+def test_sharded_v2_full_pipeline(mesh8):
+    """v2 sharded (subpel+filters+psum gates) runs and matches the
+    single-chip multi-tile v2 encode bit-exactly (stripes == tiles)."""
+    from av1tpu.encoder.core import inter_frame as IF
+    block = 16
+    n_dev = 8
+    h, w = n_dev * 4 * block, 4 * block   # 512 x 64
+    f0 = make_testsrc(w, h, 0)
+    f1 = make_testsrc(w, h, 1)
+    dc, ac = quant.dc_q(96), quant.ac_q(96)
+
+    sharded = sharding.encode_inter_frame_sharded_v2(
+        jnp.asarray(f1.y), jnp.asarray(f1.u), jnp.asarray(f1.v),
+        jnp.asarray(f0.y), jnp.asarray(f0.u), jnp.asarray(f0.v),
+        dc, ac, 96, block, mesh8)
+    s_out = [np.asarray(x) for x in sharded]
+
+    # single-chip with tile_rows = n_dev — but note the single-chip path
+    # predicts across stripe boundaries (full-frame search/MC) while the
+    # sharded path sees neighbor data only through halos, which reproduce
+    # exactly the same padded reference → identical results.
+    single = IF.encode_inter_frame_v2(
+        jnp.asarray(f1.y), jnp.asarray(f1.u), jnp.asarray(f1.v),
+        jnp.asarray(f0.y), jnp.asarray(f0.u), jnp.asarray(f0.v),
+        dc, ac, 96, block, 8, n_dev)
+    m_out = [np.asarray(x) for x in single]
+
+    np.testing.assert_array_equal(s_out[5], m_out[5])  # recon y
+    np.testing.assert_array_equal(s_out[1], m_out[1])  # levels y
+    np.testing.assert_array_equal(s_out[0], m_out[0])  # mvs
+    assert int(s_out[8]) == int(m_out[8])              # lr_mode
+    assert bool(s_out[9]) == bool(m_out[9])            # cdef gate
