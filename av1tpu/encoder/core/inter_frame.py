@@ -129,10 +129,13 @@ def decode_inter_frame(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "bit_depth",
-                                              "tile_rows"))
+                                              "tile_rows", "use_subpel",
+                                              "use_aux_filters"))
 def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                           dc_step, ac_step, qindex, block: int,
-                          bit_depth: int = 8, tile_rows: int = 1):
+                          bit_depth: int = 8, tile_rows: int = 1,
+                          use_subpel: bool = True,
+                          use_aux_filters: bool = True):
     """Transfer-optimized P-frame encode: one jit, narrow I/O.
 
     Inputs are uint8 planes (source + previous recon, both unpadded);
@@ -160,7 +163,10 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
     pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
     y_blocks = _to_blocks(y, n)
     mv_full = motion.search_v3(y, ref_y_pad, n)
-    mvs = motion.subpel_refine(y_blocks, ref_y_pad, pos_y, mv_full, n)
+    if use_subpel:
+        mvs = motion.subpel_refine(y_blocks, ref_y_pad, pos_y, mv_full, n)
+    else:
+        mvs = mv_full * 4
     pred_y = mc.predict_subpel_luma(ref_y_pad, pos_y, mvs, n, motion.PAD,
                                     maxval)
     lv_y, rec_y = _code_plane(y_blocks, pred_y, dc_step, ac_step, maxval)
@@ -189,23 +195,29 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
     out_v = per_tile(lambda p: deblock.deblock_plane(p, cn, qindex,
                                                      bit_depth),
                      _from_blocks(rec_v, hc, wc, cn), T)
-    cdef_y = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth),
-                      out_y, T)
-    cdef_u = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth,
-                                                is_chroma=True), out_u, T)
-    cdef_v = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth,
-                                                is_chroma=True), out_v, T)
-    cdef_on = cdef.cdef_gate(y, out_y, cdef_y)
-    out_y = cdef.select(cdef_on, cdef_y, out_y)
-    out_u = cdef.select(cdef_on, cdef_u, out_u)
-    out_v = cdef.select(cdef_on, cdef_v, out_v)
-    lr_mode = restoration.choose_mode(y, out_y, maxval)
-    out_y = per_tile(lambda p: restoration.apply_restoration_dynamic(
-        p, lr_mode, maxval), out_y, T)
-    out_u = per_tile(lambda p: restoration.apply_restoration_dynamic(
-        p, lr_mode, maxval), out_u, T)
-    out_v = per_tile(lambda p: restoration.apply_restoration_dynamic(
-        p, lr_mode, maxval), out_v, T)
+    if use_aux_filters:
+        cdef_y = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth),
+                          out_y, T)
+        cdef_u = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth,
+                                                    is_chroma=True),
+                          out_u, T)
+        cdef_v = per_tile(lambda p: cdef.cdef_plane(p, qindex, bit_depth,
+                                                    is_chroma=True),
+                          out_v, T)
+        cdef_on = cdef.cdef_gate(y, out_y, cdef_y)
+        out_y = cdef.select(cdef_on, cdef_y, out_y)
+        out_u = cdef.select(cdef_on, cdef_u, out_u)
+        out_v = cdef.select(cdef_on, cdef_v, out_v)
+        lr_mode = restoration.choose_mode(y, out_y, maxval)
+        out_y = per_tile(lambda p: restoration.apply_restoration_dynamic(
+            p, lr_mode, maxval), out_y, T)
+        out_u = per_tile(lambda p: restoration.apply_restoration_dynamic(
+            p, lr_mode, maxval), out_u, T)
+        out_v = per_tile(lambda p: restoration.apply_restoration_dynamic(
+            p, lr_mode, maxval), out_v, T)
+    else:
+        cdef_on = jnp.asarray(False)
+        lr_mode = jnp.asarray(0, jnp.int32)
     out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
     lv_y16 = lv_y.astype(jnp.int16)
     lv_u16 = lv_u.astype(jnp.int16)

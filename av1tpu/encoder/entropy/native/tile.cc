@@ -120,6 +120,15 @@ static void encode_txblock(EcEnc *e, CoeffCdfs &cdfs, int plane_type,
                            const int32_t *levels_raster, int n,
                            const std::vector<int> &scan) {
   const int nn = n * n;
+  // fast path: all-zero raster scan (common for chroma / quiet blocks)
+  bool any = false;
+  for (int i = 0; i < nn; ++i) {
+    if (levels_raster[i]) { any = true; break; }
+  }
+  if (!any) {
+    ec_enc_symbol_adapt(e, 1, cdfs.all_zero[plane_type], 2);
+    return;
+  }
   // scan-order levels + eob
   int eob = 0;
   std::vector<int32_t> lv(nn);

@@ -89,6 +89,33 @@ class TpuEngine:
         """Reset GOP state (call once per input video)."""
         self._ref_dev = None
         self._frame_idx = 0
+        self._prev_thumb = None
+
+    # Speed ladder (the reference's `compression_level 2` analog,
+    # transcode.go:119-123): lower = slower/better.
+    #   <=6: full pipeline (subpel, CDEF+restoration eval)  [default 6]
+    #    7 : subpel off
+    #   >=8: subpel off, CDEF/restoration eval off
+    @property
+    def _use_subpel(self) -> bool:
+        return self.cfg.speed <= 6
+
+    @property
+    def _use_aux_filters(self) -> bool:
+        return self.cfg.speed <= 7
+
+    def _scene_cut(self, frame: Frame) -> bool:
+        """Host-side scene-cut detector: mean abs diff of 16x-decimated
+        luma vs the previous source frame.  A cut forces a keyframe so
+        the post-cut P-frame doesn't burn bits predicting across it."""
+        thumb = frame.y[::16, ::16].astype(np.int32)
+        prev = self._prev_thumb
+        self._prev_thumb = thumb
+        if prev is None or prev.shape != thumb.shape:
+            return False
+        mad = np.abs(thumb - prev).mean()
+        scale = 1 << (frame.bit_depth - 8)
+        return mad > 28.0 * scale
 
     def encode_next(self, frame: Frame, qindex: int) -> tuple[bytes, bool]:
         """GOP-aware encode: keyframe every cfg.keyint frames, else inter.
@@ -116,7 +143,8 @@ class TpuEngine:
         import jax.numpy as jnp
         keyint = max(1, self.cfg.keyint)
         is_key = (force_key or self._ref_dev is None
-                  or (self._frame_idx % keyint == 0))
+                  or (self._frame_idx % keyint == 0)
+                  or self._scene_cut(frame))
         self._frame_idx += 1
         h, w = frame.height, frame.width
         bd = frame.bit_depth
@@ -131,7 +159,8 @@ class TpuEngine:
         else:
             out = inter_frame.encode_inter_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                *self._ref_dev, dc, ac, qindex, BLOCK, bd, tiles)
+                *self._ref_dev, dc, ac, qindex, BLOCK, bd, tiles,
+                self._use_subpel, self._use_aux_filters)
             self._ref_dev = out[5:8]
         return (is_key, qindex, w, h, out, tiles)
 
@@ -244,7 +273,8 @@ class TpuEngine:
         import jax.numpy as jnp
         keyint = max(1, self.cfg.keyint)
         is_key = (force_key or self._ref_dev is None
-                  or (self._frame_idx % keyint == 0))
+                  or (self._frame_idx % keyint == 0)
+                  or self._scene_cut(frame))
         self._frame_idx += 1
         h, w = frame.height, frame.width
         bd = frame.bit_depth
@@ -259,7 +289,8 @@ class TpuEngine:
         else:
             out = inter_frame.encode_inter_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                *self._ref_dev, dc, ac, qindex, BLOCK, bd, tiles)
+                *self._ref_dev, dc, ac, qindex, BLOCK, bd, tiles,
+                self._use_subpel, self._use_aux_filters)
             self._ref_dev = out[5:8]
         return (is_key, qindex, w, h, out, tiles)
 

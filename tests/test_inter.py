@@ -200,3 +200,33 @@ def test_multitile_clamps_to_divisor():
     # 96px → 6 block rows: 8∤6, 4∤6, 2|6 → 2 tiles
     assert eng._tile_rows_for(96) == 2
     assert eng._tile_rows_for(128) == 8
+
+
+def test_speed_preset_disables_subpel():
+    """speed >= 7 produces full-pel MVs only (q4 multiples of 4)."""
+    eng = TpuEngine()
+    eng.cfg.keyint = 100
+    eng.cfg.speed = 8
+    eng.start_stream()
+    eng.encode_next(make_testsrc(160, 96, 0), 96)
+    payload, _ = eng.encode_next(make_testsrc(160, 96, 1), 96)
+    from av1tpu.media import obu as obu_mod
+    from av1tpu.encoder.entropy import tile as tc
+    obus = obu_mod.parse_obus(payload)
+    fh, hlen = obu_mod.FrameHeader.parse(obus[0][1])
+    assert not fh.cdef_on and fh.lr_mode == 0  # aux filters off
+    _, mvs, *_ = tc.decode_tile_inter(obus[0][1][hlen:], 60)
+    assert (mvs % 4 == 0).all()
+
+
+def test_scene_cut_forces_keyframe():
+    eng = TpuEngine()
+    eng.cfg.keyint = 1000
+    eng.start_stream()
+    _, k0 = eng.encode_next(make_testsrc(160, 96, 0), 96)
+    _, k1 = eng.encode_next(make_testsrc(160, 96, 1), 96)
+    # hard cut: inverted content
+    fr = make_testsrc(160, 96, 2)
+    fr.y[:] = 255 - fr.y
+    _, k2 = eng.encode_next(fr, 96)
+    assert (k0, k1, k2) == (True, False, True)
