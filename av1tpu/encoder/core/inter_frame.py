@@ -164,7 +164,8 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
     y_blocks = _to_blocks(y, n)
     mv_full = motion.search_v3(y, ref_y_pad, n)
     if use_subpel:
-        mvs = motion.subpel_refine(y_blocks, ref_y_pad, pos_y, mv_full, n)
+        mvs = motion.subpel_refine(y_blocks, ref_y_pad, pos_y, mv_full, n,
+                                   maxval=maxval)
     else:
         mvs = mv_full * 4
     pred_y = mc.predict_subpel_luma(ref_y_pad, pos_y, mvs, n, motion.PAD,

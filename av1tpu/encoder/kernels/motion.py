@@ -355,7 +355,7 @@ def search_v3(src: jnp.ndarray, ref_pad: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def subpel_refine(src_blocks: jnp.ndarray, ref_pad: jnp.ndarray,
                   pos: jnp.ndarray, mv_full: jnp.ndarray, n: int,
-                  pad: int = PAD) -> jnp.ndarray:
+                  pad: int = PAD, maxval: int = 255) -> jnp.ndarray:
     """Quarter-pel refinement around the full-pel winner.
 
     Evaluates the 7x7 quarter-pel grid (±3/4 pel) with the NORMATIVE
@@ -382,30 +382,38 @@ def subpel_refine(src_blocks: jnp.ndarray, ref_pad: jnp.ndarray,
     src_f = src_blocks.astype(jnp.int32)
 
     center_q = mv_full * (1 << mc.MV_PREC)
-    best_q = center_q
+
+    # full 7x7 quarter-pel grid, with the horizontal filter pass shared
+    # across the 7 vertical phases of each column offset: 7 horizontal +
+    # 49 vertical passes instead of 49+49 (each pass reads the whole
+    # region set - this loop is bandwidth-bound, not FLOP-bound)
     best_ssd = None
     center_ssd = None
-    for qy in range(-3, 4):
-        fy, py = (qy >> 2), qy & 3
-        for qx in range(-3, 4):
-            fx, px = (qx >> 2), qx & 3
-            sub = regions[:, 1 + fy:1 + fy + n + taps - 1,
-                          1 + fx:1 + fx + n + taps - 1]
-            pred = mc.interp_block(sub, py, px, n, mc.luma_filters())
-            # SAD, not SSD: robust to the noise-overfitting failure mode
-            # where interpolation "wins" SSD by smoothing reference noise
-            # without reducing coded bits.
+    best_dq = jnp.zeros((src_blocks.shape[0], 2), jnp.int32)
+    ftab = mc.luma_filters()
+    for qx in range(-3, 4):
+        fx, px = (qx >> 2), qx & 3
+        sub_x = regions[:, :, 1 + fx:1 + fx + n + taps - 1]
+        fh = jnp.asarray(ftab[px])
+        htmp = mc._hfilter(sub_x, fh, n, taps)      # (B, R, n)
+        for qy in range(-3, 4):
+            fy, py = (qy >> 2), qy & 3
+            fv = jnp.asarray(ftab[py])
+            vt = htmp[:, 1 + fy:1 + fy + n + taps - 1, :]
+            out = mc._vfilter(vt, fv, n, taps)
+            out = (out + (1 << (mc.FINAL_SHIFT - 1))) >> mc.FINAL_SHIFT
+            pred = jnp.clip(out, 0, maxval)
             ssd = jnp.sum(jnp.abs(src_f - pred), axis=(1, 2))
             if qy == 0 and qx == 0:
                 center_ssd = ssd
             if best_ssd is None:
                 best_ssd = ssd
-                best_q = center_q + jnp.array([qy, qx], jnp.int32)
             else:
                 take = ssd < best_ssd
                 best_ssd = jnp.minimum(best_ssd, ssd)
-                cand = center_q + jnp.array([qy, qx], jnp.int32)
-                best_q = jnp.where(take[:, None], cand, best_q)
+                best_dq = jnp.where(take[:, None],
+                                    jnp.array([qy, qx], jnp.int32), best_dq)
+    best_q = center_q + best_dq
 
     # conservative acceptance: interpolated prediction must clearly win.
     # SAD gains on noise-like residuals do not convert into rate savings

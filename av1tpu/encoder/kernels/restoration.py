@@ -15,6 +15,8 @@ replication.  Mode 0 is identity (off).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,7 +37,7 @@ def _taps(mode: int) -> np.ndarray:
     return np.array([a, b, c, d, c, b, a], np.int32)
 
 
-def apply_restoration(plane: jnp.ndarray, mode: int,
+def apply_restoration(plane: jnp.ndarray, mode: int = 0,
                       maxval: int = 255) -> jnp.ndarray:
     """Apply preset ``mode`` (static int) to an int32 plane."""
     if mode == 0:
@@ -60,22 +62,27 @@ def apply_restoration(plane: jnp.ndarray, mode: int,
 def choose_mode(src_y: jnp.ndarray, rec_y: jnp.ndarray,
                 maxval: int = 255) -> jnp.ndarray:
     """Encoder-side: SSE argmin over all modes on luma.  Returns a traced
-    int32 scalar mode (0..3)."""
-    # float32 sums: comparison-only metric; int32 would overflow at
-    # 1080p+ and int64 is unavailable on TPU (x64 disabled)
-    src = src_y.astype(jnp.float32)
+    int32 scalar mode (0..3).
+
+    Evaluated on 2×2-subsampled planes — selection-only metric, quarter
+    the HBM traffic.  float32 sums (int32 overflows at 1080p; int64 is
+    unavailable on TPU).
+    """
+    src = src_y[::2, ::2].astype(jnp.float32)
+    rec_s = rec_y[::2, ::2]
     costs = []
     for m in range(N_MODES):
-        out = apply_restoration(rec_y, m, maxval).astype(jnp.float32)
+        out = apply_restoration(rec_s, m, maxval).astype(jnp.float32)
         costs.append(jnp.sum((out - src) ** 2))
     return jnp.argmin(jnp.stack(costs)).astype(jnp.int32)
 
 
 def apply_restoration_dynamic(plane: jnp.ndarray, mode,
                               maxval: int = 255) -> jnp.ndarray:
-    """Apply with a traced mode: computes all presets, selects one.
-    (4 candidate planes; used inside the fused encode jits where the
-    chosen mode is data-dependent.)"""
-    outs = jnp.stack([apply_restoration(plane, m, maxval)
-                      for m in range(N_MODES)])
-    return outs[mode]
+    """Apply with a traced mode via lax.switch — only the selected
+    preset's branch executes (the old all-presets-then-index version did
+    4x the filtering work)."""
+    import jax
+    return jax.lax.switch(
+        mode, [functools.partial(apply_restoration, mode=m, maxval=maxval)
+               for m in range(N_MODES)], plane)

@@ -180,7 +180,8 @@ def _encode_v2_sharded_impl(y, u, v, ref_y, ref_u, ref_v, dc_step, ac_step,
         pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
         y_blocks = IF._to_blocks(y_i, n)
         mv_full = motion.search_v3(y_i, ry_p, n)
-        mvs = motion.subpel_refine(y_blocks, ry_p, pos_y, mv_full, n)
+        mvs = motion.subpel_refine(y_blocks, ry_p, pos_y, mv_full, n,
+                                   maxval=maxval)
         pred_y = mc_mod.predict_subpel_luma(ry_p, pos_y, mvs, n,
                                             motion.PAD, maxval)
         lv_y, rec_y = IF._code_plane(y_blocks, pred_y, dc_step, ac_step,
