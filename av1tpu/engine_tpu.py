@@ -4,9 +4,11 @@ This is the reference's PROCESS+DEVICE boundary (SURVEY.md §3.2: "this box
 is what becomes the JAX/Pallas engine"): demux → decode source frames →
 AV1-encode on TPU → mux Matroska with copied audio/subtitle streams.
 
-v1 scope: intra-only frames (keyframe pipeline), 8-bit 4:2:0, single tile,
-single chip.  GOP/inter coding, CDEF, 10-bit, and tile-row sharding layer
-on top without changing this surface.
+Pipeline: GOP structure (keyint + scene-cut keyframes) with gate-aware
+rate control; fused per-frame jits (intra wavefront / inter subpel
+search+MC) with device-resident references and sparse level transfer;
+host C++ entropy coding overlapped with the next frame's device work;
+multi-tile bitstreams; 8/10-bit; GOP-granular checkpoint/resume.
 """
 
 from __future__ import annotations
@@ -75,6 +77,7 @@ class TpuEngine:
         self.stats = EncodeStats()
         self._ref_dev = None      # (y, u, v) uint8 recon planes ON DEVICE
         self._frame_idx = 0
+        self._prev_thumb = None   # scene-cut detector state
         _enable_compilation_cache()
 
     @property
@@ -142,9 +145,9 @@ class TpuEngine:
         arrays produced by the async computation)."""
         import jax.numpy as jnp
         keyint = max(1, self.cfg.keyint)
+        cut = self._scene_cut(frame)  # always runs: updates detector state
         is_key = (force_key or self._ref_dev is None
-                  or (self._frame_idx % keyint == 0)
-                  or self._scene_cut(frame))
+                  or (self._frame_idx % keyint == 0) or cut)
         self._frame_idx += 1
         h, w = frame.height, frame.width
         bd = frame.bit_depth
@@ -272,9 +275,9 @@ class TpuEngine:
         arrays produced by the async computation)."""
         import jax.numpy as jnp
         keyint = max(1, self.cfg.keyint)
+        cut = self._scene_cut(frame)  # always runs: updates detector state
         is_key = (force_key or self._ref_dev is None
-                  or (self._frame_idx % keyint == 0)
-                  or self._scene_cut(frame))
+                  or (self._frame_idx % keyint == 0) or cut)
         self._frame_idx += 1
         h, w = frame.height, frame.width
         bd = frame.bit_depth

@@ -112,6 +112,10 @@ def render_active_job(m: Model) -> list[str]:
         f"  elapsed:    {humanize_duration(_elapsed_of(j))}   type: "
         f"{'web-like' if j.is_webrip_like else 'disc-like'}",
     ]
+    if j.encode_fps:
+        lines.append(f"  encode:     {j.encode_fps:.2f} fps"
+                     + (f"  ({j.resumed_frames} frames resumed)"
+                        if j.resumed_frames else ""))
     return lines
 
 
@@ -119,19 +123,20 @@ def render_job_table(m: Model, max_rows: int = 12,
                      width: int = 100) -> list[str]:
     """JOB QUEUE table (view.go:300-341)."""
     lines = ["JOB QUEUE"]
-    header = (f"  {'STATUS':<8} {'FILE':<38} {'RES':<10} {'CODEC':<6} "
-              f"{'SIZE':<10} {'NEW':<10} {'WHEN':<17}")
+    header = (f"  {'STATUS':<8} {'FILE':<32} {'RES':<10} {'CODEC':<6} "
+              f"{'SIZE':<9} {'NEW':<9} {'FPS':<6} {'WHEN':<17}")
     lines.append(header[:width])
     shown = m.all_jobs[:max_rows]
     for j in shown:
         name = os.path.basename(j.source_path)
-        if len(name) > 37:
-            name = name[:34] + "..."
+        if len(name) > 31:
+            name = name[:28] + "..."
         when = (j.created_at or "")[:16].replace("T", " ")
-        row = (f"  {j.status:<8} {name:<38} {j.resolution or '-':<10} "
+        fps = f"{j.encode_fps:.1f}" if j.encode_fps else "-"
+        row = (f"  {j.status:<8} {name:<32} {j.resolution or '-':<10} "
                f"{(j.source_codec or '-')[:6]:<6} "
-               f"{humanize_bytes(j.original_bytes):<10} "
-               f"{humanize_bytes(j.new_bytes):<10} {when:<17}")
+               f"{humanize_bytes(j.original_bytes):<9} "
+               f"{humanize_bytes(j.new_bytes):<9} {fps:<6} {when:<17}")
         lines.append(row[:width])
     more = len(m.all_jobs) - len(shown)
     if more > 0:
