@@ -18,6 +18,7 @@
 namespace {
 
 constexpr int kNumIntraModes = 7;
+constexpr int kEobClasses = 11;    // eob up to 2^10 = 1024 (32x32 blocks)
 constexpr unsigned kHalf = 16384;  // p=0.5 in q15
 
 // diagonal (zigzag) scan for an n x n block, raster index order
@@ -47,7 +48,7 @@ static int band_of(int scan_pos, int n) {
 // Coefficient CDFs shared by intra and inter tiles (uniform-initialized)
 struct CoeffCdfs {
   uint16_t all_zero[2][3];          // [plane_type][..]  0=luma 1=chroma
-  uint16_t eob_class[2][10 + 1];    // up to 10 classes (eob<=512)
+  uint16_t eob_class[2][kEobClasses + 1];
   uint16_t base[2][4][4 + 1];       // [plane][band][4sym]
   uint16_t br[2][4 + 1];
   uint16_t dc_sign[2][3];
@@ -55,7 +56,7 @@ struct CoeffCdfs {
   CoeffCdfs() {
     for (int p = 0; p < 2; ++p) {
       cdf_init_uniform(all_zero[p], 2);
-      cdf_init_uniform(eob_class[p], 10);
+      cdf_init_uniform(eob_class[p], kEobClasses);
       for (int b = 0; b < 4; ++b) cdf_init_uniform(base[p][b], 4);
       cdf_init_uniform(br[p], 4);
       cdf_init_uniform(dc_sign[p], 2);
@@ -109,8 +110,11 @@ static void enc_golomb(EcEnc *e, uint32_t v) {  // exp-golomb of v >= 0
 }
 
 static uint32_t dec_golomb(EcDec *d) {
+  // corrupt/truncated streams must terminate: cap the prefix (a valid
+  // encoder never exceeds 31 bits; past-the-end reads return drifting
+  // bits that could otherwise spin or overflow)
   int len = 0;
-  while (!ec_dec_bool(d, kHalf)) ++len;
+  while (!ec_dec_bool(d, kHalf) && len < 31) ++len;
   uint32_t x = 1;
   for (int i = 0; i < len; ++i) x = (x << 1) | ec_dec_bool(d, kHalf);
   return x - 1;
@@ -142,7 +146,7 @@ static void encode_txblock(EcEnc *e, CoeffCdfs &cdfs, int plane_type,
   }
   ec_enc_symbol_adapt(e, 0, cdfs.all_zero[plane_type], 2);
   int klass = eob_class_of(eob);
-  ec_enc_symbol_adapt(e, klass, cdfs.eob_class[plane_type], 10);
+  ec_enc_symbol_adapt(e, klass, cdfs.eob_class[plane_type], kEobClasses);
   if (klass > 0) {
     int lo = (1 << (klass - 1)) + 1;          // eob range [lo, 2^klass]
     ec_enc_literal(e, eob - lo, klass - 1 >= 0 ? (klass - 1) : 0);
@@ -175,7 +179,8 @@ static void decode_txblock(EcDec *d, CoeffCdfs &cdfs, int plane_type,
   const int nn = n * n;
   std::memset(levels_raster, 0, sizeof(int32_t) * nn);
   if (ec_dec_symbol_adapt(d, cdfs.all_zero[plane_type], 2)) return;
-  int klass = ec_dec_symbol_adapt(d, cdfs.eob_class[plane_type], 10);
+  int klass = ec_dec_symbol_adapt(d, cdfs.eob_class[plane_type],
+                                  kEobClasses);
   int eob;
   if (klass == 0) {
     eob = 1;
@@ -183,6 +188,7 @@ static void decode_txblock(EcDec *d, CoeffCdfs &cdfs, int plane_type,
     int lo = (1 << (klass - 1)) + 1;
     eob = lo + (klass - 1 > 0 ? (int)ec_dec_literal(d, klass - 1) : 0);
   }
+  if (eob > nn) eob = nn;  // corrupt streams can signal eob > block size
   for (int i = eob - 1; i >= 0; --i) {
     int b = band_of(i, n);
     uint32_t mag = ec_dec_symbol_adapt(d, cdfs.base[plane_type][b], 4);
@@ -190,6 +196,7 @@ static void decode_txblock(EcDec *d, CoeffCdfs &cdfs, int plane_type,
       uint32_t brv = ec_dec_symbol_adapt(d, cdfs.br[plane_type], 4);
       mag += brv;
       if (brv == 3) mag += dec_golomb(d);
+      if (mag > (1u << 20)) mag = 1u << 20;  // corrupt-stream clamp
     }
     int neg = 0;
     if (mag) {
@@ -290,6 +297,7 @@ static int32_t dec_mv_component(EcDec *d, InterCdfs &cdfs, int c) {
   int neg = ec_dec_symbol_adapt(d, cdfs.mv_sign[c], 2);
   uint32_t mag1 = (uint32_t)ec_dec_symbol_adapt(d, cdfs.mv_base[c], 4);
   if (mag1 == 3) mag1 += dec_golomb(d);
+  if (mag1 > (1u << 16)) mag1 = 1u << 16;  // corrupt-stream clamp
   int32_t mag = (int32_t)mag1 + 1;
   return neg ? -mag : mag;
 }

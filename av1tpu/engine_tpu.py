@@ -35,7 +35,7 @@ from av1tpu.utils.testsrc import Frame
 
 log = logging.getLogger("av1tpu.engine")
 
-BLOCK = 16  # v1 fixed luma block/tx size
+BLOCK = 16  # default luma block/tx size (auto mode upgrades to 32 at HD+)
 
 _cache_enabled = False
 
@@ -129,11 +129,25 @@ class TpuEngine:
     # pipelined encode: device compute of frame N+1 overlaps host entropy
     # coding of frame N (jax dispatch is async; we defer materialization)
 
-    def _tile_rows_for(self, hp: int) -> int:
+    def _block_for(self, frame: Frame) -> int:
+        """Luma block/transform size for this stream.
+
+        tpu.block_log2: 4 → 16, 5 → 32, 0 (auto) → 32 when the frame is
+        720p-class or larger (big transforms code smooth HD content far
+        cheaper) and both plane dims divide evenly, else 16.
+        """
+        want = int(getattr(self.cfg, "block_log2", 0))
+        if want in (4, 5):
+            n = 1 << want
+        else:
+            n = 32 if min(frame.height, frame.width) >= 640 else 16
+        return n
+
+    def _tile_rows_for(self, hp: int, block: int) -> int:
         """Largest legal power-of-two tile-row count ≤ the configured one
         (stripes must be whole block rows; cfg: tpu.tile_rows_log2)."""
         want = 1 << max(0, int(getattr(self.cfg, "tile_rows_log2", 0)))
-        rows = hp // BLOCK
+        rows = hp // block
         t = want
         while t > 1 and (rows % t or (hp // t) % 16 or rows // t < 1):
             t //= 2
@@ -151,30 +165,31 @@ class TpuEngine:
         self._frame_idx += 1
         h, w = frame.height, frame.width
         bd = frame.bit_depth
-        yp, up, vp = self._pad_planes(frame, BLOCK)
-        tiles = self._tile_rows_for(yp.shape[0])
+        block = self._block_for(frame)
+        yp, up, vp = self._pad_planes(frame, block)
+        tiles = self._tile_rows_for(yp.shape[0], block)
         dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
         if is_key:
             out = intra_frame.encode_key_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                dc, ac, qindex, BLOCK, bd, tiles)
+                dc, ac, qindex, block, bd, tiles)
             self._ref_dev = out[5:8]
         else:
             out = inter_frame.encode_inter_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                *self._ref_dev, dc, ac, qindex, BLOCK, bd, tiles,
+                *self._ref_dev, dc, ac, qindex, block, bd, tiles,
                 self._use_subpel, self._use_aux_filters)
             self._ref_dev = out[5:8]
-        return (is_key, qindex, w, h, out, tiles)
+        return (is_key, qindex, w, h, out, tiles, block)
 
     @staticmethod
     def _finalize(pending) -> tuple[bytes, bool]:
         """Materialize a pending frame's outputs and entropy-code them."""
-        is_key, qindex, w, h, out, tiles = pending
+        is_key, qindex, w, h, out, tiles, block = pending
         fh = obu_mod.FrameHeader(
             frame_type=obu_mod.KEY_FRAME if is_key else obu_mod.INTER_FRAME,
             base_q_idx=qindex, width=w, height=h,
-            luma_block_log2=BLOCK.bit_length() - 1,
+            luma_block_log2=block.bit_length() - 1,
             tile_rows_log2=tiles.bit_length() - 1)
         fh.lr_mode = int(np.asarray(out[8]))
         fh.cdef_on = bool(np.asarray(out[9]))
@@ -199,12 +214,12 @@ class TpuEngine:
             if is_key:
                 payloads.append(tile_codec.encode_tile_intra(
                     skips[sl].astype(np.uint8), first[sl], first[sl],
-                    lv_y[sl], lv_u[sl], lv_v[sl], BLOCK, BLOCK // 2))
+                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
             else:
                 payloads.append(tile_codec.encode_tile_inter(
                     skips[sl].astype(np.uint8),
                     first[sl].astype(np.int32),
-                    lv_y[sl], lv_u[sl], lv_v[sl], BLOCK, BLOCK // 2))
+                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
         return obu_mod.write_frame_obu(fh, payloads), is_key
 
     def encode_stream(self, frames, qindex):
@@ -259,11 +274,25 @@ class TpuEngine:
     # pipelined encode: device compute of frame N+1 overlaps host entropy
     # coding of frame N (jax dispatch is async; we defer materialization)
 
-    def _tile_rows_for(self, hp: int) -> int:
+    def _block_for(self, frame: Frame) -> int:
+        """Luma block/transform size for this stream.
+
+        tpu.block_log2: 4 → 16, 5 → 32, 0 (auto) → 32 when the frame is
+        720p-class or larger (big transforms code smooth HD content far
+        cheaper) and both plane dims divide evenly, else 16.
+        """
+        want = int(getattr(self.cfg, "block_log2", 0))
+        if want in (4, 5):
+            n = 1 << want
+        else:
+            n = 32 if min(frame.height, frame.width) >= 640 else 16
+        return n
+
+    def _tile_rows_for(self, hp: int, block: int) -> int:
         """Largest legal power-of-two tile-row count ≤ the configured one
         (stripes must be whole block rows; cfg: tpu.tile_rows_log2)."""
         want = 1 << max(0, int(getattr(self.cfg, "tile_rows_log2", 0)))
-        rows = hp // BLOCK
+        rows = hp // block
         t = want
         while t > 1 and (rows % t or (hp // t) % 16 or rows // t < 1):
             t //= 2
@@ -281,30 +310,31 @@ class TpuEngine:
         self._frame_idx += 1
         h, w = frame.height, frame.width
         bd = frame.bit_depth
-        yp, up, vp = self._pad_planes(frame, BLOCK)
-        tiles = self._tile_rows_for(yp.shape[0])
+        block = self._block_for(frame)
+        yp, up, vp = self._pad_planes(frame, block)
+        tiles = self._tile_rows_for(yp.shape[0], block)
         dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
         if is_key:
             out = intra_frame.encode_key_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                dc, ac, qindex, BLOCK, bd, tiles)
+                dc, ac, qindex, block, bd, tiles)
             self._ref_dev = out[5:8]
         else:
             out = inter_frame.encode_inter_frame_v2(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                *self._ref_dev, dc, ac, qindex, BLOCK, bd, tiles,
+                *self._ref_dev, dc, ac, qindex, block, bd, tiles,
                 self._use_subpel, self._use_aux_filters)
             self._ref_dev = out[5:8]
-        return (is_key, qindex, w, h, out, tiles)
+        return (is_key, qindex, w, h, out, tiles, block)
 
     @staticmethod
     def _finalize(pending) -> tuple[bytes, bool]:
         """Materialize a pending frame's outputs and entropy-code them."""
-        is_key, qindex, w, h, out, tiles = pending
+        is_key, qindex, w, h, out, tiles, block = pending
         fh = obu_mod.FrameHeader(
             frame_type=obu_mod.KEY_FRAME if is_key else obu_mod.INTER_FRAME,
             base_q_idx=qindex, width=w, height=h,
-            luma_block_log2=BLOCK.bit_length() - 1,
+            luma_block_log2=block.bit_length() - 1,
             tile_rows_log2=tiles.bit_length() - 1)
         fh.lr_mode = int(np.asarray(out[8]))
         fh.cdef_on = bool(np.asarray(out[9]))
@@ -329,12 +359,12 @@ class TpuEngine:
             if is_key:
                 payloads.append(tile_codec.encode_tile_intra(
                     skips[sl].astype(np.uint8), first[sl], first[sl],
-                    lv_y[sl], lv_u[sl], lv_v[sl], BLOCK, BLOCK // 2))
+                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
             else:
                 payloads.append(tile_codec.encode_tile_inter(
                     skips[sl].astype(np.uint8),
                     first[sl].astype(np.int32),
-                    lv_y[sl], lv_u[sl], lv_v[sl], BLOCK, BLOCK // 2))
+                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
         return obu_mod.write_frame_obu(fh, payloads), is_key
 
     def encode_stream(self, frames, qindex):

@@ -126,17 +126,25 @@ def probe_file(file_path: str) -> ProbeResult:
     except OSError as e:
         raise ProbeError(f"cannot read file: {e}") from e
 
-    if head[:4] == b"\x1a\x45\xdf\xa3":  # EBML magic
-        from av1tpu.media import mkv
-        result = mkv.probe(file_path)
-    elif len(head) >= 8 and head[4:8] == b"ftyp":
-        from av1tpu.media import mp4
-        result = mp4.probe(file_path)
-    elif head[:4] == b"DKIF":  # IVF (raw AV1/VPx test container)
-        from av1tpu.media import ivf
-        result = ivf.probe(file_path)
-    else:
-        raise ProbeError("unrecognized container (not EBML/ISOBMFF/IVF)")
+    try:
+        if head[:4] == b"\x1a\x45\xdf\xa3":  # EBML magic
+            from av1tpu.media import mkv
+            result = mkv.probe(file_path)
+        elif len(head) >= 8 and head[4:8] == b"ftyp":
+            from av1tpu.media import mp4
+            result = mp4.probe(file_path)
+        elif head[:4] == b"DKIF":  # IVF (raw AV1/VPx test container)
+            from av1tpu.media import ivf
+            result = ivf.probe(file_path)
+        else:
+            raise ProbeError("unrecognized container (not EBML/ISOBMFF/IVF)")
+    except ProbeError:
+        raise
+    except Exception as e:
+        # corrupt container internals must surface as a probe failure,
+        # which the scan driver turns into a skip (main.go:144-154), not
+        # a daemon crash
+        raise ProbeError(f"container parse failed: {e}") from e
 
     try:
         result.format.size = str(os.path.getsize(file_path))

@@ -196,3 +196,18 @@ def test_trailing_bits():
     data = w.bytes()
     assert len(data) == 1
     assert data[0] == 0b10110000
+
+
+def test_tile_decoder_survives_garbage():
+    """Fuzz: random payloads must terminate without crashing (the range
+    decoder reads zeros past the end; golomb prefixes and magnitudes are
+    clamped for corrupt streams)."""
+    from av1tpu.encoder.entropy import tile as tc
+    rng = np.random.default_rng(0)
+    for trial in range(25):
+        data = rng.bytes(int(rng.integers(1, 400)))
+        try:
+            tc.decode_tile_intra(data, 12, 16, 8)
+            tc.decode_tile_inter(data, 12, 16, 8)
+        except ValueError:
+            pass  # clean rejection is fine; hanging/crashing is not

@@ -230,3 +230,34 @@ def test_scene_cut_forces_keyframe():
     fr.y[:] = 255 - fr.y
     _, k2 = eng.encode_next(fr, 96)
     assert (k0, k1, k2) == (True, False, True)
+
+
+def test_block32_gop_parity():
+    """32x32 transform blocks (auto at HD+): encode/decode bit parity."""
+    eng = TpuEngine()
+    eng.cfg.keyint = 100
+    eng.cfg.block_log2 = 5
+    eng.start_stream()
+    state = dec_mod.DecoderState()
+    state.seq = eng.sequence_header(192, 128)
+    from av1tpu.media import obu as obu_mod
+    for i in range(3):
+        fr = make_testsrc(192, 128, i)
+        payload, _ = eng.encode_next(fr, 96)
+        obus = obu_mod.parse_obus(payload)
+        fh, _ = obu_mod.FrameHeader.parse(obus[0][1])
+        assert fh.luma_block_log2 == 5
+        out = dec_mod.decode_frame_payload(payload, state)
+        enc_y = eng._ref[0][:128, :192]
+        assert np.array_equal(enc_y, out.y.astype(np.int32)), f"frame {i}"
+
+
+def test_auto_block_selection():
+    eng = TpuEngine()
+    from av1tpu.utils.testsrc import Frame
+    small = make_testsrc(320, 192, 0)
+    assert eng._block_for(small) == 16
+    big = Frame(y=np.zeros((720, 1280), np.uint8),
+                u=np.zeros((360, 640), np.uint8),
+                v=np.zeros((360, 640), np.uint8))
+    assert eng._block_for(big) == 32

@@ -219,3 +219,21 @@ def test_probe_dispatch_unknown(tmp_path):
     from av1tpu.media.probe import ProbeError
     with pytest.raises(ProbeError):
         probe_file(str(p))
+
+
+def test_probe_corrupt_containers_raise_probeerror(tmp_path):
+    """Corrupt container internals skip cleanly (no daemon crash)."""
+    from av1tpu.media.probe import ProbeError
+    rng = np.random.default_rng(0)
+    # valid EBML magic, garbage body
+    p1 = tmp_path / "bad.mkv"
+    p1.write_bytes(b"\x1a\x45\xdf\xa3" + rng.bytes(500))
+    # valid ftyp, garbage boxes
+    p2 = tmp_path / "bad.mp4"
+    p2.write_bytes(b"\x00\x00\x00\x14ftypisom" + rng.bytes(500))
+    for p in (p1, p2):
+        try:
+            probe_file(str(p))
+        except ProbeError:
+            pass  # acceptable: clean refusal
+        # also acceptable: parsed-but-empty results; anything but a crash
