@@ -35,6 +35,24 @@ from av1tpu.utils.testsrc import Frame
 
 log = logging.getLogger("av1tpu.engine")
 
+
+def _unpack_planes(packed, hp: int, wp: int):
+    """Split one packed upload back into y/u/v device views (slicing on
+    device; one H2D transfer instead of three round trips)."""
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("hp", "wp"))
+    def _go(p, hp: int, wp: int):
+        ny = hp * wp
+        nc = (hp // 2) * (wp // 2)
+        return (p[:ny].reshape(hp, wp),
+                p[ny:ny + nc].reshape(hp // 2, wp // 2),
+                p[ny + nc:ny + 2 * nc].reshape(hp // 2, wp // 2))
+
+    return _go(packed, hp, wp)
+
 BLOCK = 16  # default luma block/tx size (auto mode upgrades to 32 at HD+)
 
 _cache_enabled = False
@@ -169,16 +187,17 @@ class TpuEngine:
         yp, up, vp = self._pad_planes(frame, block)
         tiles = self._tile_rows_for(yp.shape[0], block)
         dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
+        hp, wp = yp.shape
+        packed = np.concatenate([yp.ravel(), up.ravel(), vp.ravel()])
+        yj, uj, vj = _unpack_planes(jnp.asarray(packed), hp, wp)
         if is_key:
             out = intra_frame.encode_key_frame_v2(
-                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                dc, ac, qindex, block, bd, tiles)
+                yj, uj, vj, dc, ac, qindex, block, bd, tiles)
             self._ref_dev = out[5:8]
         else:
             out = inter_frame.encode_inter_frame_v2(
-                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                *self._ref_dev, dc, ac, qindex, block, bd, tiles,
-                self._use_subpel, self._use_aux_filters)
+                yj, uj, vj, *self._ref_dev, dc, ac, qindex, block, bd,
+                tiles, self._use_subpel, self._use_aux_filters)
             self._ref_dev = out[5:8]
         return (is_key, qindex, w, h, out, tiles, block)
 
@@ -191,24 +210,26 @@ class TpuEngine:
             base_q_idx=qindex, width=w, height=h,
             luma_block_log2=block.bit_length() - 1,
             tile_rows_log2=tiles.bit_length() - 1)
-        fh.lr_mode = int(np.asarray(out[8]))
-        fh.cdef_on = bool(np.asarray(out[9]))
-        # sparse levels: tiny bitmap+values transfer; full arrays only
-        # materialize on capacity overflow (np.asarray is the transfer)
+        # one batched D2H for every small output (each separate
+        # materialization costs a full ~25 ms tunnel round trip)
+        import jax as _jax
+        (first, skips, lr_mode_a, cdef_on_a, sp_mask, sp_vals,
+         sp_count) = _jax.device_get((out[0], out[4], out[8], out[9],
+                                      out[10], out[11], out[12]))
+        fh.lr_mode = int(lr_mode_a)
+        fh.cdef_on = bool(cdef_on_a)
         from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
         shapes = [tuple(out[1].shape), tuple(out[2].shape),
                   tuple(out[3].shape)]
-        lvs = sparse_unpack_levels(out[10], out[11], out[12], shapes)
+        lvs = sparse_unpack_levels(sp_mask, sp_vals, sp_count, shapes)
         if lvs is None:
             lv_y, lv_u, lv_v = (np.asarray(out[1]), np.asarray(out[2]),
                                 np.asarray(out[3]))
         else:
             lv_y, lv_u, lv_v = lvs
-        skips = np.asarray(out[4])
         B = len(skips)
         bpt = B // tiles  # stripes are contiguous block-row ranges
         payloads = []
-        first = np.asarray(out[0])
         for t in range(tiles):
             sl = slice(t * bpt, (t + 1) * bpt)
             if is_key:
@@ -231,21 +252,22 @@ class TpuEngine:
         entropy-coded on the host, frame N+1 is already running on the
         TPU.
         """
+        from collections import deque
         rate = qindex if hasattr(qindex, "qindex_for") else None
-        pending = None
+        pending = deque()
+        depth = 2  # two frames in flight hide host bursts + tunnel RTT
         idx = 0
         for frame in frames:
             q = rate.qindex_for(idx) if rate else qindex
-            sub = self._submit(frame, q)
+            pending.append(self._submit(frame, q))
             idx += 1
-            if pending is not None:
-                payload, is_key = self._finalize(pending)
+            if len(pending) > depth:
+                payload, is_key = self._finalize(pending.popleft())
                 if rate:
                     rate.record(len(payload) * 8)
                 yield payload, is_key
-            pending = sub
-        if pending is not None:
-            payload, is_key = self._finalize(pending)
+        while pending:
+            payload, is_key = self._finalize(pending.popleft())
             if rate:
                 rate.record(len(payload) * 8)
             yield payload, is_key
@@ -314,16 +336,17 @@ class TpuEngine:
         yp, up, vp = self._pad_planes(frame, block)
         tiles = self._tile_rows_for(yp.shape[0], block)
         dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
+        hp, wp = yp.shape
+        packed = np.concatenate([yp.ravel(), up.ravel(), vp.ravel()])
+        yj, uj, vj = _unpack_planes(jnp.asarray(packed), hp, wp)
         if is_key:
             out = intra_frame.encode_key_frame_v2(
-                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                dc, ac, qindex, block, bd, tiles)
+                yj, uj, vj, dc, ac, qindex, block, bd, tiles)
             self._ref_dev = out[5:8]
         else:
             out = inter_frame.encode_inter_frame_v2(
-                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                *self._ref_dev, dc, ac, qindex, block, bd, tiles,
-                self._use_subpel, self._use_aux_filters)
+                yj, uj, vj, *self._ref_dev, dc, ac, qindex, block, bd,
+                tiles, self._use_subpel, self._use_aux_filters)
             self._ref_dev = out[5:8]
         return (is_key, qindex, w, h, out, tiles, block)
 
@@ -336,24 +359,26 @@ class TpuEngine:
             base_q_idx=qindex, width=w, height=h,
             luma_block_log2=block.bit_length() - 1,
             tile_rows_log2=tiles.bit_length() - 1)
-        fh.lr_mode = int(np.asarray(out[8]))
-        fh.cdef_on = bool(np.asarray(out[9]))
-        # sparse levels: tiny bitmap+values transfer; full arrays only
-        # materialize on capacity overflow (np.asarray is the transfer)
+        # one batched D2H for every small output (each separate
+        # materialization costs a full ~25 ms tunnel round trip)
+        import jax as _jax
+        (first, skips, lr_mode_a, cdef_on_a, sp_mask, sp_vals,
+         sp_count) = _jax.device_get((out[0], out[4], out[8], out[9],
+                                      out[10], out[11], out[12]))
+        fh.lr_mode = int(lr_mode_a)
+        fh.cdef_on = bool(cdef_on_a)
         from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
         shapes = [tuple(out[1].shape), tuple(out[2].shape),
                   tuple(out[3].shape)]
-        lvs = sparse_unpack_levels(out[10], out[11], out[12], shapes)
+        lvs = sparse_unpack_levels(sp_mask, sp_vals, sp_count, shapes)
         if lvs is None:
             lv_y, lv_u, lv_v = (np.asarray(out[1]), np.asarray(out[2]),
                                 np.asarray(out[3]))
         else:
             lv_y, lv_u, lv_v = lvs
-        skips = np.asarray(out[4])
         B = len(skips)
         bpt = B // tiles  # stripes are contiguous block-row ranges
         payloads = []
-        first = np.asarray(out[0])
         for t in range(tiles):
             sl = slice(t * bpt, (t + 1) * bpt)
             if is_key:
@@ -376,21 +401,22 @@ class TpuEngine:
         entropy-coded on the host, frame N+1 is already running on the
         TPU.
         """
+        from collections import deque
         rate = qindex if hasattr(qindex, "qindex_for") else None
-        pending = None
+        pending = deque()
+        depth = 2  # two frames in flight hide host bursts + tunnel RTT
         idx = 0
         for frame in frames:
             q = rate.qindex_for(idx) if rate else qindex
-            sub = self._submit(frame, q)
+            pending.append(self._submit(frame, q))
             idx += 1
-            if pending is not None:
-                payload, is_key = self._finalize(pending)
+            if len(pending) > depth:
+                payload, is_key = self._finalize(pending.popleft())
                 if rate:
                     rate.record(len(payload) * 8)
                 yield payload, is_key
-            pending = sub
-        if pending is not None:
-            payload, is_key = self._finalize(pending)
+        while pending:
+            payload, is_key = self._finalize(pending.popleft())
             if rate:
                 rate.record(len(payload) * 8)
             yield payload, is_key

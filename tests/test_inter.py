@@ -198,8 +198,8 @@ def test_multitile_clamps_to_divisor():
     eng = TpuEngine()
     eng.cfg.tile_rows_log2 = 3  # 8 tiles requested
     # 96px → 6 block rows: 8∤6, 4∤6, 2|6 → 2 tiles
-    assert eng._tile_rows_for(96) == 2
-    assert eng._tile_rows_for(128) == 8
+    assert eng._tile_rows_for(96, 16) == 2
+    assert eng._tile_rows_for(128, 16) == 8
 
 
 def test_speed_preset_disables_subpel():
