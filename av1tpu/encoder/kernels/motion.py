@@ -330,13 +330,17 @@ def search_v3(src: jnp.ndarray, ref_pad: jnp.ndarray, n: int) -> jnp.ndarray:
     mv_a, ssd_a = pallas_motion.refine_around_seeds(
         blocks, ref_pad, pos, zero, n, r, PAD)
 
-    # coarse stage for wide motion
-    if n // COARSE_SCALE >= 4:
-        src_c = _downsample(src, COARSE_SCALE)
-        ref_c = _downsample(ref_pad, COARSE_SCALE)
-        mv_c, _ = _shift_scan_search(src_c, ref_c, n // COARSE_SCALE,
-                                     COARSE_RADIUS_V2, PAD // COARSE_SCALE)
-        seed = jnp.clip(mv_c.reshape(B, 2) * COARSE_SCALE, -MAX_MV, MAX_MV)
+    # coarse stage for wide motion; 32-blocks downsample 8x (same ±64
+    # window in a quarter of the lax.scan steps — the coarse scan is
+    # loop-overhead-bound, not bandwidth-bound)
+    cscale = 8 if n // 8 >= 4 else COARSE_SCALE
+    cradius = 8 if cscale == 8 else COARSE_RADIUS_V2
+    if n // cscale >= 4:
+        src_c = _downsample(src, cscale)
+        ref_c = _downsample(ref_pad, cscale)
+        mv_c, _ = _shift_scan_search(src_c, ref_c, n // cscale,
+                                     cradius, PAD // cscale)
+        seed = jnp.clip(mv_c.reshape(B, 2) * cscale, -MAX_MV, MAX_MV)
         mv_b, ssd_b = pallas_motion.refine_around_seeds(
             blocks, ref_pad, pos, seed, n, r, PAD)
         take = ssd_b < ssd_a
