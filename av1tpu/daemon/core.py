@@ -126,6 +126,18 @@ def process_job(job: jobs.Job, engine: Transcoder, probe_result,
             engine.gate_ratio = cfg.max_size_ratio
         except AttributeError:
             pass
+
+    def _progress(done: int, total: int) -> None:
+        """Live per-job progress into the job JSON (SURVEY §5: the
+        reference filtered ffmpeg's progress lines out entirely)."""
+        job.progress_frames = done
+        job.total_frames = total
+        jobs.save_job(job, cfg.job_state_dir)
+
+    try:
+        engine.progress_cb = _progress
+    except AttributeError:
+        pass
     try:
         engine.transcode(job.source_path, output_path, probe_result,
                          job.is_webrip_like)
@@ -148,6 +160,8 @@ def process_job(job: jobs.Job, engine: Transcoder, probe_result,
         job.encoded_frames = int(stats.get("encoded_frames", 0))
         job.encode_fps = float(stats.get("encode_fps", 0.0))
         job.resumed_frames = int(stats.get("resumed_frames", 0))
+    job.progress_frames = 0  # final record drops the live counter
+    job.total_frames = 0
 
     # Stat output (daemon.go:115-126)
     try:

@@ -71,6 +71,8 @@ class Job:
     encoded_frames: int = 0                  # omitempty
     encode_fps: float = 0.0                  # omitempty
     resumed_frames: int = 0                  # omitempty
+    progress_frames: int = 0                 # omitempty (live, running jobs)
+    total_frames: int = 0                    # omitempty
 
     def to_dict(self) -> dict:
         """JSON object with reference field order + omitempty behavior."""
@@ -116,6 +118,10 @@ class Job:
             d["encode_fps"] = round(self.encode_fps, 2)
         if self.resumed_frames:
             d["resumed_frames"] = self.resumed_frames
+        if self.progress_frames:
+            d["progress_frames"] = self.progress_frames
+        if self.total_frames:
+            d["total_frames"] = self.total_frames
         return d
 
     @classmethod
@@ -144,6 +150,8 @@ class Job:
             encoded_frames=int(d.get("encoded_frames", 0) or 0),
             encode_fps=float(d.get("encode_fps", 0.0) or 0.0),
             resumed_frames=int(d.get("resumed_frames", 0) or 0),
+            progress_frames=int(d.get("progress_frames", 0) or 0),
+            total_frames=int(d.get("total_frames", 0) or 0),
         )
 
 

@@ -112,6 +112,14 @@ def render_active_job(m: Model) -> list[str]:
         f"  elapsed:    {humanize_duration(_elapsed_of(j))}   type: "
         f"{'web-like' if j.is_webrip_like else 'disc-like'}",
     ]
+    if j.progress_frames:
+        if j.total_frames:
+            pct = 100.0 * j.progress_frames / j.total_frames
+            lines.append(f"  progress:   [{render_bar(pct)}] "
+                         f"{j.progress_frames}/{j.total_frames} "
+                         f"({pct:.0f}%)")
+        else:
+            lines.append(f"  progress:   {j.progress_frames} frames")
     if j.encode_fps:
         lines.append(f"  encode:     {j.encode_fps:.2f} fps"
                      + (f"  ({j.resumed_frames} frames resumed)"

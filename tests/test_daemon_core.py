@@ -113,3 +113,29 @@ def test_unstable_file_skipped(tmp_path, monkeypatch):
     assert j.status == jobs.STATUS_SKIPPED
     assert j.reason == "file still copying"
     assert eng.calls == []
+
+
+def test_live_progress_written(tmp_path, monkeypatch):
+    """The engine's progress callback streams into the job JSON while
+    running, and the final record drops the live counter."""
+    import json
+    j, src = _mk_job(tmp_path, size=1000)
+
+    class ProgressEngine(FakeEngine):
+        def transcode(self, input_path, output_path, probe_result,
+                      is_webrip_like):
+            cb = getattr(self, "progress_cb", None)
+            assert cb is not None
+            cb(3, 10)
+            # mid-flight job record carries the live counters
+            mid = json.load(open(tmp_path / "jobs" / (j.id + ".json")))
+            assert mid["progress_frames"] == 3
+            assert mid["total_frames"] == 10
+            super().transcode(input_path, output_path, probe_result,
+                              is_webrip_like)
+
+    eng = ProgressEngine(out_bytes=500)
+    core.process_job(j, eng, None, _cfg(tmp_path))
+    assert j.status == jobs.STATUS_SUCCESS
+    final = json.load(open(tmp_path / "jobs" / (j.id + ".json")))
+    assert "progress_frames" not in final  # dropped on completion
