@@ -44,23 +44,28 @@ def _maxval(bit_depth: int) -> int:
 @functools.lru_cache(maxsize=None)
 def wavefront_plan(rows: int, cols: int) -> tuple[np.ndarray, np.ndarray,
                                                   np.ndarray]:
-    """Anti-diagonal schedule: (diag_r, diag_c, mask), each (D, L)."""
-    n_diag = rows + cols - 1
-    maxlen = min(rows, cols)
+    """Knight's-move wavefront schedule: (diag_r, diag_c, mask), each (D, L).
+
+    Diagonal index d = 2r + c, so every dependency of the directional
+    predictors precedes its consumer: left (r, c-1) → d-1, above
+    (r-1, c) → d-2, above-left (r-1, c-1) → d-3 and, crucially for
+    D45/D67, above-right (r-1, c+1) → d-1.  A plain anti-diagonal
+    (d = r + c) would put above-right on the SAME step.
+    """
+    n_diag = 2 * (rows - 1) + (cols - 1) + 1
+    per_d = [[] for _ in range(n_diag)]
+    for r in range(rows):
+        for c in range(cols):
+            per_d[2 * r + c].append((r, c))
+    maxlen = max(len(p) for p in per_d)
     diag_r = np.zeros((n_diag, maxlen), np.int32)
     diag_c = np.zeros((n_diag, maxlen), np.int32)
     mask = np.zeros((n_diag, maxlen), bool)
-    for d in range(n_diag):
-        k = 0
-        r0 = min(d, rows - 1)
-        for r in range(r0, -1, -1):
-            c = d - r
-            if c < 0 or c >= cols:
-                continue
+    for d, blocks in enumerate(per_d):
+        for k, (r, c) in enumerate(blocks):
             diag_r[d, k] = r
             diag_c[d, k] = c
             mask[d, k] = True
-            k += 1
     return diag_r, diag_c, mask
 
 
@@ -78,15 +83,24 @@ def decide_modes(src: jnp.ndarray, block: int,
     hp, wp = src.shape
     rows, cols = hp // block, wp // block
     n = block
-    ps = jnp.full((hp + 1, wp + 1), _border(bit_depth), jnp.int32)
-    ps = ps.at[1:, 1:].set(src.astype(jnp.int32))
-    above = ps[0:hp:n, 1:].reshape(rows, cols, n).reshape(-1, n)
+    ps = jnp.full((hp + 1, wp + 1 + n), _border(bit_depth), jnp.int32)
+    ps = ps.at[1:, 1:wp + 1].set(src.astype(jnp.int32))
+    # extended above row (2n wide) feeds D45/D67; out-of-frame tail
+    # replicates the last in-frame sample (AV1-style edge extension)
+    a_rows = ps[0:hp:n, 1:]                           # (rows, wp + n)
+    above_ext = jnp.stack(
+        [a_rows[:, c * n:c * n + 2 * n] for c in range(cols)],
+        axis=1).reshape(-1, 2 * n)                    # (B, 2n)
+    off = jnp.arange(2 * n)
+    col0 = (jnp.tile(jnp.arange(cols), rows) * n)[:, None]
+    above_ext = jnp.where(col0 + off[None] < wp, above_ext,
+                          above_ext[:, n - 1:n])
     left = (ps[1:, 0:wp:n].reshape(rows, n, cols)
             .transpose(0, 2, 1).reshape(-1, n))
     corner = ps[0:hp:n, 0:wp:n].reshape(-1)
     blocks = (src.astype(jnp.int32).reshape(rows, n, cols, n)
               .transpose(0, 2, 1, 3).reshape(-1, n, n))
-    preds = intra.predict_all_modes(above, left, corner, n)  # (B, M, n, n)
+    preds = intra.predict_all_modes_v2(above_ext, left, corner, n)
     sse = jnp.sum((preds - blocks[:, None]) ** 2, axis=(2, 3))
     return jnp.argmin(sse, axis=1).astype(jnp.int32)  # (B,)
 
@@ -113,12 +127,18 @@ def _commit(src, levels_in, modes, dc_step, ac_step, block, *, decode,
     modes = modes.astype(jnp.int32)
     rn = jnp.arange(n)
 
-    recon = jnp.full((hp + 1, wp + 1), _border(bit_depth), jnp.int32)
+    # +n columns on the right so the above-right gather for the last
+    # block column stays in bounds (filled with the tail replication)
+    recon = jnp.full((hp + 1, wp + 1 + n), _border(bit_depth), jnp.int32)
     levels_buf = (levels_in.astype(jnp.int32) if decode
                   else jnp.zeros((rows * cols, n * n), jnp.int32))
+    ext_off = jnp.arange(2 * n)
 
     def gather_one(recon, ri, ci):
-        above = jax.lax.dynamic_slice(recon, (ri * n, 1 + ci * n), (1, n))[0]
+        above = jax.lax.dynamic_slice(recon, (ri * n, 1 + ci * n),
+                                      (1, 2 * n))[0]
+        # out-of-frame above-right samples replicate the last valid one
+        above = jnp.where(ci * n + ext_off < wp, above, above[n - 1])
         leftv = jax.lax.dynamic_slice(recon, (1 + ri * n, ci * n), (n, 1))[:, 0]
         corner = jax.lax.dynamic_slice(recon, (ri * n, ci * n), (1, 1))[0, 0]
         return above, leftv, corner
@@ -132,7 +152,7 @@ def _commit(src, levels_in, modes, dc_step, ac_step, block, *, decode,
         above, leftv, corner = jax.vmap(
             lambda ri, ci: gather_one(recon, ri, ci))(r, c)
         mode = modes[bi]
-        pred = intra.predict_mode(above, leftv, corner, mode, n)  # (L,n,n)
+        pred = intra.predict_mode_v2(above, leftv, corner, mode, n)
 
         if decode:
             lv = levels_buf[bi].reshape(-1, n, n)
@@ -159,7 +179,7 @@ def _commit(src, levels_in, modes, dc_step, ac_step, block, *, decode,
 
     recon, levels_buf = jax.lax.fori_loop(0, n_diag, body,
                                           (recon, levels_buf))
-    return levels_buf, recon[1:, 1:]
+    return levels_buf, recon[1:, 1:wp + 1]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "bit_depth"))

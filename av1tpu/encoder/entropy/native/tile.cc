@@ -17,7 +17,7 @@
 
 namespace {
 
-constexpr int kNumIntraModes = 7;
+constexpr int kNumIntraModes = 11;  // +D45/D67/D135/D157 (v2 alphabet)
 constexpr int kEobClasses = 11;    // eob up to 2^10 = 1024 (32x32 blocks)
 constexpr unsigned kHalf = 16384;  // p=0.5 in q15
 
