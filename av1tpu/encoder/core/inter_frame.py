@@ -128,21 +128,13 @@ def decode_inter_frame(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
             _from_blocks(rec_v, hc, wc, cn))
 
 
-@functools.partial(jax.jit, static_argnames=("block", "bit_depth",
-                                              "tile_rows", "use_subpel",
-                                              "use_aux_filters"))
-def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
-                          dc_step, ac_step, qindex, block: int,
-                          bit_depth: int = 8, tile_rows: int = 1,
-                          use_subpel: bool = True,
-                          use_aux_filters: bool = True):
-    """Transfer-optimized P-frame encode: one jit, narrow I/O.
-
-    Inputs are uint8 planes (source + previous recon, both unpadded);
-    reference padding happens on device.  Returns (mvs int16 (B,2),
-    levels int16 ×3, skips bool (B,), recon uint8 ×3) — recons are meant
-    to stay device-resident as the next call's reference.
-    """
+def _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
+                   dc_step, ac_step, qindex, block: int,
+                   bit_depth: int = 8, tile_rows: int = 1,
+                   use_subpel: bool = True,
+                   use_aux_filters: bool = True):
+    """Unjitted P-frame encode body — called by both the single-frame
+    jit wrapper and the lax.scan chunk encoder."""
     n = block
     cn = n // 2
     maxval = (1 << bit_depth) - 1
@@ -229,6 +221,57 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
             out_y.astype(out_dtype), out_u.astype(out_dtype),
             out_v.astype(out_dtype), lr_mode, cdef_on,
             sp_mask, sp_vals, sp_count)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "bit_depth",
+                                              "tile_rows", "use_subpel",
+                                              "use_aux_filters"))
+def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
+                          dc_step, ac_step, qindex, block: int,
+                          bit_depth: int = 8, tile_rows: int = 1,
+                          use_subpel: bool = True,
+                          use_aux_filters: bool = True):
+    """Transfer-optimized P-frame encode: one jit, narrow I/O.
+
+    Inputs are uint8 planes (source + previous recon, both unpadded);
+    reference padding happens on device.  Returns (mvs int16 (B,2),
+    levels int16 ×3, skips bool (B,), recon uint8 ×3) — recons are meant
+    to stay device-resident as the next call's reference.
+    """
+    return _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
+                          dc_step, ac_step, qindex, block, bit_depth,
+                          tile_rows, use_subpel, use_aux_filters)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "bit_depth",
+                                              "tile_rows", "use_subpel",
+                                              "use_aux_filters"))
+def encode_inter_chunk_v2(ys_u8, us_u8, vs_u8, ref_y_u8, ref_u_u8,
+                          ref_v_u8, dc_step, ac_step, qindexes,
+                          block: int, bit_depth: int = 8,
+                          tile_rows: int = 1, use_subpel: bool = True,
+                          use_aux_filters: bool = True):
+    """Encode K consecutive P frames in ONE dispatch via ``lax.scan``.
+
+    The recon of frame k is the reference of frame k+1 — the dependency
+    chain lives entirely on device, so a K-frame chunk costs one host
+    round-trip instead of K (the tunnel RTT, not TPU compute, dominates
+    per-dispatch overhead; see engine_tpu).  ys/us/vs are (K, H, W)
+    stacks, qindexes is (K,).  Returns the same tuple as
+    encode_inter_frame_v2 with every leaf stacked along a leading K axis.
+    """
+    def step(carry, xs):
+        ry, ru, rv = carry
+        y, u, v, qi = xs
+        out = _inter_core_v2(y, u, v, ry, ru, rv, dc_step, ac_step, qi,
+                             block, bit_depth, tile_rows, use_subpel,
+                             use_aux_filters)
+        return (out[5], out[6], out[7]), out
+
+    _final, outs = jax.lax.scan(
+        step, (ref_y_u8, ref_u_u8, ref_v_u8),
+        (ys_u8, us_u8, vs_u8, qindexes))
+    return outs
 
 
 @functools.partial(jax.jit, static_argnames=("block", "hp", "wp",

@@ -296,151 +296,6 @@ class TpuEngine:
     # pipelined encode: device compute of frame N+1 overlaps host entropy
     # coding of frame N (jax dispatch is async; we defer materialization)
 
-    def _block_for(self, frame: Frame) -> int:
-        """Luma block/transform size for this stream.
-
-        tpu.block_log2: 4 → 16, 5 → 32, 0 (auto) → 32 when the frame is
-        720p-class or larger (big transforms code smooth HD content far
-        cheaper) and both plane dims divide evenly, else 16.
-        """
-        want = int(getattr(self.cfg, "block_log2", 0))
-        if want in (4, 5):
-            n = 1 << want
-        else:
-            n = 32 if min(frame.height, frame.width) >= 640 else 16
-        return n
-
-    def _tile_rows_for(self, hp: int, block: int) -> int:
-        """Largest legal power-of-two tile-row count ≤ the configured one
-        (stripes must be whole block rows; cfg: tpu.tile_rows_log2)."""
-        want = 1 << max(0, int(getattr(self.cfg, "tile_rows_log2", 0)))
-        rows = hp // block
-        t = want
-        while t > 1 and (rows % t or (hp // t) % 16 or rows // t < 1):
-            t //= 2
-        return max(1, t)
-
-    def _submit(self, frame: Frame, qindex, force_key: bool = False):
-        """Dispatch one frame to the device; returns an un-materialized
-        pending record.  Updates GOP state immediately (recons are device
-        arrays produced by the async computation)."""
-        import jax.numpy as jnp
-        keyint = max(1, self.cfg.keyint)
-        cut = self._scene_cut(frame)  # always runs: updates detector state
-        is_key = (force_key or self._ref_dev is None
-                  or (self._frame_idx % keyint == 0) or cut)
-        self._frame_idx += 1
-        h, w = frame.height, frame.width
-        bd = frame.bit_depth
-        block = self._block_for(frame)
-        yp, up, vp = self._pad_planes(frame, block)
-        tiles = self._tile_rows_for(yp.shape[0], block)
-        dc, ac = quant.dc_q(qindex, bd), quant.ac_q(qindex, bd)
-        hp, wp = yp.shape
-        packed = np.concatenate([yp.ravel(), up.ravel(), vp.ravel()])
-        yj, uj, vj = _unpack_planes(jnp.asarray(packed), hp, wp)
-        if is_key:
-            out = intra_frame.encode_key_frame_v2(
-                yj, uj, vj, dc, ac, qindex, block, bd, tiles)
-            self._ref_dev = out[5:8]
-        else:
-            out = inter_frame.encode_inter_frame_v2(
-                yj, uj, vj, *self._ref_dev, dc, ac, qindex, block, bd,
-                tiles, self._use_subpel, self._use_aux_filters)
-            self._ref_dev = out[5:8]
-        return (is_key, qindex, w, h, out, tiles, block)
-
-    @staticmethod
-    def _finalize(pending) -> tuple[bytes, bool]:
-        """Materialize a pending frame's outputs and entropy-code them."""
-        is_key, qindex, w, h, out, tiles, block = pending
-        fh = obu_mod.FrameHeader(
-            frame_type=obu_mod.KEY_FRAME if is_key else obu_mod.INTER_FRAME,
-            base_q_idx=qindex, width=w, height=h,
-            luma_block_log2=block.bit_length() - 1,
-            tile_rows_log2=tiles.bit_length() - 1)
-        # one batched D2H for every small output (each separate
-        # materialization costs a full ~25 ms tunnel round trip)
-        import jax as _jax
-        (first, skips, lr_mode_a, cdef_on_a, sp_mask, sp_vals,
-         sp_count) = _jax.device_get((out[0], out[4], out[8], out[9],
-                                      out[10], out[11], out[12]))
-        fh.lr_mode = int(lr_mode_a)
-        fh.cdef_on = bool(cdef_on_a)
-        from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
-        shapes = [tuple(out[1].shape), tuple(out[2].shape),
-                  tuple(out[3].shape)]
-        lvs = sparse_unpack_levels(sp_mask, sp_vals, sp_count, shapes)
-        if lvs is None:
-            lv_y, lv_u, lv_v = (np.asarray(out[1]), np.asarray(out[2]),
-                                np.asarray(out[3]))
-        else:
-            lv_y, lv_u, lv_v = lvs
-        B = len(skips)
-        bpt = B // tiles  # stripes are contiguous block-row ranges
-        payloads = []
-        for t in range(tiles):
-            sl = slice(t * bpt, (t + 1) * bpt)
-            if is_key:
-                payloads.append(tile_codec.encode_tile_intra(
-                    skips[sl].astype(np.uint8), first[sl], first[sl],
-                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
-            else:
-                payloads.append(tile_codec.encode_tile_inter(
-                    skips[sl].astype(np.uint8),
-                    first[sl].astype(np.int32),
-                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
-        return obu_mod.write_frame_obu(fh, payloads), is_key
-
-    def encode_stream(self, frames, qindex):
-        """Pipelined GOP encode over an iterable of Frames.
-
-        ``qindex`` is an int (constant quality) or a
-        ratectrl.GateRateController (adaptive, quality-floored).  Yields
-        (payload, is_keyframe) in order; while frame N's symbols are
-        entropy-coded on the host, frame N+1 is already running on the
-        TPU.
-        """
-        from collections import deque
-        rate = qindex if hasattr(qindex, "qindex_for") else None
-        pending = deque()
-        depth = 2  # two frames in flight hide host bursts + tunnel RTT
-        idx = 0
-        for frame in frames:
-            q = rate.qindex_for(idx) if rate else qindex
-            pending.append(self._submit(frame, q))
-            idx += 1
-            if len(pending) > depth:
-                payload, is_key = self._finalize(pending.popleft())
-                if rate:
-                    rate.record(len(payload) * 8)
-                yield payload, is_key
-        while pending:
-            payload, is_key = self._finalize(pending.popleft())
-            if rate:
-                rate.record(len(payload) * 8)
-            yield payload, is_key
-
-    @staticmethod
-    def _pad_planes(frame: Frame, block: int):
-        """Pad Y to block multiples and chroma to half that (uint8/uint16)."""
-        dtype = np.uint8 if frame.bit_depth == 8 else np.uint16
-        yp = intra_frame.pad_plane(frame.y.astype(dtype), block)
-        hp, wp = yp.shape
-        up = np.zeros((hp // 2, wp // 2), dtype)
-        vp = np.zeros((hp // 2, wp // 2), dtype)
-        uu = frame.u.astype(dtype)
-        vv = frame.v.astype(dtype)
-        up[:uu.shape[0], :uu.shape[1]] = uu
-        vp[:vv.shape[0], :vv.shape[1]] = vv
-        if uu.shape[0] < up.shape[0]:
-            up[uu.shape[0]:, :] = up[uu.shape[0] - 1:uu.shape[0], :]
-            vp[vv.shape[0]:, :] = vp[vv.shape[0] - 1:vv.shape[0], :]
-        if uu.shape[1] < up.shape[1]:
-            up[:, uu.shape[1]:] = up[:, uu.shape[1] - 1:uu.shape[1]]
-            vp[:, vv.shape[1]:] = vp[:, vv.shape[1] - 1:vv.shape[1]]
-        return yp, up, vp
-
     def _encode_interframe(self, frame: Frame, qindex: int) -> bytes:
         import jax.numpy as jnp
         h, w = frame.height, frame.width
