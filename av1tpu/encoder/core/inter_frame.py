@@ -247,7 +247,7 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                                               "tile_rows", "use_subpel",
                                               "use_aux_filters"))
 def encode_inter_chunk_v2(ys_u8, us_u8, vs_u8, ref_y_u8, ref_u_u8,
-                          ref_v_u8, dc_step, ac_step, qindexes,
+                          ref_v_u8, dc_steps, ac_steps, qindexes,
                           block: int, bit_depth: int = 8,
                           tile_rows: int = 1, use_subpel: bool = True,
                           use_aux_filters: bool = True):
@@ -257,20 +257,21 @@ def encode_inter_chunk_v2(ys_u8, us_u8, vs_u8, ref_y_u8, ref_u_u8,
     chain lives entirely on device, so a K-frame chunk costs one host
     round-trip instead of K (the tunnel RTT, not TPU compute, dominates
     per-dispatch overhead; see engine_tpu).  ys/us/vs are (K, H, W)
-    stacks, qindexes is (K,).  Returns the same tuple as
+    stacks; qindexes/dc_steps/ac_steps are (K,) (the rate controller may
+    retune between frames).  Returns the same tuple as
     encode_inter_frame_v2 with every leaf stacked along a leading K axis.
     """
     def step(carry, xs):
         ry, ru, rv = carry
-        y, u, v, qi = xs
-        out = _inter_core_v2(y, u, v, ry, ru, rv, dc_step, ac_step, qi,
+        y, u, v, qi, dc, ac = xs
+        out = _inter_core_v2(y, u, v, ry, ru, rv, dc, ac, qi,
                              block, bit_depth, tile_rows, use_subpel,
                              use_aux_filters)
         return (out[5], out[6], out[7]), out
 
     _final, outs = jax.lax.scan(
         step, (ref_y_u8, ref_u_u8, ref_v_u8),
-        (ys_u8, us_u8, vs_u8, qindexes))
+        (ys_u8, us_u8, vs_u8, qindexes, dc_steps, ac_steps))
     return outs
 
 

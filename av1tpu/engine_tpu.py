@@ -53,6 +53,24 @@ def _unpack_planes(packed, hp: int, wp: int):
 
     return _go(packed, hp, wp)
 
+
+def _unpack_planes_chunk(packed, k: int, hp: int, wp: int):
+    """Chunk variant: one H2D upload of K frames → (K,hp,wp) + 2×(K,hc,wc)
+    device stacks.  Layout: all Y frames, then all U, then all V."""
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("k", "hp", "wp"))
+    def _go(p, k: int, hp: int, wp: int):
+        ny = k * hp * wp
+        nc = k * (hp // 2) * (wp // 2)
+        return (p[:ny].reshape(k, hp, wp),
+                p[ny:ny + nc].reshape(k, hp // 2, wp // 2),
+                p[ny + nc:ny + 2 * nc].reshape(k, hp // 2, wp // 2))
+
+    return _go(packed, k, hp, wp)
+
 BLOCK = 16  # default luma block/tx size (auto mode upgrades to 32 at HD+)
 
 _cache_enabled = False
@@ -171,16 +189,25 @@ class TpuEngine:
             t //= 2
         return max(1, t)
 
-    def _submit(self, frame: Frame, qindex, force_key: bool = False):
-        """Dispatch one frame to the device; returns an un-materialized
-        pending record.  Updates GOP state immediately (recons are device
-        arrays produced by the async computation)."""
-        import jax.numpy as jnp
+    def _decide_key(self, frame: Frame, force_key: bool = False) -> bool:
+        """Host-side keyframe decision (keyint + scene cut); advances
+        per-stream GOP state.  Split from _submit so encode_stream can
+        plan multi-frame chunks before dispatching anything."""
         keyint = max(1, self.cfg.keyint)
         cut = self._scene_cut(frame)  # always runs: updates detector state
         is_key = (force_key or self._ref_dev is None
                   or (self._frame_idx % keyint == 0) or cut)
         self._frame_idx += 1
+        return is_key
+
+    def _submit(self, frame: Frame, qindex, force_key: bool = False,
+                is_key: Optional[bool] = None):
+        """Dispatch one frame to the device; returns an un-materialized
+        pending record.  Updates GOP state immediately (recons are device
+        arrays produced by the async computation)."""
+        import jax.numpy as jnp
+        if is_key is None:
+            is_key = self._decide_key(frame, force_key)
         h, w = frame.height, frame.width
         bd = frame.bit_depth
         block = self._block_for(frame)
@@ -243,34 +270,135 @@ class TpuEngine:
                     lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
         return obu_mod.write_frame_obu(fh, payloads), is_key
 
+    def _submit_chunk(self, frames, qindexes):
+        """Dispatch K consecutive P frames as ONE lax.scan chunk: one
+        packed H2D upload, one device dispatch, one D2H batch at
+        finalize.  Per-dispatch tunnel RTT amortizes over K frames."""
+        import jax.numpy as jnp
+        f0 = frames[0]
+        w, h, bd = f0.width, f0.height, f0.bit_depth
+        block = self._block_for(f0)
+        planes = [self._pad_planes(fr, block) for fr in frames]
+        hp, wp = planes[0][0].shape
+        tiles = self._tile_rows_for(hp, block)
+        k = len(frames)
+        packed = np.concatenate(
+            [np.stack([p[0] for p in planes]).ravel(),
+             np.stack([p[1] for p in planes]).ravel(),
+             np.stack([p[2] for p in planes]).ravel()])
+        ys, us, vs = _unpack_planes_chunk(jnp.asarray(packed), k, hp, wp)
+        dcs = jnp.asarray([quant.dc_q(q, bd) for q in qindexes],
+                          dtype=jnp.int32)
+        acs = jnp.asarray([quant.ac_q(q, bd) for q in qindexes],
+                          dtype=jnp.int32)
+        out = inter_frame.encode_inter_chunk_v2(
+            ys, us, vs, *self._ref_dev, dcs, acs,
+            jnp.asarray(list(qindexes), dtype=jnp.int32), block, bd,
+            tiles, self._use_subpel, self._use_aux_filters)
+        self._ref_dev = (out[5][-1], out[6][-1], out[7][-1])
+        return (list(qindexes), w, h, out, tiles, block, k)
+
+    @staticmethod
+    def _finalize_chunk(pending) -> list[tuple[bytes, bool]]:
+        """Materialize a chunk's outputs (one D2H batch) and entropy-code
+        each frame; returns the K (payload, is_key=False) results."""
+        qindexes, w, h, out, tiles, block, k = pending
+        import jax as _jax
+        (mvs, skips, lr_modes, cdef_ons, sp_masks, sp_valss,
+         sp_counts) = _jax.device_get((out[0], out[4], out[8], out[9],
+                                       out[10], out[11], out[12]))
+        from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
+        shapes = [tuple(out[1].shape[1:]), tuple(out[2].shape[1:]),
+                  tuple(out[3].shape[1:])]
+        results = []
+        for i in range(k):
+            fh = obu_mod.FrameHeader(
+                frame_type=obu_mod.INTER_FRAME, base_q_idx=qindexes[i],
+                width=w, height=h,
+                luma_block_log2=block.bit_length() - 1,
+                tile_rows_log2=tiles.bit_length() - 1)
+            fh.lr_mode = int(lr_modes[i])
+            fh.cdef_on = bool(cdef_ons[i])
+            lvs = sparse_unpack_levels(sp_masks[i], sp_valss[i],
+                                       sp_counts[i], shapes)
+            if lvs is None:  # rare dense frame: fetch its full levels
+                lv_y, lv_u, lv_v = map(np.asarray, _jax.device_get(
+                    (out[1][i], out[2][i], out[3][i])))
+            else:
+                lv_y, lv_u, lv_v = lvs
+            sk, first = skips[i], mvs[i]
+            bpt = len(sk) // tiles
+            payloads = []
+            for t in range(tiles):
+                sl = slice(t * bpt, (t + 1) * bpt)
+                payloads.append(tile_codec.encode_tile_inter(
+                    sk[sl].astype(np.uint8), first[sl].astype(np.int32),
+                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
+            results.append((obu_mod.write_frame_obu(fh, payloads), False))
+        return results
+
     def encode_stream(self, frames, qindex):
         """Pipelined GOP encode over an iterable of Frames.
 
         ``qindex`` is an int (constant quality) or a
         ratectrl.GateRateController (adaptive, quality-floored).  Yields
-        (payload, is_keyframe) in order; while frame N's symbols are
-        entropy-coded on the host, frame N+1 is already running on the
-        TPU.
-        """
+        (payload, is_keyframe) in order; while one dispatch's symbols are
+        entropy-coded on the host, the next is already running on the
+        TPU.  Runs of cfg.chunk consecutive P frames are batched into a
+        single lax.scan dispatch (keyframes and sub-chunk remainders go
+        through the single-frame path so only two program shapes
+        compile)."""
         from collections import deque
         rate = qindex if hasattr(qindex, "qindex_for") else None
-        pending = deque()
-        depth = 2  # two frames in flight hide host bursts + tunnel RTT
+        K = max(1, int(getattr(self.cfg, "chunk", 1)))
+        pending = deque()  # entries: ("single", rec) | ("chunk", rec)
+        depth = 2  # two dispatches in flight hide host bursts + RTT
         idx = 0
+        buf = []  # buffered (frame, q) awaiting a full chunk
+
+        def flush_buf():
+            if not buf:
+                return
+            if len(buf) == K and K > 1:
+                pending.append(("chunk", self._submit_chunk(
+                    [f for f, _ in buf], [q for _, q in buf])))
+            else:
+                for f, q in buf:
+                    pending.append(("single",
+                                    self._submit(f, q, is_key=False)))
+            buf.clear()
+
+        def finalize_one():
+            kind, rec = pending.popleft()
+            if kind == "single":
+                return [self._finalize(rec)]
+            return self._finalize_chunk(rec)
+
         for frame in frames:
             q = rate.qindex_for(idx) if rate else qindex
-            pending.append(self._submit(frame, q))
             idx += 1
-            if len(pending) > depth:
-                payload, is_key = self._finalize(pending.popleft())
+            if self._decide_key(frame):
+                flush_buf()  # preserve order: buffered P frames first
+                pending.append(("single",
+                                self._submit(frame, q, is_key=True)))
+            elif K > 1:
+                buf.append((frame, q))
+                if len(buf) == K:
+                    flush_buf()
+            else:
+                pending.append(("single",
+                                self._submit(frame, q, is_key=False)))
+            while len(pending) > depth:
+                for payload, is_key in finalize_one():
+                    if rate:
+                        rate.record(len(payload) * 8)
+                    yield payload, is_key
+        flush_buf()
+        while pending:
+            for payload, is_key in finalize_one():
                 if rate:
                     rate.record(len(payload) * 8)
                 yield payload, is_key
-        while pending:
-            payload, is_key = self._finalize(pending.popleft())
-            if rate:
-                rate.record(len(payload) * 8)
-            yield payload, is_key
 
     @staticmethod
     def _pad_planes(frame: Frame, block: int):

@@ -28,7 +28,7 @@ def main() -> int:
     from av1tpu.utils.testsrc import testsrc2
 
     width, height = 1920, 1080
-    warmup, timed = 3, 24
+    warmup, timed = 5, 24  # warmup: key compile + one P-frame chunk compile
 
     frames = [testsrc2(width, height, i) for i in range(warmup + timed)]
 
@@ -36,9 +36,11 @@ def main() -> int:
     engine.cfg.keyint = 120
     engine.start_stream()
 
-    # warmup: first key + first inter compile
-    for i in range(warmup):
-        engine.encode_next(frames[i], 96)
+    # warmup covers both program shapes the timed region uses: the
+    # keyframe jit and the chunked (lax.scan over cfg.chunk P frames)
+    # jit.  timed is a multiple of cfg.chunk so no third shape compiles.
+    for _ in engine.encode_stream(frames[:warmup], 96):
+        pass
 
     t0 = time.monotonic()
     total_bytes = 0

@@ -261,3 +261,40 @@ def test_auto_block_selection():
                 u=np.zeros((360, 640), np.uint8),
                 v=np.zeros((360, 640), np.uint8))
     assert eng._block_for(big) == 32
+
+
+def test_chunked_stream_bit_identical_and_decodable():
+    """cfg.chunk batches P frames into one lax.scan dispatch; the
+    bitstream must be byte-identical to the unchunked path, including
+    around mid-stream keyframes (scene cut splits a chunk)."""
+    frames = [make_testsrc(192, 128, i) for i in range(10)]
+    # inject a hard scene cut at frame 6 (forces a key mid-buffer)
+    cut = make_testsrc(192, 128, 6)
+    cut.y[:] = 255 - cut.y
+    frames[6] = cut
+
+    def run(chunk):
+        eng = TpuEngine()
+        eng.cfg.keyint = 120
+        eng.cfg.chunk = chunk
+        eng.start_stream()
+        return [(p, k) for p, k in eng.encode_stream(frames, 96)]
+
+    a, b = run(1), run(4)
+    assert len(a) == len(b) == 10
+    assert [k for _, k in b] == [k for _, k in a]
+    assert sum(k for _, k in b) >= 2  # initial key + scene-cut key
+    assert all(x == y for (x, _), (y, _) in zip(a, b))
+
+    # chunked stream decodes bit-exactly against the encoder recon
+    eng = TpuEngine()
+    eng.cfg.keyint = 120
+    eng.cfg.chunk = 4
+    eng.start_stream()
+    state = dec_mod.DecoderState()
+    state.seq = eng.sequence_header(192, 128)
+    payloads = list(eng.encode_stream(frames, 96))
+    for payload, _k in payloads:
+        out = dec_mod.decode_frame_payload(payload, state)
+    enc_y = np.asarray(eng._ref[0])[:128, :192]
+    assert np.array_equal(enc_y, out.y.astype(np.int32))
