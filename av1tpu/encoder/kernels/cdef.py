@@ -73,16 +73,55 @@ def _constrain(diff: jnp.ndarray, s, damping: int) -> jnp.ndarray:
     return jnp.sign(diff) * delta
 
 
+@functools.lru_cache(maxsize=None)
+def _offset_tables():
+    """Weight-map formulation: the 24 unique tap offsets used by any
+    direction, plus an (8, 24) per-direction weight table.  One
+    constrain pass per unique offset replaces the old
+    8-filtered-planes-then-select structure (64 constrains + an
+    (8,H,W) gather) — ~3x less HBM traffic for identical output."""
+    offs: list[tuple[int, int]] = []
+    index: dict[tuple[int, int], int] = {}
+
+    def oi(o):
+        if o not in index:
+            index[o] = len(offs)
+            offs.append(o)
+        return index[o]
+
+    entries = []
+    for d, (p1, p2) in enumerate(DIRECTIONS):
+        sec_a = DIRECTIONS[(d + 2) % 8][0]
+        sec_b = DIRECTIONS[(d - 2) % 8][0]
+        for (dy, dx), wgt in ((p1, 4), (p2, 2)):
+            for sgn in (1, -1):
+                entries.append((d, oi((sgn * dy, sgn * dx)), wgt))
+        for (dy, dx) in (sec_a, sec_b):
+            for sgn in (1, -1):
+                entries.append((d, oi((sgn * dy, sgn * dx)), 1))
+    wt = np.zeros((8, len(offs)), np.int32)
+    for d, i, wgt in entries:
+        wt[d, i] += wgt
+    return tuple(offs), wt
+
+
 def _block_directions(plane: jnp.ndarray, blk: int = 8) -> jnp.ndarray:
-    """Per-8×8-block dominant direction: argmin of along-direction
-    first-difference energy (low energy ⇒ edges aligned with d)."""
+    """Per-8×8-block dominant direction: argmin over directions of the
+    summed first-difference energy along BOTH direction steps (distance
+    1 and 2).  The two-step cost distinguishes the ±22° directions,
+    which share their distance-1 offset with horizontal/vertical.
+    Shared offsets are computed once."""
     h, w = plane.shape
-    costs = []
-    for d, ((dy, dx), _) in enumerate(DIRECTIONS):
-        diff = plane - _shift(plane, dy, dx)
-        e = (diff * diff).reshape(h // blk, blk, w // blk, blk).sum(
-            axis=(1, 3))
-        costs.append(e)
+    energies: dict[tuple[int, int], jnp.ndarray] = {}
+
+    def energy(dy, dx):
+        if (dy, dx) not in energies:
+            diff = plane - _shift(plane, dy, dx)
+            energies[(dy, dx)] = (diff * diff).reshape(
+                h // blk, blk, w // blk, blk).sum(axis=(1, 3))
+        return energies[(dy, dx)]
+
+    costs = [energy(*p1) + energy(*p2) for (p1, p2) in DIRECTIONS]
     cost = jnp.stack(costs, axis=0)            # (8, H/8, W/8)
     return jnp.argmin(cost, axis=0)            # (H/8, W/8)
 
@@ -101,27 +140,17 @@ def cdef_plane(rec: jnp.ndarray, qindex, bit_depth: int = 8,
     maxval = (1 << bit_depth) - 1
 
     dirs = _block_directions(rec, 8)           # (H/8, W/8)
-    dirs_up = jnp.repeat(jnp.repeat(dirs, 8, axis=0), 8, axis=1)
-
-    out_per_dir = []
-    for d, (p1, p2) in enumerate(DIRECTIONS):
-        sec_a = DIRECTIONS[(d + 2) % 8][0]
-        sec_b = DIRECTIONS[(d - 2) % 8][0]
-        acc = jnp.zeros_like(rec)
-        for (dy, dx), wgt in ((p1, 4), (p2, 2)):
-            for sgn in (1, -1):
-                tap = _shift(rec, sgn * dy, sgn * dx)
-                acc = acc + wgt * _constrain(tap - rec, s, damping)
-        for (dy, dx) in (sec_a, sec_b):
-            for sgn in (1, -1):
-                tap = _shift(rec, sgn * dy, sgn * dx)
-                acc = acc + 1 * _constrain(tap - rec, s, damping)
-        filtered = rec + ((acc + 8) >> 4)
-        out_per_dir.append(filtered)
-
-    stacked = jnp.stack(out_per_dir, axis=0)   # (8, H, W)
-    sel = jnp.take_along_axis(stacked, dirs_up[None], axis=0)[0]
-    return jnp.clip(sel, 0, maxval)
+    offs, wt = _offset_tables()
+    wt_j = jnp.asarray(wt)
+    padded = jnp.pad(rec, ((2, 2), (2, 2)), mode="edge")
+    acc = jnp.zeros_like(rec)
+    for i, (dy, dx) in enumerate(offs):
+        tap = jax.lax.dynamic_slice(padded, (2 + dy, 2 + dx), (h, w))
+        c = _constrain(tap - rec, s, damping)
+        w_blk = jnp.take(wt_j[:, i], dirs)     # (H/8, W/8) weights
+        w_px = jnp.repeat(jnp.repeat(w_blk, 8, axis=0), 8, axis=1)
+        acc = acc + w_px * c
+    return jnp.clip(rec + ((acc + 8) >> 4), 0, maxval)
 
 
 def cdef_gate(src_y: jnp.ndarray, rec_y: jnp.ndarray,

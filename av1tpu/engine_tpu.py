@@ -71,6 +71,21 @@ def _unpack_planes_chunk(packed, k: int, hp: int, wp: int):
 
     return _go(packed, k, hp, wp)
 
+_pool = None
+
+
+def _entropy_pool():
+    """Shared worker pool for per-frame host entropy coding (the C++
+    range coder releases the GIL; frames carry no shared entropy
+    state)."""
+    global _pool
+    if _pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _pool = ThreadPoolExecutor(max_workers=4,
+                                   thread_name_prefix="av1tpu-ec")
+    return _pool
+
+
 BLOCK = 16  # default luma block/tx size (auto mode upgrades to 32 at HD+)
 
 _cache_enabled = False
@@ -301,7 +316,13 @@ class TpuEngine:
     @staticmethod
     def _finalize_chunk(pending) -> list[tuple[bytes, bool]]:
         """Materialize a chunk's outputs (one D2H batch) and entropy-code
-        each frame; returns the K (payload, is_key=False) results."""
+        each frame; returns the K (payload, is_key=False) results.
+
+        The K frames' symbol coding runs in a thread pool: each frame's
+        tile starts from fresh CDFs (no cross-frame entropy state), the
+        C++ coder keeps no mutable globals, and ctypes releases the GIL
+        for the duration of the call — so host entropy time per chunk
+        divides by the worker count."""
         qindexes, w, h, out, tiles, block, k = pending
         import jax as _jax
         (mvs, skips, lr_modes, cdef_ons, sp_masks, sp_valss,
@@ -310,8 +331,8 @@ class TpuEngine:
         from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
         shapes = [tuple(out[1].shape[1:]), tuple(out[2].shape[1:]),
                   tuple(out[3].shape[1:])]
-        results = []
-        for i in range(k):
+
+        def encode_one(i: int) -> tuple[bytes, bool]:
             fh = obu_mod.FrameHeader(
                 frame_type=obu_mod.INTER_FRAME, base_q_idx=qindexes[i],
                 width=w, height=h,
@@ -334,8 +355,9 @@ class TpuEngine:
                 payloads.append(tile_codec.encode_tile_inter(
                     sk[sl].astype(np.uint8), first[sl].astype(np.int32),
                     lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
-            results.append((obu_mod.write_frame_obu(fh, payloads), False))
-        return results
+            return obu_mod.write_frame_obu(fh, payloads), False
+
+        return list(_entropy_pool().map(encode_one, range(k)))
 
     def encode_stream(self, frames, qindex):
         """Pipelined GOP encode over an iterable of Frames.

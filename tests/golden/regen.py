@@ -12,12 +12,14 @@ explicit block size per fixture.
 import hashlib
 import json
 import os
+import sys
+
+GOLDEN = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(GOLDEN)))  # repo root
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-
-GOLDEN = os.path.dirname(os.path.abspath(__file__))
 
 CONFIGS = {
     # name: (width, height, bit_depth, frames, block_log2, qindex)
