@@ -54,7 +54,8 @@ def _deblock_jit(rec, n: int, qindex, bit_depth: int = 8,
 @dataclasses.dataclass
 class DecoderState:
     seq: obu_mod.SequenceHeader | None = None
-    ref: tuple | None = None   # (y, u, v) block-padded recon planes
+    ref: tuple | None = None     # (y, u, v) block-padded recon planes
+    golden: tuple | None = None  # last keyframe recon (two_ref frames)
 
 
 def _padded_dims(w: int, h: int, block: int) -> tuple[int, int]:
@@ -111,11 +112,28 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
     else:
         if state.ref is None:
             raise DecodeError("inter frame without reference")
-        parts = [tile_codec.decode_tile_inter(p, bpt, block, cblock)
+        if fh.two_ref and state.golden is None:
+            raise DecodeError("two_ref frame without a keyframe golden")
+        parts = [tile_codec.decode_tile_inter(p, bpt, block, cblock,
+                                              use_refs=fh.two_ref)
                  for p in tile_payloads]
-        skips, mvs, y_lv, u_lv, v_lv = (
-            np.concatenate([pt[i] for pt in parts]) for i in range(5))
+        skips, mvs, y_lv, u_lv, v_lv, refs = (
+            np.concatenate([pt[i] for pt in parts])
+            for i in (0, 1, 2, 3, 4, 5))
         ry, ru, rv = state.ref
+        if fh.two_ref:
+            gy, gu, gv = state.golden
+            extra = dict(
+                refs=jnp.asarray(refs),
+                ref2_y_pad=jnp.asarray(np.pad(gy, motion.PAD,
+                                              mode="edge")),
+                ref2_u_pad=jnp.asarray(np.pad(gu, motion.CHROMA_PAD,
+                                              mode="edge")),
+                ref2_v_pad=jnp.asarray(np.pad(gv, motion.CHROMA_PAD,
+                                              mode="edge")),
+                use_two_refs=True)
+        else:
+            extra = {}
         yj, uj, vj = inter_frame.decode_inter_frame_v2(
             jnp.asarray(mvs), jnp.asarray(y_lv), jnp.asarray(u_lv),
             jnp.asarray(v_lv),
@@ -123,10 +141,12 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
             jnp.asarray(np.pad(ru, motion.CHROMA_PAD, mode="edge")),
             jnp.asarray(np.pad(rv, motion.CHROMA_PAD, mode="edge")),
             dc, ac, fh.base_q_idx, jnp.asarray(fh.lr_mode, jnp.int32),
-            jnp.asarray(fh.cdef_on), hp, wp, block, bd, tiles)
+            jnp.asarray(fh.cdef_on), hp, wp, block, bd, tiles, **extra)
         y, u, v = np.asarray(yj), np.asarray(uj), np.asarray(vj)
 
     state.ref = (y, u, v)
+    if fh.frame_type == obu_mod.KEY_FRAME:
+        state.golden = (y, u, v)
     h, w = fh.height, fh.width
     ch, cw = -(-h // 2), -(-w // 2)
     dtype = np.uint8 if bd == 8 else np.uint16

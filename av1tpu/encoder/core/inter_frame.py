@@ -132,9 +132,18 @@ def _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                    dc_step, ac_step, qindex, block: int,
                    bit_depth: int = 8, tile_rows: int = 1,
                    use_subpel: bool = True,
-                   use_aux_filters: bool = True):
+                   use_aux_filters: bool = True,
+                   ref2_y_u8=None, ref2_u_u8=None, ref2_v_u8=None,
+                   use_two_refs: bool = False):
     """Unjitted P-frame encode body — called by both the single-frame
-    jit wrapper and the lax.scan chunk encoder."""
+    jit wrapper and the lax.scan chunk encoder.
+
+    With ``use_two_refs`` the block alternates between the previous
+    recon (ref 0, "last") and the GOP keyframe recon (ref 1, "golden"):
+    both references are searched densely and each block takes golden
+    only when its prediction SAD beats last by >1/16 (recency bias) —
+    the occlusion/reveal case where the background exists in the
+    keyframe but not the previous frame."""
     n = block
     cn = n // 2
     maxval = (1 << bit_depth) - 1
@@ -143,25 +152,47 @@ def _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
     v = v_u8.astype(jnp.int32)
     hp, wp = y.shape
     hc, wc = u.shape
-    ref_y_pad = jnp.pad(ref_y_u8.astype(jnp.int32),
-                        ((motion.PAD, motion.PAD),) * 2, mode="edge")
-    ref_u_pad = jnp.pad(ref_u_u8.astype(jnp.int32),
-                        ((motion.CHROMA_PAD, motion.CHROMA_PAD),) * 2,
-                        mode="edge")
-    ref_v_pad = jnp.pad(ref_v_u8.astype(jnp.int32),
-                        ((motion.CHROMA_PAD, motion.CHROMA_PAD),) * 2,
-                        mode="edge")
+
+    def pad_y(p):
+        return jnp.pad(p.astype(jnp.int32),
+                       ((motion.PAD, motion.PAD),) * 2, mode="edge")
+
+    def pad_c(p):
+        return jnp.pad(p.astype(jnp.int32),
+                       ((motion.CHROMA_PAD, motion.CHROMA_PAD),) * 2,
+                       mode="edge")
+
+    ref_y_pad = pad_y(ref_y_u8)
+    ref_u_pad = pad_c(ref_u_u8)
+    ref_v_pad = pad_c(ref_v_u8)
 
     pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
     y_blocks = _to_blocks(y, n)
-    mv_full = motion.search_v3(y, ref_y_pad, n)
-    if use_subpel:
-        mvs = motion.subpel_refine(y_blocks, ref_y_pad, pos_y, mv_full, n,
-                                   maxval=maxval)
+
+    def search_one(ref_pad):
+        mv_full = motion.search_v3(y, ref_pad, n)
+        if use_subpel:
+            mv = motion.subpel_refine(y_blocks, ref_pad, pos_y, mv_full,
+                                      n, maxval=maxval)
+        else:
+            mv = mv_full * 4
+        pred = mc.predict_subpel_luma(ref_pad, pos_y, mv, n, motion.PAD,
+                                      maxval)
+        return mv, pred
+
+    mvs, pred_y = search_one(ref_y_pad)
+    if use_two_refs:
+        ref2_y_pad = pad_y(ref2_y_u8)
+        ref2_u_pad = pad_c(ref2_u_u8)
+        ref2_v_pad = pad_c(ref2_v_u8)
+        mv2, pred2_y = search_one(ref2_y_pad)
+        sad1 = jnp.abs(y_blocks - pred_y).sum(axis=(1, 2))
+        sad2 = jnp.abs(y_blocks - pred2_y).sum(axis=(1, 2))
+        refs = sad2 + sad2 // 16 < sad1              # (B,) bool
+        mvs = jnp.where(refs[:, None], mv2, mvs)
+        pred_y = jnp.where(refs[:, None, None], pred2_y, pred_y)
     else:
-        mvs = mv_full * 4
-    pred_y = mc.predict_subpel_luma(ref_y_pad, pos_y, mvs, n, motion.PAD,
-                                    maxval)
+        refs = jnp.zeros((y_blocks.shape[0],), bool)
     lv_y, rec_y = _code_plane(y_blocks, pred_y, dc_step, ac_step, maxval)
 
     pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
@@ -169,6 +200,13 @@ def _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                                       motion.CHROMA_PAD, maxval)
     pred_v = mc.predict_subpel_chroma(ref_v_pad, pos_c, mvs, cn,
                                       motion.CHROMA_PAD, maxval)
+    if use_two_refs:
+        pred2_u = mc.predict_subpel_chroma(ref2_u_pad, pos_c, mvs, cn,
+                                           motion.CHROMA_PAD, maxval)
+        pred2_v = mc.predict_subpel_chroma(ref2_v_pad, pos_c, mvs, cn,
+                                           motion.CHROMA_PAD, maxval)
+        pred_u = jnp.where(refs[:, None, None], pred2_u, pred_u)
+        pred_v = jnp.where(refs[:, None, None], pred2_v, pred_v)
     lv_u, rec_u = _code_plane(_to_blocks(u, cn), pred_u, dc_step, ac_step,
                               maxval)
     lv_v, rec_v = _code_plane(_to_blocks(v, cn), pred_v, dc_step, ac_step,
@@ -220,37 +258,45 @@ def _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
             lv_y16, lv_u16, lv_v16, skips,
             out_y.astype(out_dtype), out_u.astype(out_dtype),
             out_v.astype(out_dtype), lr_mode, cdef_on,
-            sp_mask, sp_vals, sp_count)
+            sp_mask, sp_vals, sp_count, refs.astype(jnp.uint8))
 
 
 @functools.partial(jax.jit, static_argnames=("block", "bit_depth",
                                               "tile_rows", "use_subpel",
-                                              "use_aux_filters"))
+                                              "use_aux_filters",
+                                              "use_two_refs"))
 def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                           dc_step, ac_step, qindex, block: int,
                           bit_depth: int = 8, tile_rows: int = 1,
                           use_subpel: bool = True,
-                          use_aux_filters: bool = True):
+                          use_aux_filters: bool = True,
+                          ref2_y_u8=None, ref2_u_u8=None, ref2_v_u8=None,
+                          use_two_refs: bool = False):
     """Transfer-optimized P-frame encode: one jit, narrow I/O.
 
     Inputs are uint8 planes (source + previous recon, both unpadded);
     reference padding happens on device.  Returns (mvs int16 (B,2),
-    levels int16 ×3, skips bool (B,), recon uint8 ×3) — recons are meant
-    to stay device-resident as the next call's reference.
+    levels int16 ×3, skips bool (B,), recon uint8 ×3, …, refs uint8) —
+    recons are meant to stay device-resident as the next call's
+    reference.
     """
     return _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                           dc_step, ac_step, qindex, block, bit_depth,
-                          tile_rows, use_subpel, use_aux_filters)
+                          tile_rows, use_subpel, use_aux_filters,
+                          ref2_y_u8, ref2_u_u8, ref2_v_u8, use_two_refs)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "bit_depth",
                                               "tile_rows", "use_subpel",
-                                              "use_aux_filters"))
+                                              "use_aux_filters",
+                                              "use_two_refs"))
 def encode_inter_chunk_v2(ys_u8, us_u8, vs_u8, ref_y_u8, ref_u_u8,
                           ref_v_u8, dc_steps, ac_steps, qindexes,
                           block: int, bit_depth: int = 8,
                           tile_rows: int = 1, use_subpel: bool = True,
-                          use_aux_filters: bool = True):
+                          use_aux_filters: bool = True,
+                          ref2_y_u8=None, ref2_u_u8=None, ref2_v_u8=None,
+                          use_two_refs: bool = False):
     """Encode K consecutive P frames in ONE dispatch via ``lax.scan``.
 
     The recon of frame k is the reference of frame k+1 — the dependency
@@ -264,9 +310,12 @@ def encode_inter_chunk_v2(ys_u8, us_u8, vs_u8, ref_y_u8, ref_u_u8,
     def step(carry, xs):
         ry, ru, rv = carry
         y, u, v, qi, dc, ac = xs
+        # the golden ref (GOP keyframe) is scan-invariant: chunks never
+        # span a keyframe, so it is closed over, not carried
         out = _inter_core_v2(y, u, v, ry, ru, rv, dc, ac, qi,
                              block, bit_depth, tile_rows, use_subpel,
-                             use_aux_filters)
+                             use_aux_filters, ref2_y_u8, ref2_u_u8,
+                             ref2_v_u8, use_two_refs)
         return (out[5], out[6], out[7]), out
 
     _final, outs = jax.lax.scan(
@@ -276,13 +325,18 @@ def encode_inter_chunk_v2(ys_u8, us_u8, vs_u8, ref_y_u8, ref_u_u8,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "hp", "wp",
-                                              "bit_depth", "tile_rows"))
+                                              "bit_depth", "tile_rows",
+                                              "use_two_refs"))
 def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
                           ref_v_pad, dc_step, ac_step, qindex, lr_mode,
                           cdef_on, hp: int, wp: int, block: int,
-                          bit_depth: int = 8, tile_rows: int = 1):
+                          bit_depth: int = 8, tile_rows: int = 1,
+                          refs=None, ref2_y_pad=None, ref2_u_pad=None,
+                          ref2_v_pad=None, use_two_refs: bool = False):
     """Decoder-side subpel P-frame reconstruction (matches
-    encode_inter_frame_v2 bit-exactly).  mvs in q4 luma units."""
+    encode_inter_frame_v2 bit-exactly).  mvs in q4 luma units; refs
+    (B,) selects last (0) vs golden (1) when the frame header signals
+    two_ref."""
     n = block
     cn = n // 2
     maxval = (1 << bit_depth) - 1
@@ -291,6 +345,10 @@ def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
     pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
     pred_y = mc.predict_subpel_luma(ref_y_pad, pos_y, mvs, n, motion.PAD,
                                     maxval)
+    if use_two_refs:
+        sel = refs.astype(bool)
+        pred_y = jnp.where(sel[:, None, None], mc.predict_subpel_luma(
+            ref2_y_pad, pos_y, mvs, n, motion.PAD, maxval), pred_y)
     rec_y = _recon_plane(lv_y.reshape(-1, n, n), pred_y, dc_step, ac_step,
                          maxval)
 
@@ -299,6 +357,11 @@ def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
                                       motion.CHROMA_PAD, maxval)
     pred_v = mc.predict_subpel_chroma(ref_v_pad, pos_c, mvs, cn,
                                       motion.CHROMA_PAD, maxval)
+    if use_two_refs:
+        pred_u = jnp.where(sel[:, None, None], mc.predict_subpel_chroma(
+            ref2_u_pad, pos_c, mvs, cn, motion.CHROMA_PAD, maxval), pred_u)
+        pred_v = jnp.where(sel[:, None, None], mc.predict_subpel_chroma(
+            ref2_v_pad, pos_c, mvs, cn, motion.CHROMA_PAD, maxval), pred_v)
     rec_u = _recon_plane(lv_u.reshape(-1, cn, cn), pred_u, dc_step, ac_step,
                          maxval)
     rec_v = _recon_plane(lv_v.reshape(-1, cn, cn), pred_v, dc_step, ac_step,

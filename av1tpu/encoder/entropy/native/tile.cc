@@ -80,12 +80,14 @@ struct TileCdfs : CoeffCdfs {
 // Inter tile CDFs
 struct InterCdfs : CoeffCdfs {
   uint16_t skip[3];
+  uint16_t ref[3];          // reference select (0=last, 1=golden)
   uint16_t mv_zero[2][3];   // [component 0=y 1=x]
   uint16_t mv_sign[2][3];
   uint16_t mv_base[2][4 + 1];
 
   InterCdfs() {
     cdf_init_uniform(skip, 2);
+    cdf_init_uniform(ref, 2);
     for (int c = 0; c < 2; ++c) {
       cdf_init_uniform(mv_zero[c], 2);
       cdf_init_uniform(mv_sign[c], 2);
@@ -307,6 +309,7 @@ static int32_t dec_mv_component(EcDec *d, InterCdfs &cdfs, int c) {
 extern "C" int32_t tile_encode_inter(
     int32_t n_blocks, int32_t luma_n, int32_t chroma_n,
     const uint8_t *skips, const int32_t *mvs /* [n_blocks][2] */,
+    const uint8_t *refs /* nullable */, int32_t use_refs,
     const int32_t *y_levels, const int32_t *u_levels, const int32_t *v_levels,
     uint8_t *out, int32_t cap) {
   std::vector<int> scan_y, scan_c;
@@ -319,6 +322,7 @@ extern "C" int32_t tile_encode_inter(
   for (int32_t b = 0; b < n_blocks; ++b) {
     int skip = skips[b] ? 1 : 0;
     ec_enc_symbol_adapt(e, skip, cdfs.skip, 2);
+    if (use_refs) ec_enc_symbol_adapt(e, refs[b] ? 1 : 0, cdfs.ref, 2);
     for (int c = 0; c < 2; ++c) {
       enc_mv_component(e, cdfs, c, mvs[b * 2 + c] - pred[c]);
       pred[c] = mvs[b * 2 + c];
@@ -338,8 +342,9 @@ extern "C" int32_t tile_encode_inter(
 
 extern "C" int32_t tile_decode_inter(
     const uint8_t *data, int32_t size, int32_t n_blocks, int32_t luma_n,
-    int32_t chroma_n, uint8_t *skips, int32_t *mvs, int32_t *y_levels,
-    int32_t *u_levels, int32_t *v_levels) {
+    int32_t chroma_n, int32_t use_refs, uint8_t *skips, int32_t *mvs,
+    uint8_t *refs, int32_t *y_levels, int32_t *u_levels,
+    int32_t *v_levels) {
   std::vector<int> scan_y, scan_c;
   build_zigzag(luma_n, scan_y);
   build_zigzag(chroma_n, scan_c);
@@ -350,6 +355,7 @@ extern "C" int32_t tile_decode_inter(
   for (int32_t b = 0; b < n_blocks; ++b) {
     int skip = ec_dec_symbol_adapt(d, cdfs.skip, 2);
     skips[b] = (uint8_t)skip;
+    refs[b] = use_refs ? (uint8_t)ec_dec_symbol_adapt(d, cdfs.ref, 2) : 0;
     for (int c = 0; c < 2; ++c) {
       pred[c] += dec_mv_component(d, cdfs, c);
       mvs[b * 2 + c] = pred[c];

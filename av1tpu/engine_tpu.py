@@ -142,11 +142,13 @@ class TpuEngine:
     def start_stream(self) -> None:
         """Reset GOP state (call once per input video)."""
         self._ref_dev = None
+        self._golden_dev = None
         self._frame_idx = 0
         self._prev_thumb = None
 
     # Speed ladder (the reference's `compression_level 2` analog,
     # transcode.go:119-123): lower = slower/better.
+    #   <=4: two references (last + GOP keyframe), full pipeline
     #   <=6: full pipeline (subpel, CDEF+restoration eval)  [default 6]
     #    7 : subpel off
     #   >=8: subpel off, CDEF/restoration eval off
@@ -157,6 +159,10 @@ class TpuEngine:
     @property
     def _use_aux_filters(self) -> bool:
         return self.cfg.speed <= 7
+
+    @property
+    def _use_two_refs(self) -> bool:
+        return self.cfg.speed <= 4
 
     def _scene_cut(self, frame: Frame) -> bool:
         """Host-side scene-cut detector: mean abs diff of 16x-decimated
@@ -236,28 +242,37 @@ class TpuEngine:
             out = intra_frame.encode_key_frame_v2(
                 yj, uj, vj, dc, ac, qindex, block, bd, tiles)
             self._ref_dev = out[5:8]
+            self._golden_dev = out[5:8]  # GOP keyframe = golden ref
+            two = False
         else:
+            two = self._use_two_refs and self._golden_dev is not None
             out = inter_frame.encode_inter_frame_v2(
                 yj, uj, vj, *self._ref_dev, dc, ac, qindex, block, bd,
-                tiles, self._use_subpel, self._use_aux_filters)
+                tiles, self._use_subpel, self._use_aux_filters,
+                *(self._golden_dev if two else (None, None, None)),
+                use_two_refs=two)
             self._ref_dev = out[5:8]
-        return (is_key, qindex, w, h, out, tiles, block)
+        return (is_key, qindex, w, h, out, tiles, block, two)
 
     @staticmethod
     def _finalize(pending) -> tuple[bytes, bool]:
         """Materialize a pending frame's outputs and entropy-code them."""
-        is_key, qindex, w, h, out, tiles, block = pending
+        is_key, qindex, w, h, out, tiles, block, two = pending
         fh = obu_mod.FrameHeader(
             frame_type=obu_mod.KEY_FRAME if is_key else obu_mod.INTER_FRAME,
             base_q_idx=qindex, width=w, height=h,
             luma_block_log2=block.bit_length() - 1,
-            tile_rows_log2=tiles.bit_length() - 1)
+            tile_rows_log2=tiles.bit_length() - 1, two_ref=two)
         # one batched D2H for every small output (each separate
         # materialization costs a full ~25 ms tunnel round trip)
         import jax as _jax
+        small = [out[0], out[4], out[8], out[9], out[10], out[11], out[12]]
+        if two:
+            small.append(out[13])
+        got = _jax.device_get(tuple(small))
         (first, skips, lr_mode_a, cdef_on_a, sp_mask, sp_vals,
-         sp_count) = _jax.device_get((out[0], out[4], out[8], out[9],
-                                      out[10], out[11], out[12]))
+         sp_count) = got[:7]
+        refs = got[7] if two else None
         fh.lr_mode = int(lr_mode_a)
         fh.cdef_on = bool(cdef_on_a)
         from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
@@ -282,7 +297,8 @@ class TpuEngine:
                 payloads.append(tile_codec.encode_tile_inter(
                     skips[sl].astype(np.uint8),
                     first[sl].astype(np.int32),
-                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
+                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2,
+                    refs=refs[sl] if two else None))
         return obu_mod.write_frame_obu(fh, payloads), is_key
 
     def _submit_chunk(self, frames, qindexes):
@@ -306,12 +322,15 @@ class TpuEngine:
                           dtype=jnp.int32)
         acs = jnp.asarray([quant.ac_q(q, bd) for q in qindexes],
                           dtype=jnp.int32)
+        two = self._use_two_refs and self._golden_dev is not None
         out = inter_frame.encode_inter_chunk_v2(
             ys, us, vs, *self._ref_dev, dcs, acs,
             jnp.asarray(list(qindexes), dtype=jnp.int32), block, bd,
-            tiles, self._use_subpel, self._use_aux_filters)
+            tiles, self._use_subpel, self._use_aux_filters,
+            *(self._golden_dev if two else (None, None, None)),
+            use_two_refs=two)
         self._ref_dev = (out[5][-1], out[6][-1], out[7][-1])
-        return (list(qindexes), w, h, out, tiles, block, k)
+        return (list(qindexes), w, h, out, tiles, block, k, two)
 
     @staticmethod
     def _finalize_chunk(pending) -> list[tuple[bytes, bool]]:
@@ -323,11 +342,15 @@ class TpuEngine:
         C++ coder keeps no mutable globals, and ctypes releases the GIL
         for the duration of the call — so host entropy time per chunk
         divides by the worker count."""
-        qindexes, w, h, out, tiles, block, k = pending
+        qindexes, w, h, out, tiles, block, k, two = pending
         import jax as _jax
+        small = [out[0], out[4], out[8], out[9], out[10], out[11], out[12]]
+        if two:
+            small.append(out[13])
+        got = _jax.device_get(tuple(small))
         (mvs, skips, lr_modes, cdef_ons, sp_masks, sp_valss,
-         sp_counts) = _jax.device_get((out[0], out[4], out[8], out[9],
-                                       out[10], out[11], out[12]))
+         sp_counts) = got[:7]
+        refs_k = got[7] if two else None
         from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
         shapes = [tuple(out[1].shape[1:]), tuple(out[2].shape[1:]),
                   tuple(out[3].shape[1:])]
@@ -337,7 +360,7 @@ class TpuEngine:
                 frame_type=obu_mod.INTER_FRAME, base_q_idx=qindexes[i],
                 width=w, height=h,
                 luma_block_log2=block.bit_length() - 1,
-                tile_rows_log2=tiles.bit_length() - 1)
+                tile_rows_log2=tiles.bit_length() - 1, two_ref=two)
             fh.lr_mode = int(lr_modes[i])
             fh.cdef_on = bool(cdef_ons[i])
             lvs = sparse_unpack_levels(sp_masks[i], sp_valss[i],
@@ -354,7 +377,8 @@ class TpuEngine:
                 sl = slice(t * bpt, (t + 1) * bpt)
                 payloads.append(tile_codec.encode_tile_inter(
                     sk[sl].astype(np.uint8), first[sl].astype(np.int32),
-                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
+                    lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2,
+                    refs=refs_k[i][sl] if two else None))
             return obu_mod.write_frame_obu(fh, payloads), False
 
         return list(_entropy_pool().map(encode_one, range(k)))

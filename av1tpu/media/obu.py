@@ -11,7 +11,7 @@ Frame header layout (av1tpu profile v1):
   frame_type f(2) · show_frame f(1) · base_q_idx f(8) ·
   frame_width_minus_1 f(16) · frame_height_minus_1 f(16) ·
   luma_block_log2 f(3) · cdef_on f(1) · lr_mode f(2) ·
-  tile_rows_log2 f(2) · trailing_bits
+  tile_rows_log2 f(2) · two_ref f(1) · trailing_bits
 
 Tile payload: tiles 0..T−2 are prefixed with a leb128 byte size; the last
 tile runs to the end of the OBU.  Tiles split the frame into equal
@@ -175,6 +175,7 @@ class FrameHeader:
     cdef_on: bool = True    # frame-level CDEF gate (kernels/cdef)
     lr_mode: int = 0        # loop restoration preset (kernels/restoration)
     tile_rows_log2: int = 0  # frame splits into 2^n independent tile rows
+    two_ref: bool = False   # inter tiles carry per-block ref select
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -187,6 +188,7 @@ class FrameHeader:
         w.f(1 if self.cdef_on else 0, 1)
         w.f(self.lr_mode, 2)
         w.f(self.tile_rows_log2, 2)
+        w.f(1 if self.two_ref else 0, 1)
         w.trailing_bits()
         return w.bytes()
 
@@ -204,6 +206,7 @@ class FrameHeader:
         fh.cdef_on = bool(r.f(1))
         fh.lr_mode = r.f(2)
         fh.tile_rows_log2 = r.f(2)
+        fh.two_ref = bool(r.f(1))
         if r.f(1) != 1:
             raise ValueError("bad trailing bit in frame header")
         r.byte_align()

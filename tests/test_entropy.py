@@ -209,5 +209,6 @@ def test_tile_decoder_survives_garbage():
         try:
             tc.decode_tile_intra(data, 12, 16, 8)
             tc.decode_tile_inter(data, 12, 16, 8)
+            tc.decode_tile_inter(data, 12, 16, 8, use_refs=True)
         except ValueError:
             pass  # clean rejection is fine; hanging/crashing is not

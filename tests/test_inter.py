@@ -63,7 +63,7 @@ def test_inter_tile_roundtrip():
     u[skips == 1] = 0
     v[skips == 1] = 0
     data = tile_codec.encode_tile_inter(skips, mvs, y, u, v)
-    s2, m2, y2, u2, v2 = tile_codec.decode_tile_inter(data, B)
+    s2, m2, y2, u2, v2, _refs = tile_codec.decode_tile_inter(data, B)
     np.testing.assert_array_equal(s2, skips)
     np.testing.assert_array_equal(m2, mvs)
     np.testing.assert_array_equal(y2, y)
@@ -297,4 +297,55 @@ def test_chunked_stream_bit_identical_and_decodable():
     for payload, _k in payloads:
         out = dec_mod.decode_frame_payload(payload, state)
     enc_y = np.asarray(eng._ref[0])[:128, :192]
+    assert np.array_equal(enc_y, out.y.astype(np.int32))
+
+
+def test_two_ref_golden_reveal():
+    """speed<=4 adds the GOP keyframe as a second reference: blocks
+    revealed from behind a moving occluder predict from golden and the
+    stream must decode bit-exactly against the encoder recon."""
+    rng = np.random.default_rng(5)
+    W, H = 192, 128
+    bg = rng.integers(40, 220, (H, W)).astype(np.uint8)
+    bg = ((bg.astype(int) + np.roll(bg, 1, 0) + np.roll(bg, 1, 1)) // 3
+          ).astype(np.uint8)
+    from av1tpu.utils.testsrc import Frame
+    frames = []
+    for i in range(8):
+        y = bg.copy()
+        x0 = 16 + i * 16
+        y[32:96, x0:x0 + 48] = 230  # occluder marches right
+        u = (y[::2, ::2] // 2 + 40).astype(np.uint8)
+        frames.append(Frame(y=y, u=u, v=u.copy()))
+
+    def run(speed):
+        eng = TpuEngine()
+        eng.cfg.keyint = 120
+        eng.cfg.speed = speed
+        eng.start_stream()
+        payloads = list(eng.encode_stream(frames, 96))
+        return eng, payloads
+
+    _, p1 = run(6)
+    eng, p2 = run(4)
+    bytes1 = sum(len(p) for p, _ in p1)
+    bytes2 = sum(len(p) for p, _ in p2)
+    assert bytes2 < bytes1 * 0.95  # golden ref saves on reveals
+
+    # golden actually selected once the revealed band exists in the key
+    from av1tpu.encoder.entropy import tile as tc
+    from av1tpu.media import obu as obu_mod
+    obu_payload = obu_mod.parse_obus(p2[6][0])[0][1]
+    fh, hl = obu_mod.FrameHeader.parse(obu_payload)
+    assert fh.two_ref
+    *_, refs = tc.decode_tile_inter(obu_payload[hl:], 96, 16, 8,
+                                    use_refs=True)
+    assert refs.sum() > 0  # some blocks predict from golden
+    # the full two-ref stream decodes bit-exactly vs the encoder recon
+    state = dec_mod.DecoderState()
+    state.seq = eng.sequence_header(W, H)
+    out = None
+    for payload, _k in p2:
+        out = dec_mod.decode_frame_payload(payload, state)
+    enc_y = np.asarray(eng._ref[0])[:H, :W]
     assert np.array_equal(enc_y, out.y.astype(np.int32))
