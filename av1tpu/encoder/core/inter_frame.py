@@ -239,7 +239,7 @@ def _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
         out_y = cdef.select(cdef_on, cdef_y, out_y)
         out_u = cdef.select(cdef_on, cdef_u, out_u)
         out_v = cdef.select(cdef_on, cdef_v, out_v)
-        lr_mode = restoration.choose_mode(y, out_y, maxval)
+        lr_mode = restoration.choose_mode(y, out_y, maxval, T)
         out_y = per_tile(lambda p: restoration.apply_restoration_dynamic(
             p, lr_mode, maxval), out_y, T)
         out_u = per_tile(lambda p: restoration.apply_restoration_dynamic(

@@ -295,7 +295,7 @@ def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
     rec_u = cdef.select(cdef_on, cdef_u, rec_u)
     rec_v = cdef.select(cdef_on, cdef_v, rec_v)
     maxval = _maxval(bit_depth)
-    lr_mode = restoration.choose_mode(y, rec_y, maxval)
+    lr_mode = restoration.choose_mode(y, rec_y, maxval, T)
     rec_y = per_tile(lambda p: restoration.apply_restoration_dynamic(
         p, lr_mode, maxval), rec_y, T)
     rec_u = per_tile(lambda p: restoration.apply_restoration_dynamic(

@@ -159,11 +159,12 @@ def cdef_gate(src_y: jnp.ndarray, rec_y: jnp.ndarray,
     luma recon toward the source.  On noisy content CDEF smooths real
     texture out of the reference and inflates the next frame's residual;
     this converts the filter into a win-only tool (one header bit)."""
-    # 2x2-subsampled f32 sums: selection-only metric, quarter the HBM
-    # traffic (int32 overflows at 1080p; int64 unavailable on TPU)
-    sf = src_y[::2, ::2].astype(jnp.float32)
-    e_off = jnp.sum((rec_y[::2, ::2].astype(jnp.float32) - sf) ** 2)
-    e_on = jnp.sum((cdef_y[::2, ::2].astype(jnp.float32) - sf) ** 2)
+    # 4x4-subsampled f32 sums: selection-only metric (one header bit,
+    # not normative), 1/16 the HBM traffic (int32 overflows at 1080p;
+    # int64 unavailable on TPU)
+    sf = src_y[::4, ::4].astype(jnp.float32)
+    e_off = jnp.sum((rec_y[::4, ::4].astype(jnp.float32) - sf) ** 2)
+    e_on = jnp.sum((cdef_y[::4, ::4].astype(jnp.float32) - sf) ** 2)
     return e_on < e_off
 
 

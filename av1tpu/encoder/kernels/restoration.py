@@ -60,19 +60,33 @@ def apply_restoration(plane: jnp.ndarray, mode: int = 0,
 
 
 def choose_mode(src_y: jnp.ndarray, rec_y: jnp.ndarray,
-                maxval: int = 255) -> jnp.ndarray:
+                maxval: int = 255, tile_rows: int = 1) -> jnp.ndarray:
     """Encoder-side: SSE argmin over all modes on luma.  Returns a traced
     int32 scalar mode (0..3).
 
-    Evaluated on 2×2-subsampled planes — selection-only metric, quarter
-    the HBM traffic.  float32 sums (int32 overflows at 1080p; int64 is
+    Evaluated on 4×4-subsampled planes — selection-only metric (the
+    signaled mode, not the filter, so not normative), 1/16 the HBM
+    traffic.  float32 sums (int32 overflows at 1080p; int64 is
     unavailable on TPU).
+
+    The candidate filters are applied per tile stripe (stripe heights
+    are multiples of 16, so the stripe-local [::4] grid equals the
+    global one) — this makes the metric decomposable: the sharded
+    encoder computes the identical value as a psum of per-device
+    partial SSEs, keeping mode decisions bit-identical across layouts.
     """
-    src = src_y[::2, ::2].astype(jnp.float32)
-    rec_s = rec_y[::2, ::2]
+    src = src_y[::4, ::4].astype(jnp.float32)
+    rec_s = rec_y[::4, ::4]
+    T = tile_rows
     costs = []
     for m in range(N_MODES):
-        out = apply_restoration(rec_s, m, maxval).astype(jnp.float32)
+        if T > 1:
+            h4, w4 = rec_s.shape
+            st = rec_s.reshape(T, h4 // T, w4)
+            out = jax.vmap(lambda s: apply_restoration(s, m, maxval))(
+                st).reshape(h4, w4).astype(jnp.float32)
+        else:
+            out = apply_restoration(rec_s, m, maxval).astype(jnp.float32)
         costs.append(jnp.sum((out - src) ** 2))
     return jnp.argmin(jnp.stack(costs)).astype(jnp.int32)
 

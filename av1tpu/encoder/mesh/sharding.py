@@ -208,12 +208,16 @@ def _encode_v2_sharded_impl(y, u, v, ref_y, ref_u, ref_v, dc_step, ac_step,
         cdef_v = cdef_mod.cdef_plane(out_v, qindex, bit_depth,
                                      is_chroma=True)
 
-        # frame-global gates via ICI psum of per-stripe partial SSEs
-        yf = y_i.astype(jnp.float32)
+        # frame-global gates via ICI psum of per-stripe partial SSEs,
+        # on the same 4x4-subsampled grid as the single-chip metric
+        # (stripe heights are multiples of 16, so each device's local
+        # [::4] rows ARE the global [::4] rows of its stripe — the psum
+        # reproduces the single-chip value bit-exactly)
+        yf = y_i[::4, ::4].astype(jnp.float32)
         e_off = jax.lax.psum(jnp.sum(
-            (out_y.astype(jnp.float32) - yf) ** 2), AXIS)
+            (out_y[::4, ::4].astype(jnp.float32) - yf) ** 2), AXIS)
         e_on = jax.lax.psum(jnp.sum(
-            (cdef_y.astype(jnp.float32) - yf) ** 2), AXIS)
+            (cdef_y[::4, ::4].astype(jnp.float32) - yf) ** 2), AXIS)
         cdef_on = e_on < e_off
         out_y = cdef_mod.select(cdef_on, cdef_y, out_y)
         out_u = cdef_mod.select(cdef_on, cdef_u, out_u)
@@ -221,7 +225,7 @@ def _encode_v2_sharded_impl(y, u, v, ref_y, ref_u, ref_v, dc_step, ac_step,
 
         lr_costs = []
         for m in range(lr_mod.N_MODES):
-            cand = lr_mod.apply_restoration(out_y, m, maxval)
+            cand = lr_mod.apply_restoration(out_y[::4, ::4], m, maxval)
             lr_costs.append(jax.lax.psum(jnp.sum(
                 (cand.astype(jnp.float32) - yf) ** 2), AXIS))
         lr_mode = jnp.argmin(jnp.stack(lr_costs)).astype(jnp.int32)

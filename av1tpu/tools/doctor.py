@@ -102,8 +102,13 @@ def check_encode_smoke() -> bool:
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    no_tpu = "--no-tpu" in argv
-    argv = [a for a in argv if a != "--no-tpu"]
+    no_tpu = "--no-tpu" in argv or "--cpu" in argv  # --cpu: encode_clip alias
+    argv = [a for a in argv if a not in ("--no-tpu", "--cpu")]
+    unknown = [a for a in argv if a.startswith("-")]
+    if unknown:
+        print(f"doctor: unknown flag(s) {unknown}; "
+              "usage: doctor [--cpu|--no-tpu] [config.json]")
+        return 2
     from av1tpu import config as config_mod
     path = argv[0] if argv else config_mod.CONFIG_PATH
 
