@@ -117,9 +117,9 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
         parts = [tile_codec.decode_tile_inter(p, bpt, block, cblock,
                                               use_refs=fh.two_ref)
                  for p in tile_payloads]
-        skips, mvs, y_lv, u_lv, v_lv, refs = (
+        skips, mvs, y_lv, u_lv, v_lv, refs, txs = (
             np.concatenate([pt[i] for pt in parts])
-            for i in (0, 1, 2, 3, 4, 5))
+            for i in (0, 1, 2, 3, 4, 5, 6))
         ry, ru, rv = state.ref
         if fh.two_ref:
             gy, gu, gv = state.golden
@@ -141,7 +141,8 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
             jnp.asarray(np.pad(ru, motion.CHROMA_PAD, mode="edge")),
             jnp.asarray(np.pad(rv, motion.CHROMA_PAD, mode="edge")),
             dc, ac, fh.base_q_idx, jnp.asarray(fh.lr_mode, jnp.int32),
-            jnp.asarray(fh.cdef_on), hp, wp, block, bd, tiles, **extra)
+            jnp.asarray(fh.cdef_on), hp, wp, block, bd, tiles,
+            tx_syms=jnp.asarray(txs), **extra)
         y, u, v = np.asarray(yj), np.asarray(uj), np.asarray(vj)
 
     state.ref = (y, u, v)

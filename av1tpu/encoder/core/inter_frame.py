@@ -66,6 +66,62 @@ def _recon_plane(levels, pred, dc_step, ac_step, maxval: int = 255):
     return jnp.clip(pred + resr, 0, maxval)
 
 
+# signaled transform alphabet for inter luma (syntax symbol order)
+TX_ALPHABET = (tx.DCT_DCT, tx.ADST_ADST, tx.IDTX)
+
+
+def _code_plane_txsel(src_blocks, pred, dc_step, ac_step, maxval,
+                      lam):
+    """Luma residual coding with per-block transform selection.
+
+    Each block is coded with every transform in TX_ALPHABET; the
+    winner minimizes SSD + lam·(Σ|level| + 2·nnz) — the level sum is
+    the rate proxy (≈ bits the range coder spends).  Returns
+    (levels, recon_blocks, tx_syms uint8) — tx_syms indexes
+    TX_ALPHABET and is coded per non-skip block.
+    """
+    res = src_blocks.astype(jnp.int32) - pred
+    lvs, recs, costs = [], [], []
+    for t in TX_ALPHABET:
+        coeffs = tx.fwd_txfm(res, t)
+        lv = quant.quantize_block(coeffs, dc_step, ac_step)
+        dq = quant.dequantize_block(lv, dc_step, ac_step)
+        rec = jnp.clip(pred + tx.inv_txfm(dq, t), 0, maxval)
+        ssd = jnp.sum((rec - src_blocks.astype(jnp.int32)).astype(
+            jnp.float32) ** 2, axis=(1, 2))
+        alv = jnp.abs(lv)
+        rate = (alv.sum(axis=(1, 2))
+                + 2 * (alv != 0).sum(axis=(1, 2))).astype(jnp.float32)
+        lvs.append(lv)
+        recs.append(rec)
+        costs.append(ssd + lam * rate)
+    cost = jnp.stack(costs)                       # (T, B)
+    sel = jnp.argmin(cost, axis=0)                # (B,)
+    lv = jnp.take_along_axis(jnp.stack(lvs), sel[None, :, None, None],
+                             axis=0)[0]
+    rec = jnp.take_along_axis(jnp.stack(recs), sel[None, :, None, None],
+                              axis=0)[0]
+    return lv, rec, sel.astype(jnp.uint8)
+
+
+def _recon_plane_txsel(levels, pred, dc_step, ac_step, maxval, tx_syms):
+    """Decoder-side luma recon with signaled per-block transforms
+    (normative; evaluates every inverse and selects — branch-free)."""
+    dq = quant.dequantize_block(levels, dc_step, ac_step)
+    recs = [jnp.clip(pred + tx.inv_txfm(dq, t), 0, maxval)
+            for t in TX_ALPHABET]
+    return jnp.take_along_axis(
+        jnp.stack(recs), tx_syms.astype(jnp.int32)[None, :, None, None],
+        axis=0)[0]
+
+
+def tx_lambda(ac_step):
+    """Rate-distortion multiplier for transform selection (SSD per
+    level-sum unit): proportional to the squared quantizer step."""
+    return (ac_step * ac_step).astype(jnp.float32) / 24.0 \
+        if hasattr(ac_step, "astype") else float(ac_step) ** 2 / 24.0
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def encode_inter_frame(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
                        dc_step, ac_step, block: int):
@@ -134,7 +190,8 @@ def _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                    use_subpel: bool = True,
                    use_aux_filters: bool = True,
                    ref2_y_u8=None, ref2_u_u8=None, ref2_v_u8=None,
-                   use_two_refs: bool = False):
+                   use_two_refs: bool = False,
+                   use_tx_select: bool = True):
     """Unjitted P-frame encode body — called by both the single-frame
     jit wrapper and the lax.scan chunk encoder.
 
@@ -193,7 +250,15 @@ def _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
         pred_y = jnp.where(refs[:, None, None], pred2_y, pred_y)
     else:
         refs = jnp.zeros((y_blocks.shape[0],), bool)
-    lv_y, rec_y = _code_plane(y_blocks, pred_y, dc_step, ac_step, maxval)
+    if use_tx_select:
+        lv_y, rec_y, tx_syms = _code_plane_txsel(y_blocks, pred_y,
+                                                 dc_step, ac_step,
+                                                 maxval,
+                                                 tx_lambda(ac_step))
+    else:  # DCT only: the per-block tx symbol is still coded (as 0)
+        lv_y, rec_y = _code_plane(y_blocks, pred_y, dc_step, ac_step,
+                                  maxval)
+        tx_syms = jnp.zeros((y_blocks.shape[0],), jnp.uint8)
 
     pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
     pred_u = mc.predict_subpel_chroma(ref_u_pad, pos_c, mvs, cn,
@@ -258,20 +323,23 @@ def _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
             lv_y16, lv_u16, lv_v16, skips,
             out_y.astype(out_dtype), out_u.astype(out_dtype),
             out_v.astype(out_dtype), lr_mode, cdef_on,
-            sp_mask, sp_vals, sp_count, refs.astype(jnp.uint8))
+            sp_mask, sp_vals, sp_count, refs.astype(jnp.uint8),
+            tx_syms)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "bit_depth",
                                               "tile_rows", "use_subpel",
                                               "use_aux_filters",
-                                              "use_two_refs"))
+                                              "use_two_refs",
+                                              "use_tx_select"))
 def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                           dc_step, ac_step, qindex, block: int,
                           bit_depth: int = 8, tile_rows: int = 1,
                           use_subpel: bool = True,
                           use_aux_filters: bool = True,
                           ref2_y_u8=None, ref2_u_u8=None, ref2_v_u8=None,
-                          use_two_refs: bool = False):
+                          use_two_refs: bool = False,
+                          use_tx_select: bool = True):
     """Transfer-optimized P-frame encode: one jit, narrow I/O.
 
     Inputs are uint8 planes (source + previous recon, both unpadded);
@@ -283,20 +351,23 @@ def encode_inter_frame_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
     return _inter_core_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8, ref_v_u8,
                           dc_step, ac_step, qindex, block, bit_depth,
                           tile_rows, use_subpel, use_aux_filters,
-                          ref2_y_u8, ref2_u_u8, ref2_v_u8, use_two_refs)
+                          ref2_y_u8, ref2_u_u8, ref2_v_u8, use_two_refs,
+                          use_tx_select)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "bit_depth",
                                               "tile_rows", "use_subpel",
                                               "use_aux_filters",
-                                              "use_two_refs"))
+                                              "use_two_refs",
+                                              "use_tx_select"))
 def encode_inter_chunk_v2(ys_u8, us_u8, vs_u8, ref_y_u8, ref_u_u8,
                           ref_v_u8, dc_steps, ac_steps, qindexes,
                           block: int, bit_depth: int = 8,
                           tile_rows: int = 1, use_subpel: bool = True,
                           use_aux_filters: bool = True,
                           ref2_y_u8=None, ref2_u_u8=None, ref2_v_u8=None,
-                          use_two_refs: bool = False):
+                          use_two_refs: bool = False,
+                          use_tx_select: bool = True):
     """Encode K consecutive P frames in ONE dispatch via ``lax.scan``.
 
     The recon of frame k is the reference of frame k+1 — the dependency
@@ -315,7 +386,7 @@ def encode_inter_chunk_v2(ys_u8, us_u8, vs_u8, ref_y_u8, ref_u_u8,
         out = _inter_core_v2(y, u, v, ry, ru, rv, dc, ac, qi,
                              block, bit_depth, tile_rows, use_subpel,
                              use_aux_filters, ref2_y_u8, ref2_u_u8,
-                             ref2_v_u8, use_two_refs)
+                             ref2_v_u8, use_two_refs, use_tx_select)
         return (out[5], out[6], out[7]), out
 
     _final, outs = jax.lax.scan(
@@ -332,15 +403,19 @@ def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
                           cdef_on, hp: int, wp: int, block: int,
                           bit_depth: int = 8, tile_rows: int = 1,
                           refs=None, ref2_y_pad=None, ref2_u_pad=None,
-                          ref2_v_pad=None, use_two_refs: bool = False):
+                          ref2_v_pad=None, use_two_refs: bool = False,
+                          tx_syms=None):
     """Decoder-side subpel P-frame reconstruction (matches
     encode_inter_frame_v2 bit-exactly).  mvs in q4 luma units; refs
     (B,) selects last (0) vs golden (1) when the frame header signals
-    two_ref."""
+    two_ref; tx_syms (B,) indexes TX_ALPHABET for the luma transform
+    (None → all DCT)."""
     n = block
     cn = n // 2
     maxval = (1 << bit_depth) - 1
     hc, wc = hp // 2, wp // 2
+    if tx_syms is None:
+        tx_syms = jnp.zeros((lv_y.shape[0],), jnp.uint8)
     mvs = mvs.astype(jnp.int32)
     pos_y = jnp.asarray(motion.block_positions(hp, wp, n))
     pred_y = mc.predict_subpel_luma(ref_y_pad, pos_y, mvs, n, motion.PAD,
@@ -349,8 +424,8 @@ def decode_inter_frame_v2(mvs, lv_y, lv_u, lv_v, ref_y_pad, ref_u_pad,
         sel = refs.astype(bool)
         pred_y = jnp.where(sel[:, None, None], mc.predict_subpel_luma(
             ref2_y_pad, pos_y, mvs, n, motion.PAD, maxval), pred_y)
-    rec_y = _recon_plane(lv_y.reshape(-1, n, n), pred_y, dc_step, ac_step,
-                         maxval)
+    rec_y = _recon_plane_txsel(lv_y.reshape(-1, n, n), pred_y, dc_step,
+                               ac_step, maxval, tx_syms)
 
     pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
     pred_u = mc.predict_subpel_chroma(ref_u_pad, pos_c, mvs, cn,

@@ -81,6 +81,7 @@ struct TileCdfs : CoeffCdfs {
 struct InterCdfs : CoeffCdfs {
   uint16_t skip[3];
   uint16_t ref[3];          // reference select (0=last, 1=golden)
+  uint16_t tx_type[4];      // luma transform: 0=DCT 1=ADST 2=IDTX
   uint16_t mv_zero[2][3];   // [component 0=y 1=x]
   uint16_t mv_sign[2][3];
   uint16_t mv_base[2][4 + 1];
@@ -88,6 +89,7 @@ struct InterCdfs : CoeffCdfs {
   InterCdfs() {
     cdf_init_uniform(skip, 2);
     cdf_init_uniform(ref, 2);
+    cdf_init_uniform(tx_type, 3);
     for (int c = 0; c < 2; ++c) {
       cdf_init_uniform(mv_zero[c], 2);
       cdf_init_uniform(mv_sign[c], 2);
@@ -310,6 +312,7 @@ extern "C" int32_t tile_encode_inter(
     int32_t n_blocks, int32_t luma_n, int32_t chroma_n,
     const uint8_t *skips, const int32_t *mvs /* [n_blocks][2] */,
     const uint8_t *refs /* nullable */, int32_t use_refs,
+    const uint8_t *txs /* luma tx per block */,
     const int32_t *y_levels, const int32_t *u_levels, const int32_t *v_levels,
     uint8_t *out, int32_t cap) {
   std::vector<int> scan_y, scan_c;
@@ -328,6 +331,7 @@ extern "C" int32_t tile_encode_inter(
       pred[c] = mvs[b * 2 + c];
     }
     if (!skip) {
+      ec_enc_symbol_adapt(e, txs[b] < 3 ? txs[b] : 0, cdfs.tx_type, 3);
       encode_txblock(e, cdfs, 0, y_levels + (int64_t)b * ynn, luma_n, scan_y);
       encode_txblock(e, cdfs, 1, u_levels + (int64_t)b * cnn, chroma_n,
                      scan_c);
@@ -343,7 +347,7 @@ extern "C" int32_t tile_encode_inter(
 extern "C" int32_t tile_decode_inter(
     const uint8_t *data, int32_t size, int32_t n_blocks, int32_t luma_n,
     int32_t chroma_n, int32_t use_refs, uint8_t *skips, int32_t *mvs,
-    uint8_t *refs, int32_t *y_levels, int32_t *u_levels,
+    uint8_t *refs, uint8_t *txs, int32_t *y_levels, int32_t *u_levels,
     int32_t *v_levels) {
   std::vector<int> scan_y, scan_c;
   build_zigzag(luma_n, scan_y);
@@ -361,10 +365,12 @@ extern "C" int32_t tile_decode_inter(
       mvs[b * 2 + c] = pred[c];
     }
     if (skip) {
+      txs[b] = 0;
       std::memset(y_levels + (int64_t)b * ynn, 0, sizeof(int32_t) * ynn);
       std::memset(u_levels + (int64_t)b * cnn, 0, sizeof(int32_t) * cnn);
       std::memset(v_levels + (int64_t)b * cnn, 0, sizeof(int32_t) * cnn);
     } else {
+      txs[b] = (uint8_t)ec_dec_symbol_adapt(d, cdfs.tx_type, 3);
       decode_txblock(d, cdfs, 0, y_levels + (int64_t)b * ynn, luma_n, scan_y);
       decode_txblock(d, cdfs, 1, u_levels + (int64_t)b * cnn, chroma_n,
                      scan_c);

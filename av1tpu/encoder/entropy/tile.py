@@ -82,7 +82,7 @@ def _lib_inter():
         lib.tile_encode_inter.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int32,
         ]
@@ -91,6 +91,7 @@ def _lib_inter():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib._tile_inter_configured = True
@@ -100,9 +101,11 @@ def _lib_inter():
 def encode_tile_inter(skips: np.ndarray, mvs: np.ndarray,
                       y_levels: np.ndarray, u_levels: np.ndarray,
                       v_levels: np.ndarray, luma_n: int = 16,
-                      chroma_n: int = 8, refs: np.ndarray = None) -> bytes:
+                      chroma_n: int = 8, refs: np.ndarray = None,
+                      txs: np.ndarray = None) -> bytes:
     """Serialize one inter tile.  mvs (B, 2) int32 q4 (dy, dx); refs
-    (B,) uint8 (0=last, 1=golden) or None for single-reference tiles."""
+    (B,) uint8 (0=last, 1=golden) or None for single-reference tiles;
+    txs (B,) uint8 luma transform (0=DCT 1=ADST 2=IDTX; None → DCT)."""
     lib = _lib_inter()
     n_blocks = len(skips)
     skips = np.ascontiguousarray(skips, np.uint8)
@@ -113,11 +116,13 @@ def encode_tile_inter(skips: np.ndarray, mvs: np.ndarray,
     use_refs = refs is not None
     refs_arr = (np.ascontiguousarray(refs, np.uint8) if use_refs
                 else np.zeros(1, np.uint8))
+    txs_arr = (np.ascontiguousarray(txs, np.uint8) if txs is not None
+               else np.zeros(n_blocks, np.uint8))
     cap = 256 + 16 * n_blocks + y_levels.nbytes + u_levels.nbytes + v_levels.nbytes
     out = np.zeros(cap, np.uint8)
     size = lib.tile_encode_inter(
         n_blocks, luma_n, chroma_n, skips.ctypes.data, mvs.ctypes.data,
-        refs_arr.ctypes.data, int(use_refs),
+        refs_arr.ctypes.data, int(use_refs), txs_arr.ctypes.data,
         y_levels.ctypes.data, u_levels.ctypes.data, v_levels.ctypes.data,
         out.ctypes.data, cap)
     if size < 0:
@@ -128,20 +133,21 @@ def encode_tile_inter(skips: np.ndarray, mvs: np.ndarray,
 def decode_tile_inter(data: bytes, n_blocks: int, luma_n: int = 16,
                       chroma_n: int = 8, use_refs: bool = False):
     """Inverse of encode_tile_inter:
-    (skips, mvs, y_lv, u_lv, v_lv, refs)."""
+    (skips, mvs, y_lv, u_lv, v_lv, refs, txs)."""
     lib = _lib_inter()
     buf = np.frombuffer(data, np.uint8).copy()
     skips = np.zeros(n_blocks, np.uint8)
     mvs = np.zeros((n_blocks, 2), np.int32)
     refs = np.zeros(n_blocks, np.uint8)
+    txs = np.zeros(n_blocks, np.uint8)
     y_levels = np.zeros((n_blocks, luma_n * luma_n), np.int32)
     u_levels = np.zeros((n_blocks, chroma_n * chroma_n), np.int32)
     v_levels = np.zeros((n_blocks, chroma_n * chroma_n), np.int32)
     rc = lib.tile_decode_inter(
         buf.ctypes.data, len(buf), n_blocks, luma_n, chroma_n,
         int(use_refs), skips.ctypes.data, mvs.ctypes.data,
-        refs.ctypes.data, y_levels.ctypes.data,
+        refs.ctypes.data, txs.ctypes.data, y_levels.ctypes.data,
         u_levels.ctypes.data, v_levels.ctypes.data)
     if rc != 0:
         raise ValueError("tile_decode_inter: corrupt tile data")
-    return skips, mvs, y_levels, u_levels, v_levels, refs
+    return skips, mvs, y_levels, u_levels, v_levels, refs, txs

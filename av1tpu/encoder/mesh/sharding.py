@@ -184,8 +184,9 @@ def _encode_v2_sharded_impl(y, u, v, ref_y, ref_u, ref_v, dc_step, ac_step,
                                    maxval=maxval)
         pred_y = mc_mod.predict_subpel_luma(ry_p, pos_y, mvs, n,
                                             motion.PAD, maxval)
-        lv_y, rec_y = IF._code_plane(y_blocks, pred_y, dc_step, ac_step,
-                                     maxval)
+        lv_y, rec_y, tx_syms = IF._code_plane_txsel(
+            y_blocks, pred_y, dc_step, ac_step, maxval,
+            IF.tx_lambda(ac_step))
         pos_c = jnp.asarray(motion.block_positions(hc, wc, cn))
         pred_u = mc_mod.predict_subpel_chroma(ru_p, pos_c, mvs, cn,
                                               motion.CHROMA_PAD, maxval)
@@ -243,14 +244,15 @@ def _encode_v2_sharded_impl(y, u, v, ref_y, ref_u, ref_v, dc_step, ac_step,
                 lv_v.reshape(lv_v.shape[0], -1).astype(jnp.int16),
                 skips,
                 out_y.astype(out_dtype), out_u.astype(out_dtype),
-                out_v.astype(out_dtype), lr_mode, cdef_on)
+                out_v.astype(out_dtype), lr_mode, cdef_on, tx_syms)
 
     sp = P(AXIS, None)
     sb = P(AXIS, None)
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(sp,) * 6,
-        out_specs=(sb, sb, sb, sb, P(AXIS), sp, sp, sp, P(), P()),
+        out_specs=(sb, sb, sb, sb, P(AXIS), sp, sp, sp, P(), P(),
+                   P(AXIS)),
         # the Pallas search kernel's out_shape has no vma annotation;
         # varying-ness is fully described by the out_specs above
         check_vma=False,

@@ -148,7 +148,8 @@ class TpuEngine:
 
     # Speed ladder (the reference's `compression_level 2` analog,
     # transcode.go:119-123): lower = slower/better.
-    #   <=4: two references (last + GOP keyframe), full pipeline
+    #   <=4: two references (last + GOP keyframe)
+    #   <=5: per-block transform selection (DCT/ADST/IDTX)
     #   <=6: full pipeline (subpel, CDEF+restoration eval)  [default 6]
     #    7 : subpel off
     #   >=8: subpel off, CDEF/restoration eval off
@@ -163,6 +164,10 @@ class TpuEngine:
     @property
     def _use_two_refs(self) -> bool:
         return self.cfg.speed <= 4
+
+    @property
+    def _use_tx_select(self) -> bool:
+        return self.cfg.speed <= 5
 
     def _scene_cut(self, frame: Frame) -> bool:
         """Host-side scene-cut detector: mean abs diff of 16x-decimated
@@ -250,7 +255,7 @@ class TpuEngine:
                 yj, uj, vj, *self._ref_dev, dc, ac, qindex, block, bd,
                 tiles, self._use_subpel, self._use_aux_filters,
                 *(self._golden_dev if two else (None, None, None)),
-                use_two_refs=two)
+                use_two_refs=two, use_tx_select=self._use_tx_select)
             self._ref_dev = out[5:8]
         return (is_key, qindex, w, h, out, tiles, block, two)
 
@@ -267,12 +272,15 @@ class TpuEngine:
         # materialization costs a full ~25 ms tunnel round trip)
         import jax as _jax
         small = [out[0], out[4], out[8], out[9], out[10], out[11], out[12]]
+        if not is_key:
+            small.append(out[14])   # luma tx selections
         if two:
             small.append(out[13])
         got = _jax.device_get(tuple(small))
         (first, skips, lr_mode_a, cdef_on_a, sp_mask, sp_vals,
          sp_count) = got[:7]
-        refs = got[7] if two else None
+        txs = got[7] if not is_key else None
+        refs = got[-1] if two else None
         fh.lr_mode = int(lr_mode_a)
         fh.cdef_on = bool(cdef_on_a)
         from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
@@ -298,7 +306,7 @@ class TpuEngine:
                     skips[sl].astype(np.uint8),
                     first[sl].astype(np.int32),
                     lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2,
-                    refs=refs[sl] if two else None))
+                    refs=refs[sl] if two else None, txs=txs[sl]))
         return obu_mod.write_frame_obu(fh, payloads), is_key
 
     def _submit_chunk(self, frames, qindexes):
@@ -328,7 +336,7 @@ class TpuEngine:
             jnp.asarray(list(qindexes), dtype=jnp.int32), block, bd,
             tiles, self._use_subpel, self._use_aux_filters,
             *(self._golden_dev if two else (None, None, None)),
-            use_two_refs=two)
+            use_two_refs=two, use_tx_select=self._use_tx_select)
         self._ref_dev = (out[5][-1], out[6][-1], out[7][-1])
         return (list(qindexes), w, h, out, tiles, block, k, two)
 
@@ -344,13 +352,14 @@ class TpuEngine:
         divides by the worker count."""
         qindexes, w, h, out, tiles, block, k, two = pending
         import jax as _jax
-        small = [out[0], out[4], out[8], out[9], out[10], out[11], out[12]]
+        small = [out[0], out[4], out[8], out[9], out[10], out[11],
+                 out[12], out[14]]
         if two:
             small.append(out[13])
         got = _jax.device_get(tuple(small))
         (mvs, skips, lr_modes, cdef_ons, sp_masks, sp_valss,
-         sp_counts) = got[:7]
-        refs_k = got[7] if two else None
+         sp_counts, txs_k) = got[:8]
+        refs_k = got[8] if two else None
         from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
         shapes = [tuple(out[1].shape[1:]), tuple(out[2].shape[1:]),
                   tuple(out[3].shape[1:])]
@@ -378,7 +387,8 @@ class TpuEngine:
                 payloads.append(tile_codec.encode_tile_inter(
                     sk[sl].astype(np.uint8), first[sl].astype(np.int32),
                     lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2,
-                    refs=refs_k[i][sl] if two else None))
+                    refs=refs_k[i][sl] if two else None,
+                    txs=txs_k[i][sl]))
             return obu_mod.write_frame_obu(fh, payloads), False
 
         return list(_entropy_pool().map(encode_one, range(k)))
@@ -397,6 +407,18 @@ class TpuEngine:
         from collections import deque
         rate = qindex if hasattr(qindex, "qindex_for") else None
         K = max(1, int(getattr(self.cfg, "chunk", 1)))
+        frames = iter(frames)
+        first = next(frames, None)
+        if first is None:
+            return
+        # cap the chunk so K x frame-samples stays inside the validated
+        # compile envelope (4 x 1080p at 8-bit): oversized lax.scan
+        # programs at 4K have crashed XLA compilation on this platform
+        budget = 4 * 1920 * 1088
+        px = first.width * first.height * (2 if first.bit_depth > 8 else 1)
+        K = max(1, min(K, budget // max(1, px)))
+        import itertools
+        frames = itertools.chain([first], frames)
         pending = deque()  # entries: ("single", rec) | ("chunk", rec)
         depth = 2  # two dispatches in flight hide host bursts + RTT
         idx = 0

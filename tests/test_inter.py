@@ -63,7 +63,7 @@ def test_inter_tile_roundtrip():
     u[skips == 1] = 0
     v[skips == 1] = 0
     data = tile_codec.encode_tile_inter(skips, mvs, y, u, v)
-    s2, m2, y2, u2, v2, _refs = tile_codec.decode_tile_inter(data, B)
+    s2, m2, y2, u2, v2, _refs, _txs = tile_codec.decode_tile_inter(data, B)
     np.testing.assert_array_equal(s2, skips)
     np.testing.assert_array_equal(m2, mvs)
     np.testing.assert_array_equal(y2, y)
@@ -338,8 +338,8 @@ def test_two_ref_golden_reveal():
     obu_payload = obu_mod.parse_obus(p2[6][0])[0][1]
     fh, hl = obu_mod.FrameHeader.parse(obu_payload)
     assert fh.two_ref
-    *_, refs = tc.decode_tile_inter(obu_payload[hl:], 96, 16, 8,
-                                    use_refs=True)
+    *_, refs, _txs = tc.decode_tile_inter(obu_payload[hl:], 96, 16, 8,
+                                          use_refs=True)
     assert refs.sum() > 0  # some blocks predict from golden
     # the full two-ref stream decodes bit-exactly vs the encoder recon
     state = dec_mod.DecoderState()
@@ -348,4 +348,32 @@ def test_two_ref_golden_reveal():
     for payload, _k in p2:
         out = dec_mod.decode_frame_payload(payload, state)
     enc_y = np.asarray(eng._ref[0])[:H, :W]
+    assert np.array_equal(enc_y, out.y.astype(np.int32))
+
+
+def test_tx_type_signaling_roundtrip():
+    """Inter luma signals DCT/ADST/IDTX per block; the decoder applies
+    the signaled inverse bit-exactly and the selection is non-trivial."""
+    frames = [make_testsrc(192, 128, i) for i in range(4)]
+    eng = TpuEngine()
+    eng.cfg.keyint = 120
+    eng.cfg.speed = 5  # transform selection enabled at speed <= 5
+    eng.start_stream()
+    payloads = list(eng.encode_stream(frames, 96))
+    from av1tpu.encoder.entropy import tile as tc
+    from av1tpu.media import obu as obu_mod
+    hist = np.zeros(3, int)
+    for p, is_key in payloads:
+        if is_key:
+            continue
+        pl = obu_mod.parse_obus(p)[0][1]
+        fh, hl = obu_mod.FrameHeader.parse(pl)
+        *_, txs = tc.decode_tile_inter(pl[hl:], 96, 16, 8)
+        hist += np.bincount(txs, minlength=3)
+    assert hist[0] > 0 and hist[1:].sum() > 0  # selection is used
+    state = dec_mod.DecoderState()
+    state.seq = eng.sequence_header(192, 128)
+    for p, _k in payloads:
+        out = dec_mod.decode_frame_payload(p, state)
+    enc_y = np.asarray(eng._ref[0])[:128, :192]
     assert np.array_equal(enc_y, out.y.astype(np.int32))
