@@ -420,7 +420,9 @@ class TpuEngine:
         import itertools
         frames = itertools.chain([first], frames)
         pending = deque()  # entries: ("single", rec) | ("chunk", rec)
-        depth = 2  # two dispatches in flight hide host bursts + RTT
+        depth = 2  # dispatches in flight: hides host bursts + tunnel RTT
+        # (measured: 2 beats 3 — 9.88 vs 7.83 fps at 1080p; a deeper
+        # queue delays finalize past the point the tunnel can refill)
         idx = 0
         buf = []  # buffered (frame, q) awaiting a full chunk
 
