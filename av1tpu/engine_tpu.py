@@ -531,9 +531,21 @@ class TpuEngine:
         return payload
 
     def sequence_header(self, width: int, height: int,
-                        bit_depth: int = 8) -> obu_mod.SequenceHeader:
-        return obu_mod.SequenceHeader(width=width, height=height,
-                                      bit_depth=bit_depth)
+                        bit_depth: int = 8,
+                        source_stream=None) -> obu_mod.SequenceHeader:
+        """AV1 sequence header; HDR sources carry their colour
+        description (primaries/transfer/matrix code points) through
+        from the container probe into the bitstream color_config."""
+        sh = obu_mod.SequenceHeader(width=width, height=height,
+                                    bit_depth=bit_depth)
+        if source_stream is not None:
+            sh.color_primaries = getattr(source_stream,
+                                         "color_primaries_code", 0)
+            sh.color_transfer = getattr(source_stream,
+                                        "color_transfer_code", 0)
+            sh.color_matrix = getattr(source_stream,
+                                      "color_matrix_code", 0)
+        return sh
 
     def encode_smoke_frame(self, frame: Frame) -> bytes:
         """Startup self-test payload (VerifyFFmpeg analog)."""
@@ -699,7 +711,8 @@ class TpuEngine:
                  fps, sum(len(p.data) for p in video_packets))
 
         # mux
-        sh = self.sequence_header(width, height)
+        sh = self.sequence_header(width, height,
+                                  source_stream=plan.video_stream)
         tracks = output_tracks(plan, width, height, frame_dur_ns)
         tracks[0].codec_private = obu_mod.av1c_record(sh)
         try:

@@ -44,6 +44,10 @@ CODEC_PRIVATE = 0x63A2
 VIDEO = 0xE0
 PIXEL_WIDTH = 0xB0
 PIXEL_HEIGHT = 0xBA
+COLOUR = 0x55B0              # HDR/colour metadata (passthrough)
+COLOUR_MATRIX = 0x55B1
+COLOUR_TRANSFER = 0x55BA
+COLOUR_PRIMARIES = 0x55BB
 AUDIO = 0xE1
 SAMPLING_FREQUENCY = 0xB5
 CHANNELS = 0x9F
@@ -117,6 +121,12 @@ class Track:
     sample_rate: float = 0.0
     channels: int = 0
     audio_bit_depth: int = 0
+    # HDR/colour metadata: full Colour element payload for lossless
+    # passthrough, plus the three code points probe surfaces
+    colour_raw: bytes = b""
+    color_primaries: int = 0   # ISO/IEC 23001-8 code points
+    color_transfer: int = 0
+    color_matrix: int = 0
 
     @property
     def codec_type(self) -> str:
@@ -194,6 +204,20 @@ def _parse_track_entry(f: BinaryIO, end: int) -> Track:
                     t.width = ebml.decode_uint(ebml.read_payload(f, sub))
                 elif sub.id == PIXEL_HEIGHT:
                     t.height = ebml.decode_uint(ebml.read_payload(f, sub))
+                elif sub.id == COLOUR:
+                    t.colour_raw = ebml.read_payload(f, sub)
+                    import io as _io
+                    cf = _io.BytesIO(t.colour_raw)
+                    for c in ebml.iter_elements(cf, len(t.colour_raw)):
+                        if c.id == COLOUR_PRIMARIES:
+                            t.color_primaries = ebml.decode_uint(
+                                ebml.read_payload(cf, c))
+                        elif c.id == COLOUR_TRANSFER:
+                            t.color_transfer = ebml.decode_uint(
+                                ebml.read_payload(cf, c))
+                        elif c.id == COLOUR_MATRIX:
+                            t.color_matrix = ebml.decode_uint(
+                                ebml.read_payload(cf, c))
         elif el.id == AUDIO:
             aud_end = el.payload_offset + (el.size or 0)
             f.seek(el.payload_offset)
@@ -458,8 +482,26 @@ def to_probe_result(mkv: MkvFile, total_size: int = 0) -> ProbeResult:
             channels=t.channels,
             sample_rate=t.sample_rate,
         )
+        if t.colour_raw:
+            s.colour_raw = t.colour_raw
+            s.color_primaries = _COLOR_NAMES.get(
+                t.color_primaries, str(t.color_primaries or ""))
+            s.color_transfer = _TRANSFER_NAMES.get(
+                t.color_transfer, str(t.color_transfer or ""))
+            s.color_space = _MATRIX_NAMES.get(
+                t.color_matrix, str(t.color_matrix or ""))
+            s.color_primaries_code = t.color_primaries
+            s.color_transfer_code = t.color_transfer
+            s.color_matrix_code = t.color_matrix
         streams.append(s)
     return ProbeResult(format=fmt, streams=streams)
+
+
+# ISO/IEC 23001-8 code points → ffprobe names (the subset that matters
+# for HDR10 detection; unknown codes fall back to their number)
+_COLOR_NAMES = {1: "bt709", 9: "bt2020"}
+_TRANSFER_NAMES = {1: "bt709", 16: "smpte2084", 18: "arib-std-b67"}
+_MATRIX_NAMES = {1: "bt709", 9: "bt2020nc", 10: "bt2020c"}
 
 
 def probe(file_path: str) -> ProbeResult:

@@ -75,11 +75,17 @@ def _track_entry(t: Track) -> bytes:
     if t.codec_private:
         children.append(ebml.binary_el(CODEC_PRIVATE, t.codec_private))
     if t.track_type == TRACK_TYPE_VIDEO:
-        children.append(ebml.master(
-            VIDEO,
-            ebml.uint_el(PIXEL_WIDTH, t.width),
-            ebml.uint_el(PIXEL_HEIGHT, t.height),
-        ))
+        video_parts = [ebml.uint_el(PIXEL_WIDTH, t.width),
+                       ebml.uint_el(PIXEL_HEIGHT, t.height)]
+        if getattr(t, "colour_raw", b""):
+            # lossless HDR/colour passthrough: re-emit the source's
+            # Colour element verbatim (primaries/transfer/matrix,
+            # MaxCLL/MaxFALL, mastering display metadata)
+            from av1tpu.media.mkv import COLOUR
+            video_parts.append(ebml.encode_id(COLOUR)
+                               + ebml.encode_size(len(t.colour_raw))
+                               + t.colour_raw)
+        children.append(ebml.master(VIDEO, *video_parts))
     elif t.sample_rate or t.channels:
         audio = [ebml.float_el(SAMPLING_FREQUENCY, t.sample_rate or 48000.0),
                  ebml.uint_el(CHANNELS, t.channels or 2)]

@@ -76,6 +76,11 @@ class SequenceHeader:
     seq_profile: int = 0
     seq_level_idx: int = 8        # level 4.0
     use_128x128_superblock: bool = False
+    # ISO/IEC 23001-8 code points (0 = unsignaled); HDR10 sources carry
+    # primaries=9/transfer=16/matrix=9 through from the container probe
+    color_primaries: int = 0
+    color_transfer: int = 0
+    color_matrix: int = 0
 
     def write(self) -> bytes:
         """sequence_header_obu per AV1 spec field layout."""
@@ -113,7 +118,13 @@ class SequenceHeader:
         # color_config
         w.f(1 if self.bit_depth == 10 else 0, 1)  # high_bitdepth
         w.f(0, 1)    # mono_chrome
-        w.f(0, 1)    # color_description_present_flag
+        has_desc = bool(self.color_primaries or self.color_transfer
+                        or self.color_matrix)
+        w.f(1 if has_desc else 0, 1)  # color_description_present_flag
+        if has_desc:
+            w.f(self.color_primaries or 2, 8)   # 2 = unspecified
+            w.f(self.color_transfer or 2, 8)
+            w.f(self.color_matrix or 2, 8)
         w.f(0, 1)    # color_range
         w.f(0, 2)    # chroma_sample_position (420 implied by profile 0)
         w.f(0, 1)    # separate_uv_delta_q
@@ -156,7 +167,9 @@ class SequenceHeader:
         sh.bit_depth = 10 if r.f(1) else 8
         r.f(1)  # mono
         if r.f(1):
-            r.f(8), r.f(8), r.f(8)
+            sh.color_primaries = r.f(8)
+            sh.color_transfer = r.f(8)
+            sh.color_matrix = r.f(8)
         r.f(1)  # color_range
         r.f(2)  # chroma_sample_position
         r.f(1)  # separate_uv_delta_q

@@ -67,6 +67,14 @@ class StreamInfo:
     language: str = ""
     channels: int = 0
     sample_rate: float = 0.0
+    # HDR/colour (ffprobe-shaped names + raw Colour payload passthrough)
+    color_primaries: str = ""
+    color_transfer: str = ""
+    color_space: str = ""
+    colour_raw: bytes = b""
+    color_primaries_code: int = 0   # ISO/IEC 23001-8 code points
+    color_transfer_code: int = 0
+    color_matrix_code: int = 0
 
 
 @dataclasses.dataclass

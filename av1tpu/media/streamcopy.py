@@ -76,7 +76,13 @@ def output_tracks(plan: CopyPlan, width: int, height: int,
     from av1tpu.media.mp4 import NAME_TO_MKV_CODEC_ID
     tracks = [Track(number=1, track_type=TRACK_TYPE_VIDEO, codec_id="V_AV1",
                     width=width, height=height,
-                    default_duration_ns=default_duration_ns)]
+                    default_duration_ns=default_duration_ns,
+                    # HDR/colour metadata survives the re-encode: the
+                    # source's Colour element is re-emitted verbatim on
+                    # the AV1 track (transcode.go:140-145 map_metadata
+                    # analog for video colour)
+                    colour_raw=getattr(plan.video_stream, "colour_raw",
+                                       b""))]
     for s in plan.copied:
         codec_id = None
         if mkv_codec_id_for:

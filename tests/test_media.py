@@ -237,3 +237,50 @@ def test_probe_corrupt_containers_raise_probeerror(tmp_path):
         except ProbeError:
             pass  # acceptable: clean refusal
         # also acceptable: parsed-but-empty results; anything but a crash
+
+
+def test_hdr_colour_passthrough(tmp_path):
+    """HDR10 Colour metadata survives parse → probe → re-mux verbatim,
+    and the probe surfaces ffprobe-shaped names."""
+    from av1tpu.media.mkv import (COLOUR, COLOUR_MATRIX, COLOUR_PRIMARIES,
+                                  COLOUR_TRANSFER)
+    # hand-build a Colour payload: bt2020 primaries, PQ transfer,
+    # bt2020nc matrix, MaxCLL/MaxFALL
+    colour = (ebml.uint_el(COLOUR_PRIMARIES, 9)
+              + ebml.uint_el(COLOUR_TRANSFER, 16)
+              + ebml.uint_el(COLOUR_MATRIX, 9)
+              + ebml.uint_el(0x55BC, 1000)   # MaxCLL
+              + ebml.uint_el(0x55BD, 400))   # MaxFALL
+    src = str(tmp_path / "hdr.mkv")
+    tr = Track(number=1, track_type=mkv.TRACK_TYPE_VIDEO,
+               codec_id="V_MPEGH/ISO/HEVC", width=320, height=240,
+               default_duration_ns=41708333, colour_raw=colour)
+    with open(src, "wb") as f:
+        w = mkv_mux.MkvWriter(f, [tr])
+        w.write_packet(Packet(1, 0, b"x" * 50, True))
+        w.finalize()
+    # parse: raw + decoded code points
+    with open(src, "rb") as f:
+        m = mkv.parse(f)
+    assert m.tracks[0].colour_raw == colour
+    assert (m.tracks[0].color_primaries, m.tracks[0].color_transfer,
+            m.tracks[0].color_matrix) == (9, 16, 9)
+    # probe: ffprobe-shaped names
+    pr = probe_file(src)
+    vs = pr.video_stream
+    assert vs.color_primaries == "bt2020"
+    assert vs.color_transfer == "smpte2084"
+    assert vs.color_space == "bt2020nc"
+    # output-track construction carries it to the AV1 track
+    from av1tpu.media.streamcopy import output_tracks, plan_streams
+    plan = plan_streams(pr)
+    out = output_tracks(plan, 320, 240, 41708333)
+    assert out[0].codec_id == "V_AV1"
+    assert out[0].colour_raw == colour
+    # sequence header signals the code points
+    from av1tpu.media import obu as obu_mod
+    sh = obu_mod.SequenceHeader(width=320, height=240)
+    sh.color_primaries, sh.color_transfer, sh.color_matrix = 9, 16, 9
+    sh2 = obu_mod.SequenceHeader.parse(sh.write())
+    assert (sh2.color_primaries, sh2.color_transfer,
+            sh2.color_matrix) == (9, 16, 9)
