@@ -145,7 +145,8 @@ def _decode_frame(data: bytes, state: DecoderState) -> Frame:
             tx_syms=jnp.asarray(txs), **extra)
         y, u, v = np.asarray(yj), np.asarray(uj), np.asarray(vj)
 
-    state.ref = (y, u, v)
+    if fh.refresh:  # non-reference frames (flash) leave state untouched
+        state.ref = (y, u, v)
     if fh.frame_type == obu_mod.KEY_FRAME:
         state.golden = (y, u, v)
     h, w = fh.height, fh.width

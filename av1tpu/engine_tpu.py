@@ -226,11 +226,41 @@ class TpuEngine:
         self._frame_idx += 1
         return is_key
 
+    def _classify_frame(self, frame: Frame, next_frame) -> str:
+        """Lookahead-1 frame classification: 'key' | 'inter' | 'flash'.
+
+        A flash is a one-frame scene (scene cut whose NEXT frame matches
+        the pre-cut scene): coded as a NON-REFERENCE inter frame
+        (refresh=0) so the following frame predicts from the pre-flash
+        reference — replacing the two consecutive keyframes the plain
+        detector would emit (strobes, lightning, photo flashes)."""
+        keyint = max(1, self.cfg.keyint)
+        thumb = frame.y[::16, ::16].astype(np.int32)
+        prev = self._prev_thumb
+        scale = 1 << (frame.bit_depth - 8)
+        thr = 28.0 * scale
+        cut = (prev is not None and prev.shape == thumb.shape
+               and np.abs(thumb - prev).mean() > thr)
+        forced = (self._ref_dev is None
+                  or (self._frame_idx % keyint == 0))
+        self._frame_idx += 1
+        if cut and not forced and next_frame is not None:
+            nt = next_frame.y[::16, ::16].astype(np.int32)
+            if (nt.shape == thumb.shape
+                    and np.abs(nt - thumb).mean() > thr
+                    and np.abs(nt - prev).mean() <= thr):
+                # detector state stays at the pre-flash frame: the next
+                # frame is compared (and predicted) against it
+                return "flash"
+        self._prev_thumb = thumb
+        return "key" if (forced or cut) else "inter"
+
     def _submit(self, frame: Frame, qindex, force_key: bool = False,
-                is_key: Optional[bool] = None):
+                is_key: Optional[bool] = None, refresh: bool = True):
         """Dispatch one frame to the device; returns an un-materialized
         pending record.  Updates GOP state immediately (recons are device
-        arrays produced by the async computation)."""
+        arrays produced by the async computation).  refresh=False codes
+        a non-reference frame (flash): the GOP reference is untouched."""
         import jax.numpy as jnp
         if is_key is None:
             is_key = self._decide_key(frame, force_key)
@@ -256,18 +286,20 @@ class TpuEngine:
                 tiles, self._use_subpel, self._use_aux_filters,
                 *(self._golden_dev if two else (None, None, None)),
                 use_two_refs=two, use_tx_select=self._use_tx_select)
-            self._ref_dev = out[5:8]
-        return (is_key, qindex, w, h, out, tiles, block, two)
+            if refresh:
+                self._ref_dev = out[5:8]
+        return (is_key, qindex, w, h, out, tiles, block, two, refresh)
 
     @staticmethod
     def _finalize(pending) -> tuple[bytes, bool]:
         """Materialize a pending frame's outputs and entropy-code them."""
-        is_key, qindex, w, h, out, tiles, block, two = pending
+        is_key, qindex, w, h, out, tiles, block, two, refresh = pending
         fh = obu_mod.FrameHeader(
             frame_type=obu_mod.KEY_FRAME if is_key else obu_mod.INTER_FRAME,
             base_q_idx=qindex, width=w, height=h,
             luma_block_log2=block.bit_length() - 1,
-            tile_rows_log2=tiles.bit_length() - 1, two_ref=two)
+            tile_rows_log2=tiles.bit_length() - 1, two_ref=two,
+            refresh=refresh)
         # one batched D2H for every small output (each separate
         # materialization costs a full ~25 ms tunnel round trip)
         import jax as _jax
@@ -444,13 +476,23 @@ class TpuEngine:
                 return [self._finalize(rec)]
             return self._finalize_chunk(rec)
 
-        for frame in frames:
+        # one-frame lookahead drives flash classification
+        cur = next(frames, None)
+        while cur is not None:
+            nxt = next(frames, None)
+            frame = cur
             q = rate.qindex_for(idx) if rate else qindex
             idx += 1
-            if self._decide_key(frame):
+            kind = self._classify_frame(frame, nxt)
+            if kind == "key":
                 flush_buf()  # preserve order: buffered P frames first
                 pending.append(("single",
                                 self._submit(frame, q, is_key=True)))
+            elif kind == "flash":
+                flush_buf()
+                pending.append(("single",
+                                self._submit(frame, q, is_key=False,
+                                             refresh=False)))
             elif K > 1:
                 buf.append((frame, q))
                 if len(buf) == K:
@@ -463,6 +505,7 @@ class TpuEngine:
                     if rate:
                         rate.record(len(payload) * 8)
                     yield payload, is_key
+            cur = nxt
         flush_buf()
         while pending:
             for payload, is_key in finalize_one():

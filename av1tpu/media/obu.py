@@ -11,7 +11,7 @@ Frame header layout (av1tpu profile v1):
   frame_type f(2) · show_frame f(1) · base_q_idx f(8) ·
   frame_width_minus_1 f(16) · frame_height_minus_1 f(16) ·
   luma_block_log2 f(3) · cdef_on f(1) · lr_mode f(2) ·
-  tile_rows_log2 f(2) · two_ref f(1) · trailing_bits
+  tile_rows_log2 f(2) · two_ref f(1) · refresh f(1) · trailing_bits
 
 Tile payload: tiles 0..T−2 are prefixed with a leb128 byte size; the last
 tile runs to the end of the OBU.  Tiles split the frame into equal
@@ -189,6 +189,9 @@ class FrameHeader:
     lr_mode: int = 0        # loop restoration preset (kernels/restoration)
     tile_rows_log2: int = 0  # frame splits into 2^n independent tile rows
     two_ref: bool = False   # inter tiles carry per-block ref select
+    refresh: bool = True    # frame becomes the next "last" reference
+    # (refresh=0 = non-reference frame, e.g. a one-frame scene flash:
+    # the AV1 refresh_frame_flags analog)
 
     def write(self) -> bytes:
         w = BitWriter()
@@ -202,6 +205,7 @@ class FrameHeader:
         w.f(self.lr_mode, 2)
         w.f(self.tile_rows_log2, 2)
         w.f(1 if self.two_ref else 0, 1)
+        w.f(1 if self.refresh else 0, 1)
         w.trailing_bits()
         return w.bytes()
 
@@ -220,6 +224,7 @@ class FrameHeader:
         fh.lr_mode = r.f(2)
         fh.tile_rows_log2 = r.f(2)
         fh.two_ref = bool(r.f(1))
+        fh.refresh = bool(r.f(1))
         if r.f(1) != 1:
             raise ValueError("bad trailing bit in frame header")
         r.byte_align()

@@ -283,7 +283,9 @@ def test_chunked_stream_bit_identical_and_decodable():
     a, b = run(1), run(4)
     assert len(a) == len(b) == 10
     assert [k for _, k in b] == [k for _, k in a]
-    assert sum(k for _, k in b) >= 2  # initial key + scene-cut key
+    # the single inverted frame is a FLASH (non-ref inter), not a
+    # scene-cut keyframe: only the stream-opening key remains
+    assert sum(k for _, k in b) == 1
     assert all(x == y for (x, _), (y, _) in zip(a, b))
 
     # chunked stream decodes bit-exactly against the encoder recon
@@ -377,3 +379,49 @@ def test_tx_type_signaling_roundtrip():
         out = dec_mod.decode_frame_payload(p, state)
     enc_y = np.asarray(eng._ref[0])[:128, :192]
     assert np.array_equal(enc_y, out.y.astype(np.int32))
+
+
+def test_flash_frame_non_reference():
+    """A one-frame scene flash is coded as a NON-reference inter frame
+    (refresh=0) instead of two keyframes; the next frame predicts from
+    the pre-flash reference."""
+    from av1tpu.media import obu as obu_mod
+    frames = [make_testsrc(192, 128, i) for i in range(10)]
+    flash = make_testsrc(192, 128, 6)
+    flash.y[:] = 255 - flash.y
+    frames[6] = flash
+    eng = TpuEngine()
+    eng.cfg.keyint = 120
+    eng.start_stream()
+    payloads = list(eng.encode_stream(frames, 96))
+    keys = sum(1 for _p, k in payloads if k)
+    assert keys == 1  # no scene-cut double-key around the flash
+    fh6, _ = obu_mod.FrameHeader.parse(
+        obu_mod.parse_obus(payloads[6][0])[0][1])
+    fh7, _ = obu_mod.FrameHeader.parse(
+        obu_mod.parse_obus(payloads[7][0])[0][1])
+    assert not fh6.refresh          # the flash is a non-reference frame
+    assert fh7.refresh
+    assert len(payloads[7][0]) < len(payloads[6][0]) / 2  # cheap resume
+    # whole stream decodes bit-exactly (decoder skips the ref update)
+    state = dec_mod.DecoderState()
+    state.seq = eng.sequence_header(192, 128)
+    for p, _k in payloads:
+        out = dec_mod.decode_frame_payload(p, state)
+    enc_y = np.asarray(eng._ref[0])[:128, :192]
+    assert np.array_equal(enc_y, out.y.astype(np.int32))
+
+
+def test_persistent_scene_cut_still_keys():
+    """A REAL scene change (persists beyond one frame) still forces a
+    keyframe — the flash classifier only suppresses one-frame events."""
+    frames = [make_testsrc(192, 128, i) for i in range(8)]
+    for i in range(5, 8):  # scene changes at 5 and stays changed
+        frames[i].y[:] = 255 - frames[i].y
+    eng = TpuEngine()
+    eng.cfg.keyint = 120
+    eng.start_stream()
+    payloads = list(eng.encode_stream(frames, 96))
+    kinds = [k for _, k in payloads]
+    assert kinds[0] is True and kinds[5] is True  # opening + scene key
+    assert sum(kinds) == 2
