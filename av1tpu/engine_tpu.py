@@ -443,12 +443,8 @@ class TpuEngine:
         first = next(frames, None)
         if first is None:
             return
-        # cap the chunk so K x frame-samples stays inside the validated
-        # compile envelope (4 x 1080p at 8-bit): oversized lax.scan
-        # programs at 4K have crashed XLA compilation on this platform
-        budget = 4 * 1920 * 1088
-        px = first.width * first.height * (2 if first.bit_depth > 8 else 1)
-        K = max(1, min(K, budget // max(1, px)))
+        K = min(K, self._chunk_cap(first.width, first.height,
+                                   first.bit_depth))
         import itertools
         frames = itertools.chain([first], frames)
         pending = deque()  # entries: ("single", rec) | ("chunk", rec)
@@ -594,6 +590,75 @@ class TpuEngine:
         """Startup self-test payload (VerifyFFmpeg analog)."""
         return self.encode_keyframe(frame, qindex=96)
 
+    @staticmethod
+    def _chunk_cap(width: int, height: int, bit_depth: int) -> int:
+        """Largest legal chunk for a frame size: K x frame-samples must
+        stay inside the validated compile envelope (4 x 1080p at
+        8-bit) — oversized lax.scan programs at 4K have crashed XLA
+        compilation on this platform."""
+        budget = 4 * 1920 * 1088
+        px = width * height * (2 if bit_depth > 8 else 1)
+        return max(1, budget // max(1, px))
+
+    def _prewarm(self, width: int, height: int, bit_depth: int = 8):
+        """Compile this job's program shapes CONCURRENTLY before the
+        encode loop: distinct XLA programs compile in parallel on the
+        axon platform (measured 99 s sequential -> 18 s parallel for
+        two fresh shapes), so the daemon's cold-start latency divides
+        by roughly the shape count."""
+        import threading
+
+        import jax.numpy as jnp
+        dt = np.uint8 if bit_depth == 8 else np.uint16
+        fr = Frame(y=np.zeros((height, width), dt),
+                   u=np.zeros((height // 2, width // 2), dt),
+                   v=np.zeros((height // 2, width // 2), dt))
+        block = self._block_for(fr)
+        yp, up, vp = self._pad_planes(fr, block)
+        hp, wp = yp.shape
+        hc, wc = up.shape
+        tiles = self._tile_rows_for(hp, block)
+        bd = bit_depth
+        dc, ac = quant.dc_q(96, bd), quant.ac_q(96, bd)
+        K = min(max(1, int(getattr(self.cfg, "chunk", 1))),
+                self._chunk_cap(width, height, bd))
+        two = self._use_two_refs
+        zy = jnp.zeros((hp, wp), dt)
+        zc = jnp.zeros((hc, wc), dt)
+
+        def warm_key():
+            out = intra_frame.encode_key_frame_v2(
+                zy, zc, zc, dc, ac, 96, block, bd, tiles)
+            np.asarray(out[12])
+
+        def warm_single():
+            out = inter_frame.encode_inter_frame_v2(
+                zy, zc, zc, zy, zc, zc, dc, ac, 96, block, bd, tiles,
+                self._use_subpel, self._use_aux_filters,
+                *((zy, zc, zc) if two else (None, None, None)),
+                use_two_refs=two, use_tx_select=self._use_tx_select)
+            np.asarray(out[12])
+
+        def warm_chunk():
+            ys = jnp.zeros((K, hp, wp), dt)
+            cs = jnp.zeros((K, hc, wc), dt)
+            qs = jnp.full((K,), 96, jnp.int32)
+            dcs = jnp.full((K,), dc, jnp.int32)
+            acs = jnp.full((K,), ac, jnp.int32)
+            out = inter_frame.encode_inter_chunk_v2(
+                ys, cs, cs, zy, zc, zc, dcs, acs, qs, block, bd, tiles,
+                self._use_subpel, self._use_aux_filters,
+                *((zy, zc, zc) if two else (None, None, None)),
+                use_two_refs=two, use_tx_select=self._use_tx_select)
+            np.asarray(out[12])
+
+        jobs = [warm_key, warm_single] + ([warm_chunk] if K > 1 else [])
+        threads = [threading.Thread(target=j, daemon=True) for j in jobs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
     # ------------------------------------------------------------------
     # source decode (cv2-based pixel path)
 
@@ -722,6 +787,9 @@ class TpuEngine:
 
         records = list(resumed)
         n_new = 0
+        # compile this job's program shapes in parallel before frames
+        # start flowing (cold-start latency divides by ~shape count)
+        self._prewarm(width, height, first.bit_depth)
         self.start_stream()  # resume point opens a fresh GOP (keyframe)
         try:
             for payload, is_key in self.encode_stream(
