@@ -39,6 +39,9 @@ def main() -> int:
     # warmup covers both program shapes the timed region uses: the
     # keyframe jit and the chunked (lax.scan over cfg.chunk P frames)
     # jit.  timed is a multiple of cfg.chunk so no third shape compiles.
+    # _prewarm compiles the shapes in parallel threads first (distinct
+    # XLA programs compile concurrently; large wall-clock win).
+    engine._prewarm(width, height, 8)
     for _ in engine.encode_stream(frames[:warmup], 96):
         pass
 
