@@ -87,7 +87,9 @@ def test_transcode_strips_russian_and_applies_ladder(multitrack_source,
     obus = obu_mod.parse_obus(first.data)
     fh, _ = obu_mod.FrameHeader.parse(
         [p for t, p in obus if t == obu_mod.OBU_FRAME][0])
-    assert fh.base_q_idx == 100  # ladder point for <1080p
+    # ladder point for <1080p is qindex 100; keyframes carry the
+    # GOP-reference quality boost of 8 (engine_tpu encode_stream)
+    assert fh.base_q_idx == 100 - 8
 
     # copied audio payloads intact
     with open(out, "rb") as f:
