@@ -278,3 +278,102 @@ def encode_inter_frame_sharded_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8,
     return _encode_v2_sharded_impl(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8,
                                    ref_v_u8, dc_step, ac_step, qindex,
                                    block, bit_depth, _MeshHolder(mesh))
+
+
+# ---------------------------------------------------------------------------
+# v2 sharded KEYFRAME pipeline: per-device stripe wavefronts (keyframes
+# have no cross-stripe dependencies at all — intra prediction never
+# crosses tile rows — so no halo exchange is needed; only the filter
+# gates are frame-global, via psum, exactly like the inter path)
+
+@functools.partial(jax.jit, static_argnames=("block", "bit_depth",
+                                             "mesh_holder"))
+def _encode_key_sharded_impl(y, u, v, dc_step, ac_step, qindex,
+                             block: int, bit_depth: int, mesh_holder):
+    from av1tpu.encoder.core import intra_frame as KF
+    from av1tpu.encoder.kernels import cdef as cdef_mod
+    from av1tpu.encoder.kernels import deblock as db_mod
+    from av1tpu.encoder.kernels import restoration as lr_mod
+
+    mesh = mesh_holder.mesh
+    n = block
+    cn = n // 2
+    maxval = (1 << bit_depth) - 1
+
+    def step(y_l, u_l, v_l):
+        y_i = y_l.astype(jnp.int32)
+        u_i = u_l.astype(jnp.int32)
+        v_i = v_l.astype(jnp.int32)
+        modes = KF.decide_modes(y_i, n, bit_depth)
+        dummy = jnp.zeros((1, 1), jnp.int32)
+        lv_y, rec_y = KF._commit(y_i, dummy, modes, dc_step, ac_step, n,
+                                 decode=False, bit_depth=bit_depth)
+        lv_u, rec_u = KF._commit(u_i, dummy, modes, dc_step, ac_step, cn,
+                                 decode=False, bit_depth=bit_depth)
+        lv_v, rec_v = KF._commit(v_i, dummy, modes, dc_step, ac_step, cn,
+                                 decode=False, bit_depth=bit_depth)
+
+        out_y = db_mod.deblock_plane(rec_y, n, qindex, bit_depth)
+        out_u = db_mod.deblock_plane(rec_u, cn, qindex, bit_depth)
+        out_v = db_mod.deblock_plane(rec_v, cn, qindex, bit_depth)
+        cdef_y = cdef_mod.cdef_plane(out_y, qindex, bit_depth)
+        cdef_u = cdef_mod.cdef_plane(out_u, qindex, bit_depth,
+                                     is_chroma=True)
+        cdef_v = cdef_mod.cdef_plane(out_v, qindex, bit_depth,
+                                     is_chroma=True)
+        # frame-global gates on the shared 4x4-subsampled metric grid
+        yf = y_i[::4, ::4].astype(jnp.float32)
+        e_off = jax.lax.psum(jnp.sum(
+            (out_y[::4, ::4].astype(jnp.float32) - yf) ** 2), AXIS)
+        e_on = jax.lax.psum(jnp.sum(
+            (cdef_y[::4, ::4].astype(jnp.float32) - yf) ** 2), AXIS)
+        cdef_on = e_on < e_off
+        out_y = cdef_mod.select(cdef_on, cdef_y, out_y)
+        out_u = cdef_mod.select(cdef_on, cdef_u, out_u)
+        out_v = cdef_mod.select(cdef_on, cdef_v, out_v)
+        lr_costs = []
+        for m in range(lr_mod.N_MODES):
+            cand = lr_mod.apply_restoration(out_y[::4, ::4], m, maxval)
+            lr_costs.append(jax.lax.psum(jnp.sum(
+                (cand.astype(jnp.float32) - yf) ** 2), AXIS))
+        lr_mode = jnp.argmin(jnp.stack(lr_costs)).astype(jnp.int32)
+        out_y = lr_mod.apply_restoration_dynamic(out_y, lr_mode, maxval)
+        out_u = lr_mod.apply_restoration_dynamic(out_u, lr_mode, maxval)
+        out_v = lr_mod.apply_restoration_dynamic(out_v, lr_mode, maxval)
+
+        skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1)
+                 & (lv_v == 0).all(1))
+        out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
+        return (modes.astype(jnp.uint8),
+                lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
+                lv_v.astype(jnp.int16), skips,
+                out_y.astype(out_dtype), out_u.astype(out_dtype),
+                out_v.astype(out_dtype), lr_mode, cdef_on)
+
+    sp = P(AXIS, None)
+    sb = P(AXIS, None)
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(sp,) * 3,
+        out_specs=(P(AXIS), sb, sb, sb, P(AXIS), sp, sp, sp, P(), P()),
+        check_vma=False,
+    )
+    return fn(y, u, v)
+
+
+def encode_key_frame_sharded_v2(y_u8, u_u8, v_u8, dc_step, ac_step,
+                                qindex, block: int, mesh: Mesh,
+                                bit_depth: int = 8):
+    """Full-featured sharded keyframe encode: each device stripe runs an
+    independent intra wavefront (= one bitstream tile) with per-stripe
+    deblock/CDEF/restoration and psum'd frame-global gates.  Output is
+    bit-identical to encode_key_frame_v2 with tile_rows = n_devices
+    (same layout minus the sparse pack; stripe-major == raster)."""
+    n_dev = mesh.devices.size
+    h = y_u8.shape[0]
+    if h % (n_dev * block):
+        raise ValueError(f"luma height {h} not divisible by "
+                         f"n_devices*block = {n_dev * block}")
+    return _encode_key_sharded_impl(y_u8, u_u8, v_u8, dc_step, ac_step,
+                                    qindex, block, bit_depth,
+                                    _MeshHolder(mesh))

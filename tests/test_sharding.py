@@ -102,3 +102,34 @@ def test_sharded_v2_full_pipeline(mesh8):
     np.testing.assert_array_equal(s_out[0], m_out[0])  # mvs
     assert int(s_out[8]) == int(m_out[8])              # lr_mode
     assert bool(s_out[9]) == bool(m_out[9])            # cdef gate
+
+
+def test_sharded_keyframe_bit_identical(mesh8):
+    """Sharded keyframe encode (per-device stripe wavefronts, psum'd
+    gates) must be bit-identical to the single-chip encoder with
+    tile_rows = n_devices."""
+    import jax.numpy as jnp
+    from av1tpu.encoder import quant
+    from av1tpu.encoder.core import intra_frame
+    rng = np.random.default_rng(7)
+    H, W, n = 256, 192, 16  # 8 stripes of 2 block rows
+    y = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    dc, ac = quant.dc_q(96), quant.ac_q(96)
+
+    s_out = sharding.encode_key_frame_sharded_v2(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dc, ac, 96, n,
+        mesh8)
+    m_out = intra_frame.encode_key_frame_v2(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dc, ac, 96, n,
+        8, 8)  # tile_rows = 8
+
+    np.testing.assert_array_equal(np.asarray(s_out[0]),
+                                  np.asarray(m_out[0]))  # modes
+    np.testing.assert_array_equal(np.asarray(s_out[1]),
+                                  np.asarray(m_out[1]))  # luma levels
+    np.testing.assert_array_equal(np.asarray(s_out[5]),
+                                  np.asarray(m_out[5]))  # recon y
+    assert int(s_out[8]) == int(m_out[8])                # lr_mode
+    assert bool(s_out[9]) == bool(m_out[9])              # cdef gate
