@@ -80,6 +80,22 @@ def pad_plane(plane: np.ndarray, block: int) -> np.ndarray:
 def decide_modes(src: jnp.ndarray, block: int,
                  bit_depth: int = 8) -> jnp.ndarray:
     """Dense all-mode SSE argmin using source neighbors.  src: (Hp, Wp)."""
+    return jnp.argmin(_mode_sse(src, block, bit_depth),
+                      axis=1).astype(jnp.int32)
+
+
+def decide_uv_modes(u: jnp.ndarray, v: jnp.ndarray, block: int,
+                    bit_depth: int = 8) -> jnp.ndarray:
+    """Chroma mode decision: U and V share one mode per block (AV1
+    uv_mode), chosen by the summed SSE over both planes."""
+    sse = _mode_sse(u, block, bit_depth) + _mode_sse(v, block, bit_depth)
+    return jnp.argmin(sse, axis=1).astype(jnp.int32)
+
+
+def _mode_sse(src: jnp.ndarray, block: int,
+              bit_depth: int = 8) -> jnp.ndarray:
+    """Per-block per-mode prediction SSE using source neighbors:
+    (B, n_modes) float-free int32."""
     hp, wp = src.shape
     rows, cols = hp // block, wp // block
     n = block
@@ -101,8 +117,7 @@ def decide_modes(src: jnp.ndarray, block: int,
     blocks = (src.astype(jnp.int32).reshape(rows, n, cols, n)
               .transpose(0, 2, 1, 3).reshape(-1, n, n))
     preds = intra.predict_all_modes_v2(above_ext, left, corner, n)
-    sse = jnp.sum((preds - blocks[:, None]) ** 2, axis=(2, 3))
-    return jnp.argmin(sse, axis=1).astype(jnp.int32)  # (B,)
+    return jnp.sum((preds - blocks[:, None]) ** 2, axis=(2, 3))  # (B, M)
 
 
 def _commit(src, levels_in, modes, dc_step, ac_step, block, *, decode,
@@ -249,6 +264,16 @@ def _decide_modes_tiled(plane, n: int, tiles: int, bit_depth: int):
     return m.reshape(-1)
 
 
+def _decide_uv_modes_tiled(u, v, cn: int, tiles: int, bit_depth: int):
+    if tiles <= 1:
+        return decide_uv_modes(u, v, cn, bit_depth)
+    hc, wc = u.shape
+    su = u.reshape(tiles, hc // tiles, wc)
+    sv = v.reshape(tiles, hc // tiles, wc)
+    m = jax.vmap(lambda a, b: decide_uv_modes(a, b, cn, bit_depth))(su, sv)
+    return m.reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "bit_depth",
                                              "tile_rows"))
 def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
@@ -266,15 +291,16 @@ def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
     v = v_u8.astype(jnp.int32)
     T = tile_rows
     modes = _decide_modes_tiled(y, n, T, bit_depth)
-    # chroma prediction reuses the luma mode per block (same grid): the
-    # directional structure usually matches, and DC-only chroma was the
-    # main reason P-frames right after a keyframe cost ~2x (weak chroma
-    # reference).  uv modes are still coded explicitly in the tile.
+    # chroma gets its own mode decision (AV1's uv_mode): U and V share
+    # one mode per block, chosen by the summed SSE over both planes —
+    # chroma structure often diverges from luma (flat chroma under
+    # textured luma picks DC instead of inheriting a directional mode)
+    uv_modes = _decide_uv_modes_tiled(u, v, cn, T, bit_depth)
     lv_y, rec_y = _commit_tiled(y, modes, dc_step, ac_step, n, T,
                                 bit_depth)
-    lv_u, rec_u = _commit_tiled(u, modes, dc_step, ac_step, cn, T,
+    lv_u, rec_u = _commit_tiled(u, uv_modes, dc_step, ac_step, cn, T,
                                 bit_depth)
-    lv_v, rec_v = _commit_tiled(v, modes, dc_step, ac_step, cn, T,
+    lv_v, rec_v = _commit_tiled(v, uv_modes, dc_step, ac_step, cn, T,
                                 bit_depth)
     skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1) & (lv_v == 0).all(1))
     from av1tpu.encoder.core.inter_frame import per_tile
@@ -312,4 +338,4 @@ def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
             lv_y16, lv_u16, lv_v16, skips,
             rec_y.astype(out_dtype), rec_u.astype(out_dtype),
             rec_v.astype(out_dtype), lr_mode, cdef_on,
-            sp_mask, sp_vals, sp_count)
+            sp_mask, sp_vals, sp_count, uv_modes.astype(jnp.uint8))

@@ -305,13 +305,14 @@ def _encode_key_sharded_impl(y, u, v, dc_step, ac_step, qindex,
         u_i = u_l.astype(jnp.int32)
         v_i = v_l.astype(jnp.int32)
         modes = KF.decide_modes(y_i, n, bit_depth)
+        uv_modes = KF.decide_uv_modes(u_i, v_i, cn, bit_depth)
         dummy = jnp.zeros((1, 1), jnp.int32)
         lv_y, rec_y = KF._commit(y_i, dummy, modes, dc_step, ac_step, n,
                                  decode=False, bit_depth=bit_depth)
-        lv_u, rec_u = KF._commit(u_i, dummy, modes, dc_step, ac_step, cn,
-                                 decode=False, bit_depth=bit_depth)
-        lv_v, rec_v = KF._commit(v_i, dummy, modes, dc_step, ac_step, cn,
-                                 decode=False, bit_depth=bit_depth)
+        lv_u, rec_u = KF._commit(u_i, dummy, uv_modes, dc_step, ac_step,
+                                 cn, decode=False, bit_depth=bit_depth)
+        lv_v, rec_v = KF._commit(v_i, dummy, uv_modes, dc_step, ac_step,
+                                 cn, decode=False, bit_depth=bit_depth)
 
         out_y = db_mod.deblock_plane(rec_y, n, qindex, bit_depth)
         out_u = db_mod.deblock_plane(rec_u, cn, qindex, bit_depth)
@@ -348,14 +349,16 @@ def _encode_key_sharded_impl(y, u, v, dc_step, ac_step, qindex,
                 lv_y.astype(jnp.int16), lv_u.astype(jnp.int16),
                 lv_v.astype(jnp.int16), skips,
                 out_y.astype(out_dtype), out_u.astype(out_dtype),
-                out_v.astype(out_dtype), lr_mode, cdef_on)
+                out_v.astype(out_dtype), lr_mode, cdef_on,
+                uv_modes.astype(jnp.uint8))
 
     sp = P(AXIS, None)
     sb = P(AXIS, None)
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(sp,) * 3,
-        out_specs=(P(AXIS), sb, sb, sb, P(AXIS), sp, sp, sp, P(), P()),
+        out_specs=(P(AXIS), sb, sb, sb, P(AXIS), sp, sp, sp, P(), P(),
+                   P(AXIS)),
         check_vma=False,
     )
     return fn(y, u, v)

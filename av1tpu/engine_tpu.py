@@ -304,13 +304,13 @@ class TpuEngine:
         # materialization costs a full ~25 ms tunnel round trip)
         import jax as _jax
         small = [out[0], out[4], out[8], out[9], out[10], out[11], out[12]]
-        if not is_key:
-            small.append(out[14])   # luma tx selections
+        small.append(out[13] if is_key else out[14])  # uv_modes | txs
         if two:
-            small.append(out[13])
+            small.append(out[13])                     # refs (inter only)
         got = _jax.device_get(tuple(small))
         (first, skips, lr_mode_a, cdef_on_a, sp_mask, sp_vals,
          sp_count) = got[:7]
+        uv_modes = got[7] if is_key else None
         txs = got[7] if not is_key else None
         refs = got[-1] if two else None
         fh.lr_mode = int(lr_mode_a)
@@ -331,7 +331,7 @@ class TpuEngine:
             sl = slice(t * bpt, (t + 1) * bpt)
             if is_key:
                 payloads.append(tile_codec.encode_tile_intra(
-                    skips[sl].astype(np.uint8), first[sl], first[sl],
+                    skips[sl].astype(np.uint8), first[sl], uv_modes[sl],
                     lv_y[sl], lv_u[sl], lv_v[sl], block, block // 2))
             else:
                 payloads.append(tile_codec.encode_tile_inter(
