@@ -486,6 +486,18 @@ class Encoder:
         if cq_level is not None:
             lib.aom_codec_control(self._ctx, AOME_SET_CQ_LEVEL, cq_level)
 
+    def set_option(self, name: str, value: str) -> bool:
+        """aom_codec_set_option (e.g. 'enable-cdef', '0'); True on ok."""
+        self._lib.aom_codec_set_option.restype = ctypes.c_int
+        self._lib.aom_codec_set_option.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+        rc = self._lib.aom_codec_set_option(
+            self._ctx, name.encode(), str(value).encode())
+        return rc == AOM_CODEC_OK
+
+    def set_options(self, opts: dict) -> dict:
+        return {k: self.set_option(k, v) for k, v in opts.items()}
+
     def _drain(self):
         out = []
         it = ctypes.c_void_p(None)

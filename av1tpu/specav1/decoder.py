@@ -1,0 +1,106 @@
+"""Top-level spec-AV1 decoder: temporal units -> frames.
+
+Scope grows with conformance work: KEY/INTRA_ONLY frames first
+(partition/intra/coeffs/recon), then inter.  Loop filters are applied
+when enabled in the frame header; bring-up tests choose streams with
+them off (libaom comparisons then must match exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from av1tpu.specav1 import headers, obu
+from av1tpu.specav1.bits import BitReader
+from av1tpu.specav1.cdfs import FrameContext
+from av1tpu.specav1.tile import TileDecoder
+
+
+class Decoder:
+    def __init__(self):
+        self.seq: headers.SequenceHeader | None = None
+        self.ref_frames: list = [None] * 8
+
+    def decode_tu(self, tu: bytes) -> list:
+        """Decode one temporal unit; returns list of (y, u, v) planes."""
+        out = []
+        for o in obu.parse_obus(tu):
+            if o.type == obu.OBU_SEQUENCE_HEADER:
+                self.seq = headers.parse_sequence_header(o.payload)
+            elif o.type == obu.OBU_FRAME:
+                out.extend(self._decode_frame_obu(o.payload))
+            elif o.type == obu.OBU_FRAME_HEADER:
+                raise NotImplementedError("separate frame header OBUs")
+            elif o.type in (obu.OBU_TEMPORAL_DELIMITER, obu.OBU_PADDING,
+                            obu.OBU_METADATA):
+                continue
+        return out
+
+    def _decode_frame_obu(self, payload: bytes) -> list:
+        assert self.seq is not None, "no sequence header seen"
+        seq = self.seq
+        hdr = headers.parse_frame_header(payload, seq)
+        if hdr.show_existing_frame:
+            return [self.ref_frames[hdr.frame_to_show_map_idx]]
+        if not hdr.frame_is_intra():
+            raise NotImplementedError("inter frames")
+        # byte-align then tile group
+        pos = (hdr.header_bits + 7) & ~7
+        b = BitReader(payload, pos)
+        num_tiles = hdr.tile_cols * hdr.tile_rows
+        tg_start, tg_end = 0, num_tiles - 1
+        if num_tiles > 1:
+            if b.f(1):  # tile_start_and_end_present_flag
+                bits = hdr.tile_cols_log2 + hdr.tile_rows_log2
+                tg_start = b.f(bits)
+                tg_end = b.f(bits)
+        b.byte_align()
+        fc = FrameContext(hdr.base_q_idx)
+        td = TileDecoder(seq, hdr, fc)
+        data = payload[b.pos // 8:]
+        off = 0
+        for tn in range(tg_start, tg_end + 1):
+            tr, tc = tn // hdr.tile_cols, tn % hdr.tile_cols
+            if tn == tg_end:
+                tile_data = data[off:]
+            else:
+                sz = int.from_bytes(
+                    data[off:off + hdr.tile_size_bytes], "little") + 1
+                off += hdr.tile_size_bytes
+                tile_data = data[off:off + sz]
+                off += sz
+            td.decode_tile(tile_data,
+                           hdr.mi_row_starts[tr], hdr.mi_row_starts[tr + 1],
+                           hdr.mi_col_starts[tc], hdr.mi_col_starts[tc + 1])
+        frame = self._finish_frame(td, hdr)
+        for i in range(8):
+            if hdr.refresh_frame_flags & (1 << i):
+                self.ref_frames[i] = frame
+        return [frame] if hdr.show_frame else []
+
+    def _finish_frame(self, td: TileDecoder, hdr) -> tuple:
+        if any(hdr.lf.level):
+            # spec deblocking: required for exact output when enabled
+            raise NotImplementedError(
+                f"loop filter enabled (levels {hdr.lf.level})")
+        if hdr.cdef.bits or any(hdr.cdef.y_pri) or any(hdr.cdef.y_sec[i]
+                                                       for i in range(8)):
+            raise NotImplementedError("CDEF enabled")
+        if hdr.lr.uses_lr:
+            raise NotImplementedError("loop restoration enabled")
+        w, h = hdr.frame_width, hdr.frame_height
+        ssx, ssy = self.seq.subsampling_x, self.seq.subsampling_y
+        cw = (w + ssx) >> ssx
+        ch = (h + ssy) >> ssy
+        y = td.planes[0][:h, :w].copy()
+        u = td.planes[1][:ch, :cw].copy()
+        v = td.planes[2][:ch, :cw].copy()
+        return (y, u, v)
+
+
+def decode_stream(tus) -> list:
+    d = Decoder()
+    frames = []
+    for tu in tus:
+        frames.extend(d.decode_tu(bytes(tu)))
+    return frames

@@ -1,0 +1,789 @@
+"""AV1 tile decoding: partition tree, mode info, residual coefficients,
+block reconstruction (spec §5.11, §7.11-7.13).
+
+Intra (KEY/INTRA_ONLY) path first; inter added on top.  Mirrors the
+spec's pseudocode so symbol-level desyncs can be localized against
+libaom-produced streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from av1tpu.specav1 import recon
+from av1tpu.specav1.msac import SymbolDecoder
+from av1tpu.specav1.headers import FrameHeader, SequenceHeader
+
+# block sizes (w4, h4 in 4x4 units), spec BLOCK_SIZES_ALL order
+BLOCK_SIZES = [
+    (1, 1), (1, 2), (2, 1), (2, 2), (2, 4), (4, 2), (4, 4), (4, 8),
+    (8, 4), (8, 8), (8, 16), (16, 8), (16, 16), (16, 32), (32, 16),
+    (32, 32), (1, 4), (4, 1), (2, 8), (8, 2), (4, 16), (16, 4),
+]
+BLOCK_4X4 = 0
+BLOCK_8X8 = 3
+BLOCK_16X16 = 6
+BLOCK_32X32 = 9
+BLOCK_64X64 = 12
+BLOCK_128X128 = 15
+_SQUARES = {1: BLOCK_4X4, 2: BLOCK_8X8, 4: BLOCK_16X16, 8: BLOCK_32X32,
+            16: BLOCK_64X64, 32: BLOCK_128X128}
+
+(PARTITION_NONE, PARTITION_HORZ, PARTITION_VERT, PARTITION_SPLIT,
+ PARTITION_HORZ_A, PARTITION_HORZ_B, PARTITION_VERT_A, PARTITION_VERT_B,
+ PARTITION_HORZ_4, PARTITION_VERT_4) = range(10)
+
+# intra modes
+(DC_PRED, V_PRED, H_PRED, D45_PRED, D135_PRED, D113_PRED, D157_PRED,
+ D203_PRED, D67_PRED, SMOOTH_PRED, SMOOTH_V_PRED, SMOOTH_H_PRED,
+ PAETH_PRED) = range(13)
+UV_CFL_PRED = 13
+INTRA_MODE_CONTEXT = (0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0)
+
+# tx sizes: (w, h)
+TX_SIZES_ALL = [
+    (4, 4), (8, 8), (16, 16), (32, 32), (64, 64), (4, 8), (8, 4),
+    (8, 16), (16, 8), (16, 32), (32, 16), (32, 64), (64, 32), (4, 16),
+    (16, 4), (8, 32), (32, 8), (16, 64), (64, 16),
+]
+TX_4X4, TX_8X8, TX_16X16, TX_32X32, TX_64X64 = range(5)
+
+# largest rect tx per block size (indices into TX_SIZES_ALL)
+MAX_TX_SIZE_RECT = {
+    BLOCK_4X4: 0, 1: 5, 2: 6, BLOCK_8X8: 1, 4: 7, 5: 8, BLOCK_16X16: 2,
+    7: 9, 8: 10, BLOCK_32X32: 3, 10: 11, 11: 12, BLOCK_64X64: 4,
+    13: 4, 14: 4, BLOCK_128X128: 4, 16: 13, 17: 14, 18: 15, 19: 16,
+    20: 17, 21: 18,
+}
+# split (halving) tx size chain for depth recursion
+SPLIT_TX_SIZE = {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 0, 6: 0, 7: 1, 8: 1,
+                 9: 2, 10: 2, 11: 3, 12: 3, 13: 5, 14: 6, 15: 7, 16: 8,
+                 17: 9, 18: 10}
+
+TX_CLASS_2D, TX_CLASS_HORIZ, TX_CLASS_VERT = 0, 1, 2
+_TX_CLASS = {recon.V_DCT: TX_CLASS_VERT, recon.V_ADST: TX_CLASS_VERT,
+             recon.V_FLIPADST: TX_CLASS_VERT, recon.H_DCT: TX_CLASS_HORIZ,
+             recon.H_ADST: TX_CLASS_HORIZ,
+             recon.H_FLIPADST: TX_CLASS_HORIZ}
+
+_SKIP_CONTEXTS = np.array([
+    [1, 2, 2, 2, 3], [1, 4, 4, 4, 5], [1, 4, 4, 4, 5], [1, 4, 4, 4, 5],
+    [1, 4, 4, 4, 6]], np.int32)
+
+# ext tx sets: set index -> ordered tx types (intra)
+EXT_TX_SET_DTT4_IDTX_1DDCT = (recon.IDTX, recon.DCT_DCT, recon.V_DCT,
+                              recon.H_DCT, recon.ADST_ADST,
+                              recon.ADST_DCT, recon.DCT_ADST)
+EXT_TX_SET_DTT4_IDTX = (recon.IDTX, recon.DCT_DCT, recon.ADST_ADST,
+                        recon.ADST_DCT, recon.DCT_ADST)
+# inter sets
+EXT_TX_SET_ALL16 = (recon.IDTX, recon.V_DCT, recon.H_DCT, recon.V_ADST,
+                    recon.H_ADST, recon.V_FLIPADST, recon.H_FLIPADST,
+                    recon.DCT_DCT, recon.ADST_DCT, recon.DCT_ADST,
+                    recon.FLIPADST_DCT, recon.DCT_FLIPADST,
+                    recon.ADST_ADST, recon.FLIPADST_FLIPADST,
+                    recon.ADST_FLIPADST, recon.FLIPADST_ADST)
+EXT_TX_SET_DTT9_IDTX_1DDCT = (recon.IDTX, recon.V_DCT, recon.H_DCT,
+                              recon.DCT_DCT, recon.ADST_DCT,
+                              recon.DCT_ADST, recon.FLIPADST_DCT,
+                              recon.DCT_FLIPADST, recon.ADST_ADST,
+                              recon.FLIPADST_FLIPADST,
+                              recon.ADST_FLIPADST, recon.FLIPADST_ADST)
+EXT_TX_SET_DCT_IDTX = (recon.IDTX, recon.DCT_DCT)
+
+
+def tx_size_sqr_up(tx: int) -> int:
+    w, h = TX_SIZES_ALL[tx]
+    m = max(w, h)
+    return {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}[m]
+
+
+def tx_size_sqr(tx: int) -> int:
+    w, h = TX_SIZES_ALL[tx]
+    m = min(w, h)
+    return {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}[m]
+
+
+def txsize_entropy_ctx(tx: int) -> int:
+    return min((tx_size_sqr(tx) + tx_size_sqr_up(tx) + 1) >> 1, 4)
+
+
+def _zigzag(w: int, h: int) -> np.ndarray:
+    """Default (diagonal, alternating) scan: array of (row, col)."""
+    out = []
+    for d in range(w + h - 1):
+        cells = [(r, d - r) for r in range(h) if 0 <= d - r < w]
+        # even diagonals run bottom-left -> top-right, odd the reverse
+        cells.sort(key=lambda rc: rc[0], reverse=(d % 2 == 0))
+        out.extend(cells)
+    return np.array(out, np.int32)
+
+
+_scan_cache: dict = {}
+
+
+def get_scan(tx: int, tx_type: int) -> np.ndarray:
+    w, h = TX_SIZES_ALL[tx]
+    w, h = min(w, 32), min(h, 32)
+    cls = _TX_CLASS.get(tx_type, TX_CLASS_2D)
+    key = (w, h, cls)
+    if key not in _scan_cache:
+        if cls == TX_CLASS_2D:
+            sc = _zigzag(w, h)
+        elif cls == TX_CLASS_VERT:
+            # column-class (V_*): scan rows sequentially (row-major)
+            sc = np.array([(r, c) for r in range(h) for c in range(w)],
+                          np.int32)
+        else:
+            sc = np.array([(r, c) for c in range(w) for r in range(h)],
+                          np.int32)
+        _scan_cache[key] = sc
+    return _scan_cache[key]
+
+
+class TileDecoder:
+    def __init__(self, seq: SequenceHeader, hdr: FrameHeader, fc):
+        self.seq = seq
+        self.hdr = hdr
+        self.fc = fc
+        self.bd = seq.bit_depth
+        self.mi_cols = hdr.mi_cols
+        self.mi_rows = hdr.mi_rows
+        self.sb4 = 32 if seq.use_128x128_superblock else 16
+        aw = (hdr.frame_width + 7) & ~7
+        ah = (hdr.frame_height + 7) & ~7
+        dt = np.uint16 if self.bd > 8 else np.uint8
+        cw, ch = aw >> seq.subsampling_x, ah >> seq.subsampling_y
+        self.planes = [np.zeros((ah, aw), dt),
+                       np.zeros((ch, cw), dt),
+                       np.zeros((ch, cw), dt)]
+        # mode-info grids
+        mc, mr = self.mi_cols, self.mi_rows
+        self.y_modes = np.zeros((mr, mc), np.int32)
+        self.uv_modes = np.zeros((mr, mc), np.int32)
+        self.skips = np.zeros((mr, mc), np.int32)
+        self.tx_w4 = np.zeros((mr, mc), np.int32)  # tx width in 4x4 units
+        self.tx_h4 = np.zeros((mr, mc), np.int32)
+        self.mi_size = np.zeros((mr, mc), np.int32)
+
+    # --- per-tile state -------------------------------------------------
+    def decode_tile(self, data: bytes, mrs, mre, mcs, mce):
+        self.r = SymbolDecoder(data)
+        self.mrs, self.mre, self.mcs, self.mce = mrs, mre, mcs, mce
+        n = self.mi_cols
+        self.above_part = np.zeros(n, np.int32)
+        self.above_levels = [np.zeros(n, np.int32) for _ in range(3)]
+        self.above_dcsign = [np.zeros(n, np.int32) for _ in range(3)]
+        self.above_txw = np.full(n, 64, np.int32)
+        for r in range(mrs, mre, self.sb4):
+            self.left_part = np.zeros(self.sb4, np.int32)
+            self.left_levels = [np.zeros(self.sb4, np.int32)
+                                for _ in range(3)]
+            self.left_dcsign = [np.zeros(self.sb4, np.int32)
+                                for _ in range(3)]
+            self.left_txh = np.full(self.sb4, 64, np.int32)
+            self.sb_row = r
+            for c in range(mcs, mce, self.sb4):
+                sb = BLOCK_128X128 if self.seq.use_128x128_superblock \
+                    else BLOCK_64X64
+                self.decode_partition(r, c, sb)
+
+    def _avail(self, r, c):
+        return (self.mrs <= r < self.mre) and (self.mcs <= c < self.mce)
+
+    # --- partition tree -------------------------------------------------
+    def decode_partition(self, r, c, bsize):
+        if r >= self.mre or c >= self.mce:
+            return
+        w4, h4 = BLOCK_SIZES[bsize]
+        half = w4 >> 1
+        has_rows = (r + half) < self.mre
+        has_cols = (c + half) < self.mce
+        bsl = w4.bit_length() - 1  # 8x8 -> 1 ... 128 -> 5
+        if bsize == BLOCK_4X4:
+            part = PARTITION_NONE
+        else:
+            above = int((self.above_part[c] >> bsl) & 1) \
+                if self._avail(r - 1, c) else 0
+            left = int((self.left_part[(r - self.sb_row) & (self.sb4 - 1)]
+                        >> bsl) & 1) if self._avail(r, c - 1) else 0
+            ctx = left * 2 + above
+            cdf = self.fc.partition[bsl - 1][ctx]
+            if has_rows and has_cols:
+                nsyms = {1: 4, 2: 10, 3: 10, 4: 10, 5: 8}[bsl]
+                part = self.r.read_adapt(cdf, nsyms)
+            elif has_cols:
+                split = self._read_split_bool(cdf, bsl, vertical=False)
+                part = PARTITION_SPLIT if split else PARTITION_HORZ
+            elif has_rows:
+                split = self._read_split_bool(cdf, bsl, vertical=True)
+                part = PARTITION_SPLIT if split else PARTITION_VERT
+            else:
+                part = PARTITION_SPLIT
+
+        sub = _partition_subsize(part, bsize)
+        split_sub = _partition_subsize(PARTITION_SPLIT, bsize)
+        if part == PARTITION_NONE:
+            self.decode_block(r, c, sub)
+        elif part == PARTITION_HORZ:
+            self.decode_block(r, c, sub)
+            if has_rows:
+                self.decode_block(r + half, c, sub)
+        elif part == PARTITION_VERT:
+            self.decode_block(r, c, sub)
+            if has_cols:
+                self.decode_block(r, c + half, sub)
+        elif part == PARTITION_SPLIT:
+            self.decode_partition(r, c, split_sub)
+            self.decode_partition(r, c + half, split_sub)
+            self.decode_partition(r + half, c, split_sub)
+            self.decode_partition(r + half, c + half, split_sub)
+        elif part == PARTITION_HORZ_A:
+            self.decode_block(r, c, split_sub)
+            self.decode_block(r, c + half, split_sub)
+            self.decode_block(r + half, c, sub)
+        elif part == PARTITION_HORZ_B:
+            self.decode_block(r, c, sub)
+            self.decode_block(r + half, c, split_sub)
+            self.decode_block(r + half, c + half, split_sub)
+        elif part == PARTITION_VERT_A:
+            self.decode_block(r, c, split_sub)
+            self.decode_block(r + half, c, split_sub)
+            self.decode_block(r, c + half, sub)
+        elif part == PARTITION_VERT_B:
+            self.decode_block(r, c, sub)
+            self.decode_block(r, c + half, split_sub)
+            self.decode_block(r + half, c + half, split_sub)
+        elif part == PARTITION_HORZ_4:
+            q = w4 >> 2
+            for i in range(4):
+                if r + i * q >= self.mre:
+                    break
+                self.decode_block(r + i * q, c, sub)
+        elif part == PARTITION_VERT_4:
+            q = w4 >> 2
+            for i in range(4):
+                if c + i * q >= self.mce:
+                    break
+                self.decode_block(r, c + i * q, sub)
+        # write partition context for this node (SPLIT recursion writes
+        # its own at the leaves)
+        if part != PARTITION_SPLIT:
+            ac, lc = _partition_context(sub)
+            if part in (PARTITION_HORZ_A, PARTITION_VERT_B):
+                pass  # leaves already sized sub/split mix; context uses sub
+            self.above_part[c:c + w4] = ac
+            lr = (r - self.sb_row) & (self.sb4 - 1)
+            self.left_part[lr:lr + h4] = lc
+
+    def _read_split_bool(self, cdf, bsl, vertical):
+        """Edge partitions: derive P(split) by gathering the partition
+        CDF probabilities of all partitions that split in the needed
+        direction (spec partition_gather_vert/horz_alongside)."""
+        nsyms = {1: 4, 2: 10, 3: 10, 4: 10, 5: 8}[bsl]
+        probs = _icdf_to_probs(cdf, nsyms)
+        if not vertical:
+            # hasCols only: need P(bottom half omitted): split-like =
+            # partitions with a vertical boundary: gather
+            # VERT, SPLIT, HORZ_A?? spec: psplit = VERT-ish set
+            members = [PARTITION_VERT, PARTITION_SPLIT, PARTITION_HORZ_A,
+                       PARTITION_VERT_A, PARTITION_VERT_B, PARTITION_VERT_4]
+        else:
+            members = [PARTITION_HORZ, PARTITION_SPLIT, PARTITION_HORZ_A,
+                       PARTITION_HORZ_B, PARTITION_VERT_A, PARTITION_HORZ_4]
+        members = [m for m in members if m < nsyms]
+        psplit = sum(probs[m] for m in members)
+        f = 32768 - psplit  # P(bit==0) with bit==1 meaning split
+        f = min(max(f, 1), 32767)
+        return self.r.decode_bool(f)
+
+    # --- block ----------------------------------------------------------
+    def decode_block(self, r, c, bsize):
+        seq, hdr = self.seq, self.hdr
+        w4, h4 = BLOCK_SIZES[bsize]
+        bw4 = min(w4, self.mi_cols - c)
+        bh4 = min(h4, self.mi_rows - r)
+        avail_u = self._avail(r - 1, c)
+        avail_l = self._avail(r, c - 1)
+        # skip
+        ctx = 0
+        if avail_u:
+            ctx += int(self.skips[r - 1, c])
+        if avail_l:
+            ctx += int(self.skips[r, c - 1])
+        skip = self.r.read_adapt(self.fc.skip[ctx], 2)
+        # intra y mode (keyframe): ctx from above/left modes
+        above_mode = int(self.y_modes[r - 1, c]) if avail_u else DC_PRED
+        left_mode = int(self.y_modes[r, c - 1]) if avail_l else DC_PRED
+        actx = INTRA_MODE_CONTEXT[above_mode]
+        lctx = INTRA_MODE_CONTEXT[left_mode]
+        y_mode = self.r.read_adapt(self.fc.kf_y_mode[actx][lctx], 13)
+        angle_y = 0
+        if bsize >= BLOCK_8X8 and V_PRED <= y_mode <= D67_PRED:
+            angle_y = self.r.read_adapt(
+                self.fc.angle_delta[y_mode - V_PRED], 7) - 3
+        # chroma
+        has_chroma = self._has_chroma(r, c, bsize)
+        uv_mode = DC_PRED
+        angle_uv = 0
+        if has_chroma:
+            cfl_allowed = int(max(BLOCK_SIZES[bsize]) * 4 <= 32)
+            nsyms = 14 if cfl_allowed else 13
+            uv_mode = self.r.read_adapt(
+                self.fc.uv_mode[cfl_allowed][y_mode], nsyms)
+            if uv_mode == UV_CFL_PRED:
+                raise NotImplementedError("CFL")
+            if bsize >= BLOCK_8X8 and V_PRED <= uv_mode <= D67_PRED:
+                angle_uv = self.r.read_adapt(
+                    self.fc.angle_delta[uv_mode - V_PRED], 7) - 3
+        # (palette, filter_intra: disabled by header/seq in scope)
+        # tx size
+        tx = MAX_TX_SIZE_RECT[bsize]
+        if hdr.tx_mode == "TX_MODE_SELECT" and bsize > BLOCK_4X4 \
+                and not skip:
+            tx = self._read_tx_size(r, c, bsize, avail_u, avail_l)
+        elif hdr.tx_mode == "ONLY_4X4":
+            tx = TX_4X4
+        # store mode info
+        self.y_modes[r:r + bh4, c:c + bw4] = y_mode
+        self.uv_modes[r:r + bh4, c:c + bw4] = uv_mode
+        self.skips[r:r + bh4, c:c + bw4] = skip
+        self.mi_size[r:r + bh4, c:c + bw4] = bsize
+        tw, th = TX_SIZES_ALL[tx]
+        self.tx_w4[r:r + bh4, c:c + bw4] = tw >> 2
+        self.tx_h4[r:r + bh4, c:c + bw4] = th >> 2
+        self.above_txw[c:c + bw4] = tw
+        lr = (r - self.sb_row) & (self.sb4 - 1)
+        self.left_txh[lr:lr + bh4] = th
+        # reconstruct + residuals
+        self._predict_and_residual(r, c, bsize, tx, y_mode, uv_mode,
+                                   angle_y, angle_uv, skip)
+
+    def _has_chroma(self, r, c, bsize):
+        if self.seq.mono_chrome:
+            return False
+        w4, h4 = BLOCK_SIZES[bsize]
+        ssx, ssy = self.seq.subsampling_x, self.seq.subsampling_y
+        if w4 == 1 and ssx and (c & 1) == 0:
+            return False
+        if h4 == 1 and ssy and (r & 1) == 0:
+            return False
+        return True
+
+    def _read_tx_size(self, r, c, bsize, avail_u, avail_l):
+        max_rect = MAX_TX_SIZE_RECT[bsize]
+        max_tx_w, max_tx_h = TX_SIZES_ALL[max_rect]
+        w4, h4 = BLOCK_SIZES[bsize]
+        depth_max = _max_tx_depth(bsize)
+        if depth_max == 0:
+            return max_rect
+        above = int(self.above_txw[c]) if avail_u else 64
+        lr = (r - self.sb_row) & (self.sb4 - 1)
+        left = int(self.left_txh[lr]) if avail_l else 64
+        # neighbours that are skipped intra count as max size
+        ctx = int(above >= max_tx_w) + int(left >= max_tx_h)
+        cat = _tx_size_cat(bsize)
+        nsyms = min(depth_max, 2) + 1
+        depth = self.r.read_adapt(self.fc.tx_size[cat][ctx], nsyms)
+        tx = max_rect
+        for _ in range(depth):
+            tx = SPLIT_TX_SIZE[tx]
+        return tx
+
+    # --- residuals & recon ----------------------------------------------
+    def _predict_and_residual(self, r, c, bsize, tx, y_mode, uv_mode,
+                              angle_y, angle_uv, skip):
+        seq = self.seq
+        w4, h4 = BLOCK_SIZES[bsize]
+        bw4 = min(w4, self.mi_cols - c)
+        bh4 = min(h4, self.mi_rows - r)
+        # luma transform blocks in raster order
+        tw, th = TX_SIZES_ALL[tx]
+        x0, y0 = c * 4, r * 4
+        for ty in range(y0, y0 + bh4 * 4, th):
+            for tx_x in range(x0, x0 + bw4 * 4, tw):
+                self._txb(0, tx_x, ty, tx, y_mode, angle_y, skip,
+                          r, c, bsize)
+        if self._has_chroma(r, c, bsize):
+            ssx, ssy = seq.subsampling_x, seq.subsampling_y
+            cw4 = max(bw4 >> ssx, 1)
+            ch4 = max(bh4 >> ssy, 1)
+            ctx_tx = _chroma_tx_size(bsize, ssx, ssy)
+            ctw, cth = TX_SIZES_ALL[ctx_tx]
+            cx0, cy0 = (c >> ssx) * 4, (r >> ssy) * 4
+            for plane in (1, 2):
+                for ty in range(cy0, cy0 + ch4 * 4, cth):
+                    for tx_x in range(cx0, cx0 + cw4 * 4, ctw):
+                        self._txb(plane, tx_x, ty, ctx_tx, uv_mode,
+                                  angle_uv, skip, r, c, bsize)
+
+    def _txb(self, plane, x, y, tx, mode, angle, skip, mi_r, mi_c, bsize):
+        tw, th = TX_SIZES_ALL[tx]
+        frame = self.planes[plane]
+        fh, fw = frame.shape
+        if x >= fw or y >= fh:
+            return
+        # prediction
+        ssx = self.seq.subsampling_x if plane else 0
+        ssy = self.seq.subsampling_y if plane else 0
+        have_left = x > (self.mcs * 4 >> ssx) if True else x > 0
+        have_left = x > ((self.mcs * 4) >> ssx)
+        have_above = y > ((self.mrs * 4) >> ssy)
+        # top-right/bottom-left availability: conservative — allow
+        # within the current reconstructed region
+        n_tr = self._n_top_right(plane, x, y, tw, th, mi_r, mi_c, bsize)
+        n_bl = self._n_bottom_left(plane, x, y, tw, th, mi_r, mi_c, bsize)
+        pred = recon.predict_intra(
+            frame, x, y, tw, th, mode, angle, self.bd,
+            have_left, have_above, n_tr, n_bl)
+        if skip:
+            frame[y:y + th, x:x + tw] = np.clip(
+                pred, 0, (1 << self.bd) - 1).astype(frame.dtype)
+            self._set_ctx(plane, x, y, tw, th, 0, 0)
+            return
+        eob, levels, tx_type, culdc = self._coeffs(plane, x, y, tx, mode)
+        if eob == 0:
+            frame[y:y + th, x:x + tw] = np.clip(
+                pred, 0, (1 << self.bd) - 1).astype(frame.dtype)
+            return
+        hdr = self.hdr
+        if plane == 0:
+            dcd, acd = hdr.delta_q_y_dc, 0
+        elif plane == 1:
+            dcd, acd = hdr.delta_q_u_dc, hdr.delta_q_u_ac
+        else:
+            dcd, acd = hdr.delta_q_v_dc, hdr.delta_q_v_ac
+        dq = recon.dequant_coeffs(levels, hdr.base_q_idx, dcd, acd,
+                                  self.bd, tw, th)
+        out = recon.inv_txfm_add(dq, tx_type, pred, self.bd)
+        frame[y:y + th, x:x + tw] = out.astype(frame.dtype)
+
+    def _n_top_right(self, plane, x, y, tw, th, mi_r, mi_c, bsize):
+        # valid above-right pixels: available if still inside the
+        # already-decoded region on the row above
+        ssy = self.seq.subsampling_y if plane else 0
+        if y <= (self.mrs * 4 >> ssy):
+            return 0
+        # decoded above row extends to the right edge of the SB row
+        # above; within the current SB, to the current block's x + tw
+        return tw  # conservative default refined by oracle testing
+
+    def _n_bottom_left(self, plane, x, y, tw, th, mi_r, mi_c, bsize):
+        return 0
+
+    def _set_ctx(self, plane, x, y, tw, th, cul, dcsign):
+        ssx = self.seq.subsampling_x if plane else 0
+        ssy = self.seq.subsampling_y if plane else 0
+        c4 = (x >> 2) << ssx
+        r4 = (y >> 2) << ssy
+        w4 = (tw >> 2) << ssx
+        h4 = (th >> 2) << ssy
+        self.above_levels[plane][c4:c4 + w4] = min(cul, 63)
+        self.above_dcsign[plane][c4:c4 + w4] = dcsign
+        lr = r4 % self.sb4
+        self.left_levels[plane][lr:lr + h4] = min(cul, 63)
+        self.left_dcsign[plane][lr:lr + h4] = dcsign
+
+    # --- coefficient parsing (spec 5.11.39) -------------------------------
+    def _coeffs(self, plane, x, y, tx, intra_dir):
+        r = self.r
+        fc = self.fc
+        tw, th = TX_SIZES_ALL[tx]
+        cw, ch = min(tw, 32), min(th, 32)
+        ptype = int(plane > 0)
+        txs_ctx = txsize_entropy_ctx(tx)
+        ctx_skip = self._txb_skip_ctx(plane, x, y, tw, th)
+        all_zero = r.read_adapt(fc.txb_skip[txs_ctx][ctx_skip], 2)
+        if all_zero:
+            self._set_ctx(plane, x, y, tw, th, 0, 0)
+            return 0, None, recon.DCT_DCT, 0
+        # transform type
+        tx_type = recon.DCT_DCT
+        if plane == 0:
+            tx_type = self._read_tx_type(tx, intra_dir)
+            self._last_luma_txtype = tx_type
+        else:
+            tx_type = getattr(self, "_last_luma_txtype", recon.DCT_DCT)
+            if max(tw, th) == 32:
+                if tx_type != recon.DCT_DCT:
+                    tx_type = recon.DCT_DCT if tx_type != recon.IDTX \
+                        else recon.IDTX
+        tx_class = _TX_CLASS.get(tx_type, TX_CLASS_2D)
+        # eob
+        eob_size = cw * ch
+        eob_cdf = fc.eob_pt[eob_size]
+        eob_multi_ctx = 0 if tx_class == TX_CLASS_2D else 1
+        nsyms = eob_cdf.shape[-1] - 1
+        t = r.read_adapt(eob_cdf[ptype][eob_multi_ctx], nsyms) + 1
+        if t < 2:
+            eob = t
+        else:
+            eob = (1 << (t - 2)) + 1
+            if t >= 3:
+                extra = r.read_adapt(
+                    fc.eob_extra[txs_ctx][ptype][t - 3], 2)
+                eob += extra << (t - 3)
+                for i in range(1, t - 2):
+                    eob += r.read_literal(1) << (t - 3 - i)
+        scan = get_scan(tx, tx_type)
+        levels = np.zeros((ch + 4, cw + 4), np.int32)  # padded
+        vals = np.zeros((ch, cw), np.int64)
+        bwl = cw.bit_length() - 1
+        # reverse scan: base (+br)
+        for si in range(eob - 1, -1, -1):
+            rr, cc = int(scan[si][0]), int(scan[si][1])
+            if si == eob - 1:
+                cec = _base_eob_ctx(si, cw, ch)
+                lvl = r.read_adapt(
+                    fc.coeff_base_eob[txs_ctx][ptype][cec], 3) + 1
+            else:
+                bctx = _base_ctx(levels, rr, cc, si, bwl, tx_class)
+                lvl = r.read_adapt(
+                    fc.coeff_base[txs_ctx][ptype][bctx], 4)
+            if lvl > 2:
+                brctx = _br_ctx(levels, rr, cc, si, tx_class)
+                for _ in range(4):
+                    k = r.read_adapt(fc.coeff_br[
+                        min(txs_ctx, 3)][ptype][brctx], 4)
+                    lvl += k
+                    if k < 3:
+                        break
+            levels[rr, cc] = min(lvl, 127)
+            vals[rr, cc] = lvl
+        # forward scan: signs + golomb
+        culdc = 0
+        cul = 0
+        for si in range(eob):
+            rr, cc = int(scan[si][0]), int(scan[si][1])
+            lvl = int(vals[rr, cc])
+            if lvl == 0:
+                continue
+            if si == 0:
+                sctx = self._dc_sign_ctx(plane, x, y, tw, th)
+                sign = r.read_adapt(fc.dc_sign[ptype][sctx], 2)
+            else:
+                sign = r.read_literal(1)
+            if lvl > 14:
+                lvl += _read_golomb(r)
+            vals[rr, cc] = -lvl if sign else lvl
+            cul += lvl
+            if si == 0:
+                culdc = -1 if sign else 1
+        cul = min(cul, 63)
+        self._set_ctx(plane, x, y, tw, th, cul, culdc)
+        # place coded 32x32 region into full tx block
+        full = np.zeros((th, tw), np.int64)
+        full[:ch, :cw] = vals
+        return eob, full, tx_type, culdc
+
+    def _read_tx_type(self, tx, intra_dir):
+        sq_up = tx_size_sqr_up(tx)
+        if sq_up > 2 or self.hdr.base_q_idx == 0:
+            return recon.DCT_DCT
+        if self.hdr.reduced_tx_set:
+            txset = EXT_TX_SET_DTT4_IDTX
+            set_idx = 2
+        else:
+            txset = EXT_TX_SET_DTT4_IDTX_1DDCT
+            set_idx = 1
+        sqr = tx_size_sqr(tx)
+        sym = self.r.read_adapt(
+            self.fc.intra_ext_tx[set_idx][sqr][intra_dir], len(txset))
+        return txset[sym]
+
+    def _txb_skip_ctx(self, plane, x, y, tw, th):
+        ssx = self.seq.subsampling_x if plane else 0
+        ssy = self.seq.subsampling_y if plane else 0
+        c4 = (x >> 2) << ssx
+        r4 = (y >> 2) << ssy
+        w4 = (tw >> 2) << ssx
+        h4 = (th >> 2) << ssy
+        a = self.above_levels[plane][c4:c4 + w4]
+        lr = r4 % self.sb4
+        ll = self.left_levels[plane][lr:lr + h4]
+        if plane == 0:
+            bsize = int(self.mi_size[min(y >> 2, self.mi_rows - 1),
+                                     min(x >> 2, self.mi_cols - 1)])
+            bw4, bh4 = BLOCK_SIZES[bsize]
+            if bw4 * 4 == tw and bh4 * 4 == th:
+                return 0
+            top = int(min(a.max(initial=0), 4))
+            left = int(min(ll.max(initial=0), 4))
+            mx = min(top | left, 4)
+            mn = min(min(top, left), 4)
+            return int(_SKIP_CONTEXTS[mn][mx])
+        above_nz = int((a != 0).any())
+        left_nz = int((ll != 0).any())
+        bsize = int(self.mi_size[min((y << ssy) >> 2, self.mi_rows - 1),
+                                 min((x << ssx) >> 2, self.mi_cols - 1)])
+        bw4, bh4 = BLOCK_SIZES[bsize]
+        cbw = max(bw4 >> ssx, 1) * 4
+        cbh = max(bh4 >> ssy, 1) * 4
+        offset = 7 if (cbw * cbh <= tw * th) else 10
+        return offset + above_nz + left_nz
+
+    def _dc_sign_ctx(self, plane, x, y, tw, th):
+        ssx = self.seq.subsampling_x if plane else 0
+        ssy = self.seq.subsampling_y if plane else 0
+        c4 = (x >> 2) << ssx
+        r4 = (y >> 2) << ssy
+        w4 = (tw >> 2) << ssx
+        h4 = (th >> 2) << ssy
+        s = int(self.above_dcsign[plane][c4:c4 + w4].sum())
+        lr = r4 % self.sb4
+        s += int(self.left_dcsign[plane][lr:lr + h4].sum())
+        if s < 0:
+            return 1
+        if s > 0:
+            return 2
+        return 0
+
+
+def _read_golomb(r) -> int:
+    length = 0
+    while True:
+        bit = r.read_literal(1)
+        length += 1
+        if bit or length > 20:
+            break
+    x = 1
+    for _ in range(length - 1):
+        x = (x << 1) | r.read_literal(1)
+    return x - 1
+
+
+def _base_eob_ctx(si, cw, ch):
+    if si == 0:
+        return 0
+    n = cw * ch
+    if si <= n // 8:
+        return 1
+    if si <= n // 4:
+        return 2
+    return 3
+
+
+def _base_ctx(levels, rr, cc, si, bwl, tx_class):
+    if tx_class == TX_CLASS_2D:
+        mag = (min(int(levels[rr, cc + 1]), 3) +
+               min(int(levels[rr + 1, cc]), 3) +
+               min(int(levels[rr + 1, cc + 1]), 3) +
+               min(int(levels[rr, cc + 2]), 3) +
+               min(int(levels[rr + 2, cc]), 3))
+        ctx = min((mag + 1) >> 1, 4)
+        # position-band offsets extracted from libaom's SIMD LUTs:
+        # r+c = 0 -> 0, 1 -> 1, 2..3 -> 6, >= 4 -> 21
+        if (rr | cc) == 0:
+            return 0
+        if rr + cc < 2:
+            return ctx + 1
+        if rr + cc < 4:
+            return ctx + 6
+        return ctx + 21
+    if tx_class == TX_CLASS_HORIZ:
+        mag = (min(int(levels[rr, cc + 1]), 3) +
+               min(int(levels[rr, cc + 2]), 3) +
+               min(int(levels[rr, cc + 3]), 3))
+        pos = cc
+    else:
+        mag = (min(int(levels[rr + 1, cc]), 3) +
+               min(int(levels[rr + 2, cc]), 3) +
+               min(int(levels[rr + 3, cc]), 3))
+        pos = rr
+    ctx = min((mag + 1) >> 1, 4)
+    # 1D bands: pos 0 -> +26, pos 1 -> +31, pos >= 2 -> +36
+    if pos == 0:
+        return ctx + 26
+    if pos == 1:
+        return ctx + 31
+    return ctx + 36
+
+
+def _br_ctx(levels, rr, cc, si, tx_class):
+    if tx_class == TX_CLASS_2D:
+        mag = (min(int(levels[rr, cc + 1]), 15) +
+               min(int(levels[rr + 1, cc]), 15) +
+               min(int(levels[rr + 1, cc + 1]), 15))
+    elif tx_class == TX_CLASS_HORIZ:
+        mag = (min(int(levels[rr, cc + 1]), 15) +
+               min(int(levels[rr, cc + 2]), 15))
+        mag += min(int(levels[rr, cc + 1]), 15) * 0  # 2 neighbors only
+    else:
+        mag = (min(int(levels[rr + 1, cc]), 15) +
+               min(int(levels[rr + 2, cc]), 15))
+    mag = min((mag + 1) >> 1, 6)
+    if (rr | cc) == 0:
+        return mag
+    if tx_class == TX_CLASS_2D:
+        if rr < 2 and cc < 2:
+            return mag + 7
+        return mag + 14
+    pos = cc if tx_class == TX_CLASS_HORIZ else rr
+    if pos == 0:
+        return mag + 7
+    return mag + 14
+
+
+def _partition_subsize(part, bsize):
+    w4, h4 = BLOCK_SIZES[bsize]
+    if part == PARTITION_NONE:
+        return bsize
+    if part == PARTITION_SPLIT:
+        return _SQUARES[w4 >> 1]
+    if part in (PARTITION_HORZ, PARTITION_HORZ_A, PARTITION_HORZ_B):
+        return _find_bsize(w4, h4 >> 1)
+    if part in (PARTITION_VERT, PARTITION_VERT_A, PARTITION_VERT_B):
+        return _find_bsize(w4 >> 1, h4)
+    if part == PARTITION_HORZ_4:
+        return _find_bsize(w4, h4 >> 2)
+    return _find_bsize(w4 >> 2, h4)
+
+
+def _find_bsize(w4, h4):
+    for i, (w, h) in enumerate(BLOCK_SIZES):
+        if w == w4 and h == h4:
+            return i
+    raise ValueError((w4, h4))
+
+
+def _partition_context(bsize):
+    """(above, left) partition-context bytes for a just-decoded block:
+    bit bsl is set iff the block dimension is STRICTLY smaller than the
+    partition size being read (empirically pinned against libaom:
+    an equal-size neighbour gives ctx 0).  width 4px -> 62, 8 -> 60,
+    16 -> 56, 32 -> 48, 64 -> 32, 128 -> 0."""
+    w4, h4 = BLOCK_SIZES[bsize]
+    above = {1: 62, 2: 60, 4: 56, 8: 48, 16: 32, 32: 0}[w4]
+    left = {1: 62, 2: 60, 4: 56, 8: 48, 16: 32, 32: 0}[h4]
+    return above, left
+
+
+def _max_tx_depth(bsize):
+    w4, h4 = BLOCK_SIZES[bsize]
+    mx = max(w4, h4) * 4
+    return {4: 0, 8: 1, 16: 2, 32: 3, 64: 4, 128: 4}[mx]
+
+
+def _tx_size_cat(bsize):
+    return min(_max_tx_depth(bsize) - 1, 2)
+
+
+def _chroma_tx_size(bsize, ssx, ssy):
+    w4, h4 = BLOCK_SIZES[bsize]
+    cw = max((w4 * 4) >> ssx, 4)
+    ch = max((h4 * 4) >> ssy, 4)
+    cw, ch = min(cw, 32), min(ch, 32)
+    for i, (w, h) in enumerate(TX_SIZES_ALL):
+        if w == cw and h == ch:
+            return i
+    raise ValueError((cw, ch))
+
+
+def _icdf_to_probs(cdf, nsyms):
+    probs = []
+    prev = 32768
+    for i in range(nsyms):
+        cur = int(cdf[i])
+        probs.append(prev - cur)
+        prev = cur
+    return probs

@@ -1,0 +1,440 @@
+"""Spec-AV1 bitstream writer: sequence/frame headers + tile symbols.
+
+The write-side dual of the specav1 decoder.  Validated by the
+independent libaom decoder (tests/test_specav1_writer.py): every
+construct emitted here must decode bit-exactly to this module's own
+reconstruction.
+
+The TileWriter mirrors TileDecoder's context model (partition context
+bytes, skip ctx, txb ctx chains, scan orders); symbol emission goes
+through the C++ daala coder (av1tpu.encoder.entropy) which was
+round-trip verified against the python msac decoder.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from av1tpu.encoder import entropy
+from av1tpu.specav1 import recon
+from av1tpu.specav1 import tile as T
+from av1tpu.specav1.bits import BitWriter
+from av1tpu.specav1.cdfs import FrameContext
+from av1tpu.specav1 import obu as obu_mod
+
+
+def write_sequence_header(w: int, h: int, *, bit_depth: int = 8,
+                          mono: bool = False,
+                          color_primaries: int | None = None,
+                          transfer: int | None = None,
+                          matrix: int | None = None,
+                          color_range: int = 0) -> bytes:
+    """Minimal level-capable sequence header (profile 0, 4:2:0)."""
+    b = BitWriter()
+    b.f(0, 3)      # seq_profile
+    b.f(0, 1)      # still_picture
+    b.f(0, 1)      # reduced_still_picture_header
+    b.f(0, 1)      # timing_info_present
+    b.f(0, 1)      # initial_display_delay_present
+    b.f(0, 5)      # operating_points_cnt_minus_1
+    b.f(0, 12)     # operating_point_idc
+    b.f(0, 5)      # seq_level_idx (2.0)
+    b.f(15, 4)     # frame_width_bits_minus_1
+    b.f(15, 4)     # frame_height_bits_minus_1
+    b.f(w - 1, 16)
+    b.f(h - 1, 16)
+    b.f(0, 1)      # frame_id_numbers_present
+    b.f(0, 1)      # use_128x128_superblock
+    b.f(0, 1)      # enable_filter_intra
+    b.f(0, 1)      # enable_intra_edge_filter
+    b.f(0, 1)      # enable_interintra_compound
+    b.f(0, 1)      # enable_masked_compound
+    b.f(0, 1)      # enable_warped_motion
+    b.f(0, 1)      # enable_dual_filter
+    b.f(1, 1)      # enable_order_hint
+    b.f(0, 1)      # enable_jnt_comp
+    b.f(0, 1)      # enable_ref_frame_mvs
+    b.f(0, 1)      # seq_choose_screen_content_tools
+    b.f(0, 1)      # seq_force_screen_content_tools = 0
+    b.f(6, 3)      # order_hint_bits_minus_1 -> 7 bits
+    b.f(0, 1)      # enable_superres
+    b.f(0, 1)      # enable_cdef
+    b.f(0, 1)      # enable_restoration
+    # color_config
+    b.f(1 if bit_depth > 8 else 0, 1)
+    b.f(1 if mono else 0, 1)
+    describe = color_primaries is not None
+    b.f(1 if describe else 0, 1)
+    if describe:
+        b.f(color_primaries, 8)
+        b.f(transfer if transfer is not None else 2, 8)
+        b.f(matrix if matrix is not None else 2, 8)
+    if mono:
+        b.f(color_range, 1)
+    else:
+        b.f(color_range, 1)
+        b.f(0, 2)  # chroma_sample_position
+        b.f(0, 1)  # separate_uv_delta_q
+    b.f(0, 1)      # film_grain_params_present
+    b.trailing_bits()
+    return obu_mod.make_obu(obu_mod.OBU_SEQUENCE_HEADER, b.tobytes())
+
+
+def write_key_frame_header(w: int, h: int, qidx: int, *,
+                           order_hint: int = 0,
+                           disable_cdf_update: int = 0,
+                           reduced_tx_set: int = 0,
+                           tx_mode_select: int = 0) -> BitWriter:
+    """Uncompressed header for a shown KEY frame matching
+    write_sequence_header's feature gates (no superres/cdef/lr,
+    loop filter off for now)."""
+    b = BitWriter()
+    b.f(0, 1)          # show_existing_frame
+    b.f(0, 2)          # frame_type = KEY
+    b.f(1, 1)          # show_frame
+    b.f(disable_cdf_update, 1)
+    b.f(0, 1)          # frame_size_override
+    b.f(order_hint, 7)
+    b.f(0, 1)          # render_and_frame_size_different
+    if not disable_cdf_update:
+        b.f(1, 1)      # disable_frame_end_update_cdf
+    # tile_info: single tile (uniform, no increments beyond minimum)
+    b.f(1, 1)          # uniform_tile_spacing
+    mi_cols = 2 * ((w + 7) >> 3)
+    mi_rows = 2 * ((h + 7) >> 3)
+    sbc = (mi_cols + 15) >> 4
+    sbr = (mi_rows + 15) >> 4
+    if _tl2(1, min(sbc, 64)) > _tl2(64, sbc):
+        b.f(0, 1)      # stop at minimum tile_cols_log2
+    if _tl2(1, min(sbr, 64)) > 0:
+        b.f(0, 1)
+    b.f(qidx, 8)
+    b.f(0, 1)          # delta_q_y_dc
+    b.f(0, 1)          # delta_q_u_dc
+    b.f(0, 1)          # delta_q_u_ac
+    b.f(0, 1)          # using_qmatrix
+    b.f(0, 1)          # segmentation_enabled
+    b.f(0, 1)          # delta_q_present
+    b.f(0, 6)          # loop_filter_level[0]
+    b.f(0, 6)          # loop_filter_level[1]
+    b.f(0, 3)          # sharpness
+    b.f(0, 1)          # delta_enabled
+    b.f(tx_mode_select, 1)
+    b.f(reduced_tx_set, 1)
+    return b
+
+
+def _tl2(blk: int, target: int) -> int:
+    k = 0
+    while (blk << k) < target:
+        k += 1
+    return k
+
+
+class TileWriter:
+    """Symbol emitter mirroring TileDecoder's context model."""
+
+    def __init__(self, fc: FrameContext, mi_cols: int, mi_rows: int,
+                 base_q_idx: int, reduced_tx_set: int = 0):
+        self.lib = entropy.load_library()
+        self.fc = fc
+        self.mi_cols, self.mi_rows = mi_cols, mi_rows
+        self.base_q_idx = base_q_idx
+        self.reduced_tx_set = reduced_tx_set
+        self.sb4 = 16
+        self.enc = self.lib.ec_enc_create()
+        self.lib.ec_enc_reset(self.enc)
+        n = mi_cols
+        self.above_part = np.zeros(n, np.int32)
+        self.above_levels = [np.zeros(n, np.int32) for _ in range(3)]
+        self.above_dcsign = [np.zeros(n, np.int32) for _ in range(3)]
+        self.left_part = np.zeros(self.sb4, np.int32)
+        self.left_levels = [np.zeros(self.sb4, np.int32) for _ in range(3)]
+        self.left_dcsign = [np.zeros(self.sb4, np.int32) for _ in range(3)]
+        self.skips = np.zeros((mi_rows, mi_cols), np.int32)
+        self.y_modes = np.zeros((mi_rows, mi_cols), np.int32)
+        self.mi_size = np.zeros((mi_rows, mi_cols), np.int32)
+        self.sb_row = 0
+
+    def start_sb_row(self, mi_row: int) -> None:
+        self.sb_row = mi_row
+        self.left_part[:] = 0
+        for p in range(3):
+            self.left_levels[p][:] = 0
+            self.left_dcsign[p][:] = 0
+
+    def sym(self, s: int, cdf: np.ndarray, nsyms: int | None = None):
+        if nsyms is None:
+            nsyms = len(cdf) - 1
+        arr = np.ascontiguousarray(np.asarray(cdf, np.uint16))
+        self.lib.ec_enc_symbol_adapt(
+            self.enc, int(s), arr.ctypes.data_as(ctypes.c_void_p), nsyms)
+        cdf[:len(arr)] = arr
+
+    def literal(self, v: int, n: int) -> None:
+        self.lib.ec_enc_literal(self.enc, int(v), n)
+
+    # --- partition ----------------------------------------------------
+    def partition(self, r: int, c: int, bsize: int, part: int) -> None:
+        w4, _ = T.BLOCK_SIZES[bsize]
+        bsl = w4.bit_length() - 1
+        half = w4 >> 1
+        has_rows = (r + half) < self.mi_rows
+        has_cols = (c + half) < self.mi_cols
+        above = int((self.above_part[c] >> bsl) & 1) if r > 0 else 0
+        left = int((self.left_part[(r - self.sb_row) & 15] >> bsl) & 1) \
+            if c > 0 else 0
+        ctx = left * 2 + above
+        if not (has_rows and has_cols):
+            assert part == T.PARTITION_SPLIT or has_rows or has_cols
+            if has_cols or has_rows:
+                raise NotImplementedError("edge partitions in writer")
+            return  # forced SPLIT: no bits
+        nsyms = {1: 4, 2: 10, 3: 10, 4: 10, 5: 8}[bsl]
+        self.sym(part, self.fc.partition[bsl - 1][ctx], nsyms)
+
+    def update_partition_ctx(self, r: int, c: int, bsize: int) -> None:
+        w4, h4 = T.BLOCK_SIZES[bsize]
+        ac, lc = T._partition_context(bsize)
+        self.above_part[c:c + w4] = ac
+        lr = (r - self.sb_row) & 15
+        self.left_part[lr:lr + h4] = lc
+
+    # --- block header symbols -------------------------------------------
+    def block_intra(self, r: int, c: int, bsize: int, skip: int,
+                    y_mode: int, uv_mode: int, angle_y: int = 0,
+                    angle_uv: int = 0, has_chroma: bool = True) -> None:
+        avail_u = r > 0
+        avail_l = c > 0
+        ctx = (int(self.skips[r - 1, c]) if avail_u else 0) + \
+              (int(self.skips[r, c - 1]) if avail_l else 0)
+        self.sym(skip, self.fc.skip[ctx], 2)
+        am = int(self.y_modes[r - 1, c]) if avail_u else 0
+        lm = int(self.y_modes[r, c - 1]) if avail_l else 0
+        self.sym(y_mode, self.fc.kf_y_mode[
+            T.INTRA_MODE_CONTEXT[am]][T.INTRA_MODE_CONTEXT[lm]], 13)
+        if bsize >= T.BLOCK_8X8 and T.V_PRED <= y_mode <= T.D67_PRED:
+            self.sym(angle_y + 3, self.fc.angle_delta[y_mode - T.V_PRED], 7)
+        if has_chroma:
+            cfl_allowed = int(max(T.BLOCK_SIZES[bsize]) * 4 <= 32)
+            self.sym(uv_mode, self.fc.uv_mode[cfl_allowed][y_mode],
+                     14 if cfl_allowed else 13)
+            if bsize >= T.BLOCK_8X8 and T.V_PRED <= uv_mode <= T.D67_PRED:
+                self.sym(angle_uv + 3,
+                         self.fc.angle_delta[uv_mode - T.V_PRED], 7)
+        w4, h4 = T.BLOCK_SIZES[bsize]
+        bw4 = min(w4, self.mi_cols - c)
+        bh4 = min(h4, self.mi_rows - r)
+        self.skips[r:r + bh4, c:c + bw4] = skip
+        self.y_modes[r:r + bh4, c:c + bw4] = y_mode
+        self.mi_size[r:r + bh4, c:c + bw4] = bsize
+        if skip:
+            # reset entropy contexts over the block area for all planes
+            self._reset_block_ctx(r, c, bw4, bh4)
+
+    def _reset_block_ctx(self, r, c, bw4, bh4):
+        for p in range(3):
+            ss = 1 if p else 0
+            c4 = c >> ss << ss if False else c
+            self.above_levels[p][c:c + bw4] = 0
+            self.above_dcsign[p][c:c + bw4] = 0
+            lr = (r - self.sb_row) & 15
+            self.left_levels[p][lr:lr + bh4] = 0
+            self.left_dcsign[p][lr:lr + bh4] = 0
+
+    # --- coefficients ------------------------------------------------
+    def coeffs(self, plane: int, x: int, y: int, tx: int,
+               vals: np.ndarray, intra_dir: int = 0,
+               tx_type: int = recon.DCT_DCT,
+               subsampling: tuple = (1, 1)) -> None:
+        """Emit one transform block.  vals: (th, tw) int levels (signed),
+        zero array means txb_skip."""
+        fc = self.fc
+        tw, th = T.TX_SIZES_ALL[tx]
+        cw, ch = min(tw, 32), min(th, 32)
+        ptype = int(plane > 0)
+        txs_ctx = T.txsize_entropy_ctx(tx)
+        ctx_skip = self._txb_skip_ctx(plane, x, y, tw, th, subsampling)
+        coded = vals[:ch, :cw]
+        eobmask = coded != 0
+        if not eobmask.any():
+            self.sym(1, fc.txb_skip[txs_ctx][ctx_skip], 2)
+            self._set_ctx(plane, x, y, tw, th, 0, 0, subsampling)
+            return
+        self.sym(0, fc.txb_skip[txs_ctx][ctx_skip], 2)
+        if plane == 0:
+            self._write_tx_type(tx, intra_dir, tx_type)
+        tx_class = T._TX_CLASS.get(tx_type, T.TX_CLASS_2D)
+        scan = T.get_scan(tx, tx_type)
+        # find eob in scan order
+        eob = 0
+        for si in range(len(scan)):
+            rr, cc = int(scan[si][0]), int(scan[si][1])
+            if coded[rr, cc]:
+                eob = si + 1
+        # eob_pt
+        eob_size = cw * ch
+        eob_cdf = fc.eob_pt[eob_size]
+        emctx = 0 if tx_class == T.TX_CLASS_2D else 1
+        t = _eob_pt(eob)
+        nsyms = eob_cdf.shape[-1] - 1
+        self.sym(t - 1, eob_cdf[ptype][emctx], nsyms)
+        if t >= 3:
+            offset = eob - (1 << (t - 2)) - 1
+            extra = (offset >> (t - 3)) & 1
+            self.sym(extra, fc.eob_extra[txs_ctx][ptype][t - 3], 2)
+            for i in range(1, t - 2):
+                self.literal((offset >> (t - 3 - i)) & 1, 1)
+        # reverse scan: base + br
+        levels = np.zeros((ch + 4, cw + 4), np.int32)
+        bwl = cw.bit_length() - 1
+        for si in range(eob - 1, -1, -1):
+            rr, cc = int(scan[si][0]), int(scan[si][1])
+            lvl = abs(int(coded[rr, cc]))
+            if si == eob - 1:
+                assert lvl >= 1
+                cec = T._base_eob_ctx(si, cw, ch)
+                self.sym(min(lvl, 3) - 1,
+                         fc.coeff_base_eob[txs_ctx][ptype][cec], 3)
+            else:
+                bctx = T._base_ctx(levels, rr, cc, si, bwl, tx_class)
+                self.sym(min(lvl, 3), fc.coeff_base[txs_ctx][ptype][bctx], 4)
+            if lvl > 2:
+                brctx = T._br_ctx(levels, rr, cc, si, tx_class)
+                rem = min(lvl, 15) - 3
+                for _ in range(4):
+                    k = min(rem, 3)
+                    self.sym(k, fc.coeff_br[min(txs_ctx, 3)][ptype][brctx],
+                             4)
+                    rem -= k
+                    if k < 3:
+                        break
+            levels[rr, cc] = min(lvl, 127)
+        # forward: signs + golomb
+        cul = 0
+        dcsign = 0
+        for si in range(eob):
+            rr, cc = int(scan[si][0]), int(scan[si][1])
+            v = int(coded[rr, cc])
+            if v == 0:
+                continue
+            sign = 1 if v < 0 else 0
+            lvl = abs(v)
+            if si == 0:
+                sctx = self._dc_sign_ctx(plane, x, y, tw, th, subsampling)
+                self.sym(sign, fc.dc_sign[ptype][sctx], 2)
+                dcsign = -1 if sign else 1
+            else:
+                self.literal(sign, 1)
+            if lvl > 14:
+                _write_golomb(self, lvl - 15)
+            cul += lvl
+        self._set_ctx(plane, x, y, tw, th, min(cul, 63), dcsign,
+                      subsampling)
+
+    def _write_tx_type(self, tx, intra_dir, tx_type):
+        sq_up = T.tx_size_sqr_up(tx)
+        if sq_up > 2 or self.base_q_idx == 0:
+            assert tx_type == recon.DCT_DCT
+            return
+        if self.reduced_tx_set:
+            txset = T.EXT_TX_SET_DTT4_IDTX
+            set_idx = 2
+        else:
+            txset = T.EXT_TX_SET_DTT4_IDTX_1DDCT
+            set_idx = 1
+        sqr = T.tx_size_sqr(tx)
+        sym = txset.index(tx_type)
+        self.sym(sym, self.fc.intra_ext_tx[set_idx][sqr][intra_dir],
+                 len(txset))
+
+    def _txb_skip_ctx(self, plane, x, y, tw, th, ss):
+        ssx = ss[0] if plane else 0
+        ssy = ss[1] if plane else 0
+        c4 = (x >> 2) << ssx
+        r4 = (y >> 2) << ssy
+        w4 = (tw >> 2) << ssx
+        h4 = (th >> 2) << ssy
+        a = self.above_levels[plane][c4:c4 + w4]
+        lr = r4 % self.sb4
+        ll = self.left_levels[plane][lr:lr + h4]
+        if plane == 0:
+            bsize = int(self.mi_size[min(y >> 2, self.mi_rows - 1),
+                                     min(x >> 2, self.mi_cols - 1)])
+            bw4, bh4 = T.BLOCK_SIZES[bsize]
+            if bw4 * 4 == tw and bh4 * 4 == th:
+                return 0
+            top = int(min(a.max(initial=0), 4))
+            left = int(min(ll.max(initial=0), 4))
+            mx = min(top | left, 4)
+            mn = min(min(top, left), 4)
+            return int(T._SKIP_CONTEXTS[mn][mx])
+        above_nz = int((a != 0).any())
+        left_nz = int((ll != 0).any())
+        bsize = int(self.mi_size[min((y << ssy) >> 2, self.mi_rows - 1),
+                                 min((x << ssx) >> 2, self.mi_cols - 1)])
+        bw4, bh4 = T.BLOCK_SIZES[bsize]
+        cbw = max(bw4 >> ssx, 1) * 4
+        cbh = max(bh4 >> ssy, 1) * 4
+        offset = 7 if (cbw * cbh <= tw * th) else 10
+        return offset + above_nz + left_nz
+
+    def _dc_sign_ctx(self, plane, x, y, tw, th, ss):
+        ssx = ss[0] if plane else 0
+        ssy = ss[1] if plane else 0
+        c4 = (x >> 2) << ssx
+        r4 = (y >> 2) << ssy
+        w4 = (tw >> 2) << ssx
+        h4 = (th >> 2) << ssy
+        s = int(self.above_dcsign[plane][c4:c4 + w4].sum())
+        lr = r4 % self.sb4
+        s += int(self.left_dcsign[plane][lr:lr + h4].sum())
+        return 1 if s < 0 else (2 if s > 0 else 0)
+
+    def _set_ctx(self, plane, x, y, tw, th, cul, dcsign, ss):
+        ssx = ss[0] if plane else 0
+        ssy = ss[1] if plane else 0
+        c4 = (x >> 2) << ssx
+        r4 = (y >> 2) << ssy
+        w4 = (tw >> 2) << ssx
+        h4 = (th >> 2) << ssy
+        self.above_levels[plane][c4:c4 + w4] = cul
+        self.above_dcsign[plane][c4:c4 + w4] = dcsign
+        lr = r4 % self.sb4
+        self.left_levels[plane][lr:lr + h4] = cul
+        self.left_dcsign[plane][lr:lr + h4] = dcsign
+
+    def finish(self) -> bytes:
+        buf = ctypes.create_string_buffer(1 << 20)
+        sz = self.lib.ec_enc_done(self.enc, buf, 1 << 20)
+        self.lib.ec_enc_destroy(self.enc)
+        self.enc = None
+        return buf.raw[:sz]
+
+
+def _eob_pt(eob: int) -> int:
+    """Inverse of the eob_pt mapping: group index t (1-based)."""
+    if eob <= 2:
+        return eob
+    return (eob - 1).bit_length() + 1
+
+
+def _write_golomb(tw: TileWriter, value: int) -> None:
+    x = value + 1
+    length = x.bit_length()
+    for _ in range(length - 1):
+        tw.literal(0, 1)
+    tw.literal(1, 1)
+    for i in range(length - 2, -1, -1):
+        tw.literal((x >> i) & 1, 1)
+
+
+def assemble_keyframe(w: int, h: int, qidx: int, tile_data: bytes,
+                      **hdr_kw) -> bytes:
+    """TD + sequence header + frame OBU for a single-tile key frame."""
+    hdr = write_key_frame_header(w, h, qidx, **hdr_kw)
+    hdr.byte_align()
+    return obu_mod.temporal_delimiter() + write_sequence_header(w, h) + \
+        obu_mod.make_obu(obu_mod.OBU_FRAME, hdr.tobytes() + tile_data)

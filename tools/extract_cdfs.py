@@ -226,6 +226,18 @@ OFFSETS: dict[str, int] = {
     "tx_size": 97232,          # unique
 }
 
+# Tables in the packed mode-defaults region: rows are the standard
+# [value(s), 0-terminator, counter] layout at the usual stride, but the
+# LAST row's counter slot is elided (the next table starts there), so
+# the shape-signature scanner misses them.  Values were confirmed
+# behaviorally (skip: all-skip multi-SB grids round-trip through the
+# libaom decoder pixel-exactly; skip_mode matches the spec defaults
+# 32621/20708/8127).  Format: name -> (byte_off, [n_syms per row]).
+PACKED_OFFSETS: dict[str, tuple[int, list[int]]] = {
+    "skip_mode": (97136, [2, 2, 2]),
+    "skip": (97152, [2, 2, 2]),
+}
+
 
 def find_table(u, runs, row_spec, stride):
     """All rodata positions where `row_spec` rows at `stride` parse."""
@@ -276,6 +288,19 @@ def extract(verbose=True):
     out: dict[str, np.ndarray] = {}
     report = []
     for name, row_spec, stride in TABLES:
+        if name in PACKED_OFFSETS:
+            off, syms = PACKED_OFFSETS[name]
+            rows = np.zeros((len(syms), stride), np.uint16)
+            pos = off // 2
+            for k, ns in enumerate(syms):
+                vals = ua[pos:pos + ns - 1]
+                if not (vals > 0).all() or not (vals < 32768).all():
+                    raise AssertionError(f"{name}: bad packed row {k}")
+                rows[k, :ns - 1] = vals
+                pos += ns + 1
+            out[name] = rows
+            report.append((name, "packed", 1, 1.0))
+            continue
         if name in OFFSETS:
             start = OFFSETS[name] // 2
             rows = ua[start:start + len(row_spec) * stride].reshape(
@@ -326,6 +351,27 @@ def extract(verbose=True):
             raise AssertionError(f"{name}: implausible at {off}")
         out[name] = seg.astype(np.uint16)
         report.append((name, "pinned", 1, 1.0))
+
+    # spec intra-prediction constants (located by value signature):
+    # smooth-mode weights (u8, sizes 4/8/16/32/64 concatenated) and the
+    # sparse directional derivative table Dr_Intra_Derivative (u16[90],
+    # index = prediction angle)
+    rod = read_section(LIBAOM, ".rodata")
+    sm_at = rod.find(bytes([255, 149, 85, 64, 255, 197]))
+    if sm_at < 0:
+        raise AssertionError("sm_weights not found")
+    out["sm_weights"] = np.frombuffer(rod[sm_at:sm_at + 124], np.uint8)
+    dr1023 = None
+    for c in np.where(ua == 1023)[0]:
+        if 547 in ua[c:c + 6]:
+            dr1023 = 2 * int(c)
+            break
+    if dr1023 is None:
+        raise AssertionError("dr_intra_derivative not found")
+    dr = np.zeros(90, np.uint16)
+    dr[3:] = ua[dr1023 // 2: dr1023 // 2 + 87]
+    out["dr_intra_derivative"] = dr
+    report.append(("sm_weights+dr_deriv", "pinned", 1, 1.0))
 
     if verbose:
         for name, status, nhits, agree in report:
