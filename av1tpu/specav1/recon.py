@@ -453,9 +453,9 @@ def predict_intra(frame: np.ndarray, x: int, y: int, w: int, h: int,
         else:
             v = base
         return np.full((h, w), v, np.int32)
-    if mode == V_PRED:
+    if mode == V_PRED and angle_delta == 0:
         return np.tile(above[:w], (h, 1))
-    if mode == H_PRED:
+    if mode == H_PRED and angle_delta == 0:
         return np.tile(left[:h][:, None], (1, w))
     if mode == PAETH_PRED:
         a = np.tile(above[:w], (h, 1))

@@ -162,6 +162,7 @@ class TileDecoder:
         self.y_modes = np.zeros((mr, mc), np.int32)
         self.uv_modes = np.zeros((mr, mc), np.int32)
         self.skips = np.zeros((mr, mc), np.int32)
+        self.decoded = np.zeros((mr, mc), bool)
         self.tx_w4 = np.zeros((mr, mc), np.int32)  # tx width in 4x4 units
         self.tx_h4 = np.zeros((mr, mc), np.int32)
         self.mi_size = np.zeros((mr, mc), np.int32)
@@ -358,6 +359,7 @@ class TileDecoder:
         # reconstruct + residuals
         self._predict_and_residual(r, c, bsize, tx, y_mode, uv_mode,
                                    angle_y, angle_uv, skip)
+        self.decoded[r:r + bh4, c:c + bw4] = True
 
     def _has_chroma(self, r, c, bsize):
         if self.seq.mono_chrome:
@@ -459,16 +461,36 @@ class TileDecoder:
         frame[y:y + th, x:x + tw] = out.astype(frame.dtype)
 
     def _n_top_right(self, plane, x, y, tw, th, mi_r, mi_c, bsize):
-        # valid above-right pixels: available if still inside the
-        # already-decoded region on the row above
+        """Pixels available beyond the block's top-right corner: the
+        full tw extension iff the mi cells above (x+tw .. x+2*tw-1,
+        clipped to the frame) are all decoded (spec haveAboveRight)."""
+        ssx = self.seq.subsampling_x if plane else 0
         ssy = self.seq.subsampling_y if plane else 0
-        if y <= (self.mrs * 4 >> ssy):
+        r4 = ((y << ssy) >> 2) - 1
+        if r4 < self.mrs:
             return 0
-        # decoded above row extends to the right edge of the SB row
-        # above; within the current SB, to the current block's x + tw
-        return tw  # conservative default refined by oracle testing
+        c4 = ((x + tw) << ssx) >> 2
+        c4e = ((x + 2 * tw) << ssx) >> 2
+        c4e = min(c4e, self.mce)
+        if c4 >= self.mce:
+            return 0
+        if self.decoded[r4, c4:c4e].all():
+            return tw
+        return 0
 
     def _n_bottom_left(self, plane, x, y, tw, th, mi_r, mi_c, bsize):
+        ssx = self.seq.subsampling_x if plane else 0
+        ssy = self.seq.subsampling_y if plane else 0
+        c4 = ((x << ssx) >> 2) - 1
+        if c4 < self.mcs:
+            return 0
+        r4 = ((y + th) << ssy) >> 2
+        r4e = ((y + 2 * th) << ssy) >> 2
+        r4e = min(r4e, self.mre)
+        if r4 >= self.mre:
+            return 0
+        if self.decoded[r4:r4e, c4].all():
+            return th
         return 0
 
     def _set_ctx(self, plane, x, y, tw, th, cul, dcsign):

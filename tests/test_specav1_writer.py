@@ -187,3 +187,65 @@ def test_multi_block_adaptation():
         blocks.append((r, c, T.BLOCK_32X32, 0, 0, planes))
     tu = single_block_frame(64, 70, blocks)
     check(tu)
+
+
+def test_directional_modes_with_neighbors():
+    """All 8 directional modes x all 7 angle deltas, predicting from a
+    real reconstructed neighbor block: pins the directional predictors
+    (zones 1/2/3), angle_delta table and its context."""
+    rng = np.random.default_rng(0)
+    fc = FrameContext(60)
+    tw = W.TileWriter(fc, 32, 16, 60)
+    tw.start_sb_row(0)
+    tw.partition(0, 0, T.BLOCK_64X64, T.PARTITION_NONE)
+    tw.block_intra(0, 0, T.BLOCK_64X64, 0, 0, 0)
+    yv = np.zeros((64, 64), np.int64)
+    for _ in range(12):
+        yv[rng.integers(0, 8), rng.integers(0, 8)] = int(
+            rng.integers(-20, 21))
+    yv[0, 0] = 25
+    tw.coeffs(0, 0, 0, T.TX_64X64, yv)
+    tw.coeffs(1, 0, 0, T.TX_32X32, np.zeros((32, 32), np.int64))
+    tw.coeffs(2, 0, 0, T.TX_32X32, np.zeros((32, 32), np.int64))
+    tw.update_partition_ctx(0, 0, T.BLOCK_64X64)
+    tw.partition(0, 16, T.BLOCK_64X64, T.PARTITION_NONE)
+    tw.block_intra(0, 16, T.BLOCK_64X64, 1, T.D135_PRED, 0, angle_y=2)
+    tw.update_partition_ctx(0, 16, T.BLOCK_64X64)
+    tu = W.assemble_keyframe(128, 64, 60, tw.finish())
+    check(tu)
+
+
+def test_full_encoder_conformance():
+    """encode_keyframe output must decode identically in libaom and
+    match the encoder's own recon exactly, at several qindexes."""
+    from av1tpu.specav1 import encode
+    h, w = 128, 192
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 60 * np.sin(xx / 23.0) * np.cos(yy / 17.0) +
+         20 * np.sin((xx + yy) / 7.0)).astype(np.uint8)
+    u = (128 + 30 * np.sin(xx[::2, ::2] / 31.0)).astype(np.uint8)
+    v = (128 - 25 * np.cos(yy[::2, ::2] / 29.0)).astype(np.uint8)
+    for qidx in (30, 120, 200):
+        tu, rec = encode.encode_keyframe(y, u, v, qidx)
+        dec = aomcodec.decode_stream([tu])[0]
+        for i in range(3):
+            assert np.array_equal(np.asarray(dec[i], np.int64),
+                                  np.asarray(rec[i], np.int64)), \
+                f"q={qidx} plane {i} recon mismatch vs libaom"
+        mse = ((y.astype(np.float64) -
+                np.asarray(dec[0], np.float64)) ** 2).mean()
+        psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+        assert psnr > 30, f"q={qidx}: implausible quality {psnr:.1f} dB"
+
+
+def test_encoder_random_content():
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, (64, 128)).astype(np.uint8)
+    u = rng.integers(0, 256, (32, 64)).astype(np.uint8)
+    v = rng.integers(0, 256, (32, 64)).astype(np.uint8)
+    from av1tpu.specav1 import encode
+    tu, rec = encode.encode_keyframe(y, u, v, 40)
+    dec = aomcodec.decode_stream([tu])[0]
+    for i in range(3):
+        assert np.array_equal(np.asarray(dec[i], np.int64),
+                              np.asarray(rec[i], np.int64))

@@ -224,6 +224,11 @@ OFFSETS: dict[str, int] = {
     "kf_y_mode": 94336,        # unique
     "switchable_interp": 97008,  # unique
     "tx_size": 97232,          # unique
+    "angle_delta": 95328,      # behavioral: unique window whose 8-block
+                               # varied-delta stream round-trips libaom
+    "palette_y_size": 95104,   # remaining rows of the same 22-row block
+    "palette_uv_size": 95216,  # (y/uv order provisional until palette
+                               # is exercised behaviorally)
 }
 
 # Tables in the packed mode-defaults region: rows are the standard
