@@ -92,11 +92,13 @@ class KeyFrameEncoder:
     def __init__(self, qindex: int):
         self.qindex = qindex
 
-    def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+    def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+               render_size: tuple | None = None):
         """Returns (tu_bytes, recon_planes)."""
         qidx = self.qindex
         h, w = y.shape
         assert h % 64 == 0 and w % 64 == 0, "pad to SB size first"
+        self.render_size = render_size
         mi_cols, mi_rows = w // 4, h // 4
         fc = FrameContext(qidx)
         tw = W.TileWriter(fc, mi_cols, mi_rows, qidx)
@@ -117,7 +119,8 @@ class KeyFrameEncoder:
                     if br < mi_rows and bc < mi_cols:
                         self._block(tw, src, rec, br, bc)
         tile = tw.finish()
-        tu = W.assemble_keyframe(w, h, qidx, tile)
+        tu = W.assemble_keyframe(w, h, qidx, tile,
+                                 render_size=self.render_size)
         return tu, rec
 
     def _avail(self, r4, c4s, c4e=None, rows=False):
@@ -202,7 +205,8 @@ class KeyFrameEncoder:
 
 
 def encode_keyframe(y, u, v, qindex: int):
-    """Pad to 64, encode, return (tu, recon (y,u,v) cropped)."""
+    """Pad to 64, encode (render_size signals the true display dims),
+    return (tu, recon (y,u,v) cropped)."""
     h, w = y.shape
     ph = (h + 63) & ~63
     pw = (w + 63) & ~63
@@ -213,6 +217,6 @@ def encode_keyframe(y, u, v, qindex: int):
         v = np.pad(v, ((0, (ph - h) // 2), (0, (pw - w) // 2)),
                    mode="edge")
     enc = KeyFrameEncoder(qindex)
-    tu, rec = enc.encode(y, u, v)
+    tu, rec = enc.encode(y, u, v, render_size=(w, h))
     return tu, (rec[0][:h, :w], rec[1][:h // 2, :w // 2],
                 rec[2][:h // 2, :w // 2])

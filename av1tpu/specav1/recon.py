@@ -392,7 +392,9 @@ MODE_ANGLE = {V_PRED: 90, H_PRED: 180, D45_PRED: 45, D135_PRED: 135,
 def predict_intra(frame: np.ndarray, x: int, y: int, w: int, h: int,
                   mode: int, angle_delta: int, bit_depth: int,
                   have_left: bool, have_above: bool,
-                  n_top_right: int, n_bottom_left: int) -> np.ndarray:
+                  n_top_right: int, n_bottom_left: int,
+                  max_x: int | None = None,
+                  max_y: int | None = None) -> np.ndarray:
     """Predict a w×h block at (x, y) from reconstructed `frame` pixels.
 
     n_top_right / n_bottom_left: number of valid pixels beyond the
@@ -402,11 +404,15 @@ def predict_intra(frame: np.ndarray, x: int, y: int, w: int, h: int,
     """
     base = 1 << (bit_depth - 1)
     fh, fw = frame.shape
+    if max_x is not None:
+        fw = min(fw, max_x + 1)
+    if max_y is not None:
+        fh = min(fh, max_y + 1)
     size = w + h
     above = np.empty(size, np.int32)
     left = np.empty(size, np.int32)
     if have_above:
-        n_avail = min(w + n_top_right, fw - x)
+        n_avail = max(1, min(w + n_top_right, fw - x, size))
         src = frame[y - 1, x:x + n_avail].astype(np.int32)
         above[:n_avail] = src
         above[n_avail:] = src[-1]
@@ -420,7 +426,7 @@ def predict_intra(frame: np.ndarray, x: int, y: int, w: int, h: int,
     else:
         above[:] = base - 1
     if have_left:
-        n_avail = min(h + n_bottom_left, fh - y)
+        n_avail = max(1, min(h + n_bottom_left, fh - y, size))
         src = frame[y:y + n_avail, x - 1].astype(np.int32)
         left[:n_avail] = src
         left[n_avail:] = src[-1]

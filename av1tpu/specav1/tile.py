@@ -150,8 +150,10 @@ class TileDecoder:
         self.mi_cols = hdr.mi_cols
         self.mi_rows = hdr.mi_rows
         self.sb4 = 32 if seq.use_128x128_superblock else 16
-        aw = (hdr.frame_width + 7) & ~7
-        ah = (hdr.frame_height + 7) & ~7
+        # pad to SB size: blocks/txbs may extend beyond the visible
+        # frame (spec codes them fully; output is cropped)
+        aw = (hdr.frame_width + 63) & ~63
+        ah = (hdr.frame_height + 63) & ~63
         dt = np.uint16 if self.bd > 8 else np.uint8
         cw, ch = aw >> seq.subsampling_x, ah >> seq.subsampling_y
         self.planes = [np.zeros((ah, aw), dt),
@@ -280,23 +282,8 @@ class TileDecoder:
     def _read_split_bool(self, cdf, bsl, vertical):
         """Edge partitions: derive P(split) by gathering the partition
         CDF probabilities of all partitions that split in the needed
-        direction (spec partition_gather_vert/horz_alongside)."""
-        nsyms = {1: 4, 2: 10, 3: 10, 4: 10, 5: 8}[bsl]
-        probs = _icdf_to_probs(cdf, nsyms)
-        if not vertical:
-            # hasCols only: need P(bottom half omitted): split-like =
-            # partitions with a vertical boundary: gather
-            # VERT, SPLIT, HORZ_A?? spec: psplit = VERT-ish set
-            members = [PARTITION_VERT, PARTITION_SPLIT, PARTITION_HORZ_A,
-                       PARTITION_VERT_A, PARTITION_VERT_B, PARTITION_VERT_4]
-        else:
-            members = [PARTITION_HORZ, PARTITION_SPLIT, PARTITION_HORZ_A,
-                       PARTITION_HORZ_B, PARTITION_VERT_A, PARTITION_HORZ_4]
-        members = [m for m in members if m < nsyms]
-        psplit = sum(probs[m] for m in members)
-        f = 32768 - psplit  # P(bit==0) with bit==1 meaning split
-        f = min(max(f, 1), 32767)
-        return self.r.decode_bool(f)
+        direction (spec partition gather)."""
+        return self.r.decode_bool(split_bool_f(cdf, bsl, vertical))
 
     # --- block ----------------------------------------------------------
     def decode_block(self, r, c, bsize):
@@ -397,19 +384,19 @@ class TileDecoder:
                               angle_y, angle_uv, skip):
         seq = self.seq
         w4, h4 = BLOCK_SIZES[bsize]
-        bw4 = min(w4, self.mi_cols - c)
-        bh4 = min(h4, self.mi_rows - r)
-        # luma transform blocks in raster order
+        # iterate the FULL block; _txb skips tx blocks whose origin is
+        # beyond the MI bounds (spec transform_block early-out); partial
+        # txbs are coded at full size into the padded planes
         tw, th = TX_SIZES_ALL[tx]
         x0, y0 = c * 4, r * 4
-        for ty in range(y0, y0 + bh4 * 4, th):
-            for tx_x in range(x0, x0 + bw4 * 4, tw):
+        for ty in range(y0, y0 + h4 * 4, th):
+            for tx_x in range(x0, x0 + w4 * 4, tw):
                 self._txb(0, tx_x, ty, tx, y_mode, angle_y, skip,
                           r, c, bsize)
         if self._has_chroma(r, c, bsize):
             ssx, ssy = seq.subsampling_x, seq.subsampling_y
-            cw4 = max(bw4 >> ssx, 1)
-            ch4 = max(bh4 >> ssy, 1)
+            cw4 = max(w4 >> ssx, 1)
+            ch4 = max(h4 >> ssy, 1)
             ctx_tx = _chroma_tx_size(bsize, ssx, ssy)
             ctw, cth = TX_SIZES_ALL[ctx_tx]
             cx0, cy0 = (c >> ssx) * 4, (r >> ssy) * 4
@@ -422,22 +409,23 @@ class TileDecoder:
     def _txb(self, plane, x, y, tx, mode, angle, skip, mi_r, mi_c, bsize):
         tw, th = TX_SIZES_ALL[tx]
         frame = self.planes[plane]
-        fh, fw = frame.shape
-        if x >= fw or y >= fh:
-            return
-        # prediction
         ssx = self.seq.subsampling_x if plane else 0
         ssy = self.seq.subsampling_y if plane else 0
-        have_left = x > (self.mcs * 4 >> ssx) if True else x > 0
+        # spec transform_block: skip txbs whose origin lies beyond the
+        # MI bounds
+        if x >= ((self.mi_cols * 4) >> ssx) or \
+                y >= ((self.mi_rows * 4) >> ssy):
+            return
+        # prediction
         have_left = x > ((self.mcs * 4) >> ssx)
         have_above = y > ((self.mrs * 4) >> ssy)
-        # top-right/bottom-left availability: conservative — allow
-        # within the current reconstructed region
         n_tr = self._n_top_right(plane, x, y, tw, th, mi_r, mi_c, bsize)
         n_bl = self._n_bottom_left(plane, x, y, tw, th, mi_r, mi_c, bsize)
         pred = recon.predict_intra(
             frame, x, y, tw, th, mode, angle, self.bd,
-            have_left, have_above, n_tr, n_bl)
+            have_left, have_above, n_tr, n_bl,
+            max_x=((self.mi_cols * 4) >> ssx) - 1,
+            max_y=((self.mi_rows * 4) >> ssy) - 1)
         if skip:
             frame[y:y + th, x:x + tw] = np.clip(
                 pred, 0, (1 << self.bd) - 1).astype(frame.dtype)
@@ -799,6 +787,23 @@ def _chroma_tx_size(bsize, ssx, ssy):
         if w == cw and h == ch:
             return i
     raise ValueError((cw, ch))
+
+
+SPLIT_MEMBERS_HORZ = [PARTITION_VERT, PARTITION_SPLIT, PARTITION_HORZ_A,
+                      PARTITION_VERT_A, PARTITION_VERT_B, PARTITION_VERT_4]
+SPLIT_MEMBERS_VERT = [PARTITION_HORZ, PARTITION_SPLIT, PARTITION_HORZ_A,
+                      PARTITION_HORZ_B, PARTITION_VERT_A, PARTITION_HORZ_4]
+
+
+def split_bool_f(cdf, bsl: int, vertical: bool) -> int:
+    """P(bit==0) in Q15 for the edge-partition split bool: gathers the
+    probability mass of the partitions that imply a split in the needed
+    direction (spec partition gather)."""
+    nsyms = {1: 4, 2: 10, 3: 10, 4: 10, 5: 8}[bsl]
+    probs = _icdf_to_probs(cdf, nsyms)
+    members = SPLIT_MEMBERS_VERT if vertical else SPLIT_MEMBERS_HORZ
+    psplit = sum(probs[m] for m in members if m < nsyms)
+    return min(max(32768 - psplit, 1), 32767)
 
 
 def _icdf_to_probs(cdf, nsyms):

@@ -86,10 +86,12 @@ def write_key_frame_header(w: int, h: int, qidx: int, *,
                            order_hint: int = 0,
                            disable_cdf_update: int = 0,
                            reduced_tx_set: int = 0,
-                           tx_mode_select: int = 0) -> BitWriter:
+                           tx_mode_select: int = 0,
+                           render_size: tuple | None = None) -> BitWriter:
     """Uncompressed header for a shown KEY frame matching
     write_sequence_header's feature gates (no superres/cdef/lr,
-    loop filter off for now)."""
+    loop filter off for now).  render_size signals the display
+    dimensions when the coded frame is padded to SB multiples."""
     b = BitWriter()
     b.f(0, 1)          # show_existing_frame
     b.f(0, 2)          # frame_type = KEY
@@ -97,7 +99,12 @@ def write_key_frame_header(w: int, h: int, qidx: int, *,
     b.f(disable_cdf_update, 1)
     b.f(0, 1)          # frame_size_override
     b.f(order_hint, 7)
-    b.f(0, 1)          # render_and_frame_size_different
+    if render_size is not None and render_size != (w, h):
+        b.f(1, 1)      # render_and_frame_size_different
+        b.f(render_size[0] - 1, 16)
+        b.f(render_size[1] - 1, 16)
+    else:
+        b.f(0, 1)
     if not disable_cdf_update:
         b.f(1, 1)      # disable_frame_end_update_cdf
     # tile_info: single tile (uniform, no increments beyond minimum)
@@ -187,12 +194,18 @@ class TileWriter:
         left = int((self.left_part[(r - self.sb_row) & 15] >> bsl) & 1) \
             if c > 0 else 0
         ctx = left * 2 + above
-        if not (has_rows and has_cols):
-            assert part == T.PARTITION_SPLIT or has_rows or has_cols
-            if has_cols or has_rows:
-                raise NotImplementedError("edge partitions in writer")
-            return  # forced SPLIT: no bits
         nsyms = {1: 4, 2: 10, 3: 10, 4: 10, 5: 8}[bsl]
+        if not (has_rows and has_cols):
+            if not (has_rows or has_cols):
+                assert part == T.PARTITION_SPLIT
+                return  # forced SPLIT: no bits
+            # bottom/right edge: a derived bool chooses SPLIT vs
+            # HORZ/VERT, with P(split) gathered from the partition CDF
+            cdf = self.fc.partition[bsl - 1][ctx]
+            f = T.split_bool_f(cdf, bsl, vertical=has_rows)
+            bit = 1 if part == T.PARTITION_SPLIT else 0
+            self.lib.ec_enc_bool(self.enc, bit, f)
+            return
         self.sym(part, self.fc.partition[bsl - 1][ctx], nsyms)
 
     def update_partition_ctx(self, r: int, c: int, bsize: int) -> None:
@@ -432,9 +445,10 @@ def _write_golomb(tw: TileWriter, value: int) -> None:
 
 
 def assemble_keyframe(w: int, h: int, qidx: int, tile_data: bytes,
-                      **hdr_kw) -> bytes:
+                      seq_kw: dict | None = None, **hdr_kw) -> bytes:
     """TD + sequence header + frame OBU for a single-tile key frame."""
     hdr = write_key_frame_header(w, h, qidx, **hdr_kw)
     hdr.byte_align()
-    return obu_mod.temporal_delimiter() + write_sequence_header(w, h) + \
+    return obu_mod.temporal_delimiter() + \
+        write_sequence_header(w, h, **(seq_kw or {})) + \
         obu_mod.make_obu(obu_mod.OBU_FRAME, hdr.tobytes() + tile_data)
