@@ -9,6 +9,7 @@ because per-symbol Python call overhead would dominate at video rates.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,13 +18,28 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libav1ec.so")
+_HASH_PATH = _LIB_PATH + ".srchash"
 _lock = threading.Lock()
 _lib = None
 
 
-def _build() -> None:
+def _src_hash() -> str:
+    """Content hash of all native sources.  The normative bitstream
+    depends on this code, so staleness is gated on *content*, never
+    mtimes (git checkouts do not preserve mtimes)."""
+    h = hashlib.sha256()
+    for n in sorted(os.listdir(_NATIVE_DIR)):
+        if n.endswith((".cc", ".h")) or n == "Makefile":
+            with open(os.path.join(_NATIVE_DIR, n), "rb") as f:
+                h.update(n.encode() + b"\0" + f.read() + b"\0")
+    return h.hexdigest()
+
+
+def _build(want_hash: str) -> None:
     subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
                    capture_output=True)
+    with open(_HASH_PATH, "w") as f:
+        f.write(want_hash)
 
 
 def load_library() -> ctypes.CDLL:
@@ -32,13 +48,13 @@ def load_library() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        srcs = [os.path.join(_NATIVE_DIR, n)
-                for n in os.listdir(_NATIVE_DIR)
-                if n.endswith((".cc", ".h"))]
-        if (not os.path.exists(_LIB_PATH)
-                or any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
-                       for s in srcs)):
-            _build()
+        want = _src_hash()
+        have = None
+        if os.path.exists(_LIB_PATH) and os.path.exists(_HASH_PATH):
+            with open(_HASH_PATH) as f:
+                have = f.read().strip()
+        if have != want:
+            _build(want)
         lib = ctypes.CDLL(_LIB_PATH)
         # encoder
         lib.ec_enc_create.restype = ctypes.c_void_p

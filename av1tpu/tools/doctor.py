@@ -60,6 +60,28 @@ def check_write_access(cfg) -> bool:
     return ok_all
 
 
+def check_unit_paths(cfg) -> bool:
+    """verify_service_config.sh analog: under ProtectSystem=strict the
+    unit's ReadWritePaths must cover every library root, or job temp
+    outputs (`<base>.av1-tmp.mkv`) cannot be written next to media."""
+    unit = "/etc/systemd/system/av1d.service"
+    if not os.path.exists(unit) or not cfg.library_roots:
+        return True  # nothing installed / nothing to cover
+    rw: list[str] = []
+    with open(unit) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("ReadWritePaths="):
+                rw.extend(line.split("=", 1)[1].split())
+    missing = [r for r in cfg.library_roots
+               if not any(os.path.commonpath([r, p]) == p
+                          for p in rw if os.path.isabs(p))]
+    return _result(
+        "unit ReadWritePaths", not missing,
+        "all library roots covered" if not missing else
+        f"NOT covered: {missing} — rerun install/install.sh")
+
+
 def check_native() -> bool:
     try:
         from av1tpu.encoder import entropy
@@ -120,6 +142,7 @@ def main(argv=None) -> int:
     cfg = check_config(path)
     ok = True
     ok &= check_write_access(cfg)
+    ok &= check_unit_paths(cfg)
     ok &= check_native()
     check_tpu()
     ok &= check_encode_smoke()

@@ -48,10 +48,26 @@ EOF
   echo "wrote default config to $CONFIG_DIR/config.json"
 fi
 
-# 5. systemd unit (install.sh:135-170)
-cp "$SRC_DIR/install/av1d.service" /etc/systemd/system/av1d.service
+# 5. systemd unit (install.sh:135-170).  ProtectSystem=strict blocks all
+# writes outside ReadWritePaths, so the configured library roots MUST be
+# listed or the daemon cannot create `<base>.av1-tmp.mkv` next to media
+# files (reference unit includes them: install.sh:152-156).  Roots are
+# read from the live config; rerun this installer after editing
+# library_roots.
+ROOTS=$(python3 - "$CONFIG_DIR/config.json" <<'PYEOF'
+import json, sys
+try:
+    with open(sys.argv[1]) as f:
+        print(" ".join(json.load(f).get("library_roots", [])))
+except Exception:
+    pass
+PYEOF
+)
+sed "s|^ReadWritePaths=.*|ReadWritePaths=$DATA_DIR $CONFIG_DIR${ROOTS:+ $ROOTS}|" \
+  "$SRC_DIR/install/av1d.service" > /etc/systemd/system/av1d.service
 systemctl daemon-reload
-echo "installed av1d.service — configure library_roots in"
-echo "$CONFIG_DIR/config.json then: systemctl enable --now av1d"
+echo "installed av1d.service (ReadWritePaths covers: $DATA_DIR $CONFIG_DIR $ROOTS)"
+echo "configure library_roots in $CONFIG_DIR/config.json, rerun this"
+echo "installer to refresh ReadWritePaths, then: systemctl enable --now av1d"
 echo
 echo "diagnostics: python3 -m av1tpu.tools.doctor $CONFIG_DIR/config.json"
