@@ -1,0 +1,628 @@
+// Spec-AV1 tile writer: the sequential entropy hot loop, in C++.
+//
+// Port of av1tpu/specav1/writer.py (TileWriter) for the fixed-32x32
+// intra grid the TPU keyframe encoder emits.  Per-symbol Python call
+// overhead dominates at video rates (~seconds/frame at 1080p); this
+// walks the whole tile in one ctypes call.  Byte-identical output to
+// the Python TileWriter is enforced by tests/test_spec_native.py, and
+// the streams are decode-verified by system libaom.
+//
+// Replaces the entropy engine inside the reference's exec'd ffmpeg
+// binary (SURVEY.md §2 #16); syntax follows the AV1 spec §5.11.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#include "ec.h"
+
+namespace {
+
+// ---- spec tables ---------------------------------------------------------
+
+// BLOCK_SIZES (w4, h4) — tile.py:18
+struct BlkDim { int w4, h4; };
+const BlkDim kBlockSizes[22] = {
+    {1, 1},  {1, 2},  {2, 1},  {2, 2},  {2, 4},  {4, 2},  {4, 4},  {4, 8},
+    {8, 4},  {8, 8},  {8, 16}, {16, 8}, {16, 16}, {16, 32}, {32, 16},
+    {32, 32}, {1, 4},  {4, 1},  {2, 8},  {8, 2},  {4, 16}, {16, 4}};
+constexpr int BLOCK_8X8 = 3;
+constexpr int BLOCK_32X32 = 9;
+constexpr int BLOCK_64X64 = 12;
+
+constexpr int PARTITION_NONE = 0;
+constexpr int PARTITION_SPLIT = 3;
+
+// TX_SIZES_ALL (w, h) — tile.py:44
+struct TxDim { int w, h; };
+const TxDim kTxSizes[19] = {
+    {4, 4},  {8, 8},  {16, 16}, {32, 32}, {64, 64}, {4, 8},  {8, 4},
+    {8, 16}, {16, 8}, {16, 32}, {32, 16}, {32, 64}, {64, 32}, {4, 16},
+    {16, 4}, {8, 32}, {32, 8},  {16, 64}, {64, 16}};
+constexpr int TX_16X16 = 2;
+constexpr int TX_32X32 = 3;
+
+const int kIntraModeContext[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+constexpr int V_PRED = 1;
+constexpr int D67_PRED = 8;
+
+// partition-context bytes per just-coded block dim — tile.py:759
+inline int part_ctx_byte(int n4) {
+  switch (n4) {
+    case 1: return 62;
+    case 2: return 60;
+    case 4: return 56;
+    case 8: return 48;
+    case 16: return 32;
+    default: return 0;  // 32 (128px)
+  }
+}
+
+const int kSkipContexts[5][5] = {{1, 2, 2, 2, 3},
+                                 {1, 4, 4, 4, 5},
+                                 {1, 4, 4, 4, 5},
+                                 {1, 4, 4, 4, 5},
+                                 {1, 4, 4, 4, 6}};
+
+inline int log2i(int v) {
+  int r = 0;
+  while ((1 << (r + 1)) <= v) ++r;
+  return r;
+}
+
+inline int tx_size_sqr(int tx) {
+  int m = kTxSizes[tx].w < kTxSizes[tx].h ? kTxSizes[tx].w : kTxSizes[tx].h;
+  return log2i(m) - 2;
+}
+inline int tx_size_sqr_up(int tx) {
+  int m = kTxSizes[tx].w > kTxSizes[tx].h ? kTxSizes[tx].w : kTxSizes[tx].h;
+  return log2i(m) - 2;
+}
+inline int txsize_entropy_ctx(int tx) {
+  int v = (tx_size_sqr(tx) + tx_size_sqr_up(tx) + 1) >> 1;
+  return v < 4 ? v : 4;
+}
+
+inline int imin(int a, int b) { return a < b ? a : b; }
+inline int imax(int a, int b) { return a > b ? a : b; }
+
+// default (diagonal, alternating) zigzag scan — tile.py:_zigzag
+void build_zigzag(int w, int h, std::vector<int> *rows,
+                  std::vector<int> *cols) {
+  rows->clear();
+  cols->clear();
+  for (int d = 0; d < w + h - 1; ++d) {
+    if (d % 2 == 0) {  // bottom-left -> top-right
+      for (int r = imin(d, h - 1); r >= 0; --r) {
+        int c = d - r;
+        if (c >= 0 && c < w) {
+          rows->push_back(r);
+          cols->push_back(c);
+        }
+      }
+    } else {
+      for (int r = 0; r <= imin(d, h - 1); ++r) {
+        int c = d - r;
+        if (c >= 0 && c < w) {
+          rows->push_back(r);
+          cols->push_back(c);
+        }
+      }
+    }
+  }
+}
+
+// eob_pt group index (1-based) — writer.py:_eob_pt
+inline int eob_pt_group(int eob) {
+  if (eob <= 2) return eob;
+  int t = 0, v = eob - 1;
+  while (v) {
+    ++t;
+    v >>= 1;
+  }
+  return t + 1;
+}
+
+// coefficient context helpers — tile.py:_base_eob_ctx/_base_ctx/_br_ctx
+inline int base_eob_ctx(int si, int cw, int ch) {
+  if (si == 0) return 0;
+  int n = cw * ch;
+  if (si <= n / 8) return 1;
+  if (si <= n / 4) return 2;
+  return 3;
+}
+
+// levels buffer: (ch+4) x (cw+4), row stride cw+4 (padded below/right)
+inline int base_ctx_2d(const int32_t *lv, int stride, int rr, int cc) {
+  int mag = imin(lv[rr * stride + cc + 1], 3) +
+            imin(lv[(rr + 1) * stride + cc], 3) +
+            imin(lv[(rr + 1) * stride + cc + 1], 3) +
+            imin(lv[rr * stride + cc + 2], 3) +
+            imin(lv[(rr + 2) * stride + cc], 3);
+  int ctx = imin((mag + 1) >> 1, 4);
+  if ((rr | cc) == 0) return 0;
+  if (rr + cc < 2) return ctx + 1;
+  if (rr + cc < 4) return ctx + 6;
+  return ctx + 21;
+}
+
+inline int br_ctx_2d(const int32_t *lv, int stride, int rr, int cc) {
+  int mag = imin(lv[rr * stride + cc + 1], 15) +
+            imin(lv[(rr + 1) * stride + cc], 15) +
+            imin(lv[(rr + 1) * stride + cc + 1], 15);
+  mag = imin((mag + 1) >> 1, 6);
+  if ((rr | cc) == 0) return mag;
+  if (rr < 2 && cc < 2) return mag + 7;
+  return mag + 14;
+}
+
+// ---- CDF table registry ---------------------------------------------------
+// Shapes mirror FrameContext (cdfs.py) after the q-quartile slice; the
+// trailing slot of each row is the adaptation counter (ICDF+counter).
+
+enum TableId {
+  TBL_PARTITION = 0,    // [5][4][11]
+  TBL_SKIP = 1,         // [3][3]
+  TBL_KF_Y_MODE = 2,    // [5][5][14]
+  TBL_ANGLE_DELTA = 3,  // [8][8]
+  TBL_UV_MODE = 4,      // [2][13][15]
+  TBL_TXB_SKIP = 5,     // [5][13][3]
+  TBL_EOB_PT_16 = 6,    // [2][2][6]
+  TBL_EOB_PT_32 = 7,    // [2][2][7]
+  TBL_EOB_PT_64 = 8,    // [2][2][8]
+  TBL_EOB_PT_128 = 9,   // [2][2][9]
+  TBL_EOB_PT_256 = 10,  // [2][2][10]
+  TBL_EOB_PT_512 = 11,  // [2][2][11]
+  TBL_EOB_PT_1024 = 12, // [2][2][12]
+  TBL_EOB_EXTRA = 13,   // [5][2][9][3]
+  TBL_COEFF_BASE_EOB = 14,  // [5][2][4][4]
+  TBL_COEFF_BASE = 15,      // [5][2][42][5]
+  TBL_COEFF_BR = 16,        // [5][2][21][5]
+  TBL_DC_SIGN = 17,         // [2][3][3]
+  TBL_INTRA_EXT_TX = 18,    // [3][4][13][17]
+  TBL_COUNT = 19,
+};
+
+const int kTableSize[TBL_COUNT] = {
+    5 * 4 * 11,       3 * 3,           5 * 5 * 14,  8 * 8,
+    2 * 13 * 15,      5 * 13 * 3,      2 * 2 * 6,   2 * 2 * 7,
+    2 * 2 * 8,        2 * 2 * 9,       2 * 2 * 10,  2 * 2 * 11,
+    2 * 2 * 12,       5 * 2 * 9 * 3,   5 * 2 * 4 * 4, 5 * 2 * 42 * 5,
+    5 * 2 * 21 * 5,   2 * 3 * 3,       3 * 4 * 13 * 17};
+
+struct SpecTileWriter {
+  EcEnc *enc = nullptr;
+  int mi_cols = 0, mi_rows = 0;
+  int base_q_idx = 0;
+  int sb4 = 16;  // 64x64 superblocks
+  std::vector<uint16_t> tables[TBL_COUNT];
+  // context state
+  std::vector<int32_t> above_part;            // [mi_cols]
+  std::vector<int32_t> left_part;             // [sb4]
+  std::vector<int32_t> above_levels[3];       // [mi_cols]
+  std::vector<int32_t> above_dcsign[3];
+  std::vector<int32_t> left_levels[3];        // [sb4]
+  std::vector<int32_t> left_dcsign[3];
+  std::vector<int32_t> skips;                 // [mi_rows*mi_cols]
+  std::vector<int32_t> y_modes;
+  std::vector<int32_t> mi_size;
+  int sb_row = 0;
+  // scans
+  std::vector<int> scan32_r, scan32_c, scan16_r, scan16_c;
+  // per-txb scratch (hoisted: a fresh vector per txb dominated profile)
+  std::vector<int32_t> lvl_scratch;
+
+  uint16_t *tbl(TableId id, int idx) { return &tables[id][idx]; }
+};
+
+// CDF row accessors (index math mirrors FrameContext shapes)
+inline uint16_t *partition_cdf(SpecTileWriter *w, int bsl, int ctx) {
+  return w->tbl(TBL_PARTITION, ((bsl - 1) * 4 + ctx) * 11);
+}
+inline uint16_t *skip_cdf(SpecTileWriter *w, int ctx) {
+  return w->tbl(TBL_SKIP, ctx * 3);
+}
+inline uint16_t *kf_y_mode_cdf(SpecTileWriter *w, int a, int l) {
+  return w->tbl(TBL_KF_Y_MODE, (a * 5 + l) * 14);
+}
+inline uint16_t *angle_delta_cdf(SpecTileWriter *w, int d) {
+  return w->tbl(TBL_ANGLE_DELTA, d * 8);
+}
+inline uint16_t *uv_mode_cdf(SpecTileWriter *w, int cfl, int ym) {
+  return w->tbl(TBL_UV_MODE, (cfl * 13 + ym) * 15);
+}
+inline uint16_t *txb_skip_cdf(SpecTileWriter *w, int txs, int ctx) {
+  return w->tbl(TBL_TXB_SKIP, (txs * 13 + ctx) * 3);
+}
+inline uint16_t *eob_pt_cdf(SpecTileWriter *w, int eob_size, int ptype,
+                            int emctx, int *nsyms) {
+  int id, width;
+  switch (eob_size) {
+    case 16: id = TBL_EOB_PT_16; width = 6; break;
+    case 32: id = TBL_EOB_PT_32; width = 7; break;
+    case 64: id = TBL_EOB_PT_64; width = 8; break;
+    case 128: id = TBL_EOB_PT_128; width = 9; break;
+    case 256: id = TBL_EOB_PT_256; width = 10; break;
+    case 512: id = TBL_EOB_PT_512; width = 11; break;
+    default: id = TBL_EOB_PT_1024; width = 12; break;
+  }
+  *nsyms = width - 1;
+  return w->tbl(static_cast<TableId>(id), (ptype * 2 + emctx) * width);
+}
+inline uint16_t *eob_extra_cdf(SpecTileWriter *w, int txs, int ptype,
+                               int idx) {
+  return w->tbl(TBL_EOB_EXTRA, ((txs * 2 + ptype) * 9 + idx) * 3);
+}
+inline uint16_t *coeff_base_eob_cdf(SpecTileWriter *w, int txs, int ptype,
+                                    int ctx) {
+  return w->tbl(TBL_COEFF_BASE_EOB, ((txs * 2 + ptype) * 4 + ctx) * 4);
+}
+inline uint16_t *coeff_base_cdf(SpecTileWriter *w, int txs, int ptype,
+                                int ctx) {
+  return w->tbl(TBL_COEFF_BASE, ((txs * 2 + ptype) * 42 + ctx) * 5);
+}
+inline uint16_t *coeff_br_cdf(SpecTileWriter *w, int txs, int ptype,
+                              int ctx) {
+  return w->tbl(TBL_COEFF_BR, ((txs * 2 + ptype) * 21 + ctx) * 5);
+}
+inline uint16_t *dc_sign_cdf(SpecTileWriter *w, int ptype, int ctx) {
+  return w->tbl(TBL_DC_SIGN, (ptype * 3 + ctx) * 3);
+}
+
+inline void sym(SpecTileWriter *w, int s, uint16_t *cdf, int nsyms) {
+  ec_enc_symbol_adapt(w->enc, s, cdf, nsyms);
+}
+
+// ---- partition ------------------------------------------------------------
+
+void write_partition(SpecTileWriter *w, int r, int c, int bsize, int part) {
+  int w4 = kBlockSizes[bsize].w4;
+  int bsl = log2i(w4);
+  int half = w4 >> 1;
+  // grid is SB-padded: interior partitions only (writer.py edge path
+  // unreachable when mi dims are multiples of 16)
+  (void)half;
+  int above = (r > 0) ? ((w->above_part[c] >> bsl) & 1) : 0;
+  int left = (c > 0) ? ((w->left_part[(r - w->sb_row) & 15] >> bsl) & 1) : 0;
+  int ctx = left * 2 + above;
+  static const int kNsyms[6] = {0, 4, 10, 10, 10, 8};
+  sym(w, part, partition_cdf(w, bsl, ctx), kNsyms[bsl]);
+}
+
+void update_partition_ctx(SpecTileWriter *w, int r, int c, int bsize) {
+  int w4 = kBlockSizes[bsize].w4, h4 = kBlockSizes[bsize].h4;
+  int ac = part_ctx_byte(w4), lc = part_ctx_byte(h4);
+  for (int i = 0; i < w4; ++i) w->above_part[c + i] = ac;
+  int lr = (r - w->sb_row) & 15;
+  for (int i = 0; i < h4; ++i) w->left_part[lr + i] = lc;
+}
+
+// ---- block header ---------------------------------------------------------
+
+void write_block_intra(SpecTileWriter *w, int r, int c, int bsize, int skip,
+                       int y_mode, int uv_mode) {
+  int ctx = 0;
+  if (r > 0) ctx += w->skips[(r - 1) * w->mi_cols + c];
+  if (c > 0) ctx += w->skips[r * w->mi_cols + c - 1];
+  sym(w, skip, skip_cdf(w, ctx), 2);
+  int am = (r > 0) ? w->y_modes[(r - 1) * w->mi_cols + c] : 0;
+  int lm = (c > 0) ? w->y_modes[r * w->mi_cols + c - 1] : 0;
+  sym(w, y_mode, kf_y_mode_cdf(w, kIntraModeContext[am],
+                               kIntraModeContext[lm]), 13);
+  if (bsize >= BLOCK_8X8 && y_mode >= V_PRED && y_mode <= D67_PRED)
+    sym(w, 3, angle_delta_cdf(w, y_mode - V_PRED), 7);  // delta 0
+  int maxd = imax(kBlockSizes[bsize].w4, kBlockSizes[bsize].h4) * 4;
+  int cfl_allowed = maxd <= 32 ? 1 : 0;
+  sym(w, uv_mode, uv_mode_cdf(w, cfl_allowed, y_mode),
+      cfl_allowed ? 14 : 13);
+  if (bsize >= BLOCK_8X8 && uv_mode >= V_PRED && uv_mode <= D67_PRED)
+    sym(w, 3, angle_delta_cdf(w, uv_mode - V_PRED), 7);
+  int bw4 = imin(kBlockSizes[bsize].w4, w->mi_cols - c);
+  int bh4 = imin(kBlockSizes[bsize].h4, w->mi_rows - r);
+  for (int i = 0; i < bh4; ++i)
+    for (int j = 0; j < bw4; ++j) {
+      w->skips[(r + i) * w->mi_cols + c + j] = skip;
+      w->y_modes[(r + i) * w->mi_cols + c + j] = y_mode;
+      w->mi_size[(r + i) * w->mi_cols + c + j] = bsize;
+    }
+  if (skip) {  // reset entropy ctx over block area, all planes
+    int lr = (r - w->sb_row) & 15;
+    for (int p = 0; p < 3; ++p) {
+      for (int j = 0; j < bw4; ++j) {
+        w->above_levels[p][c + j] = 0;
+        w->above_dcsign[p][c + j] = 0;
+      }
+      for (int i = 0; i < bh4; ++i) {
+        w->left_levels[p][lr + i] = 0;
+        w->left_dcsign[p][lr + i] = 0;
+      }
+    }
+  }
+}
+
+// ---- coefficients ---------------------------------------------------------
+
+int txb_skip_ctx(SpecTileWriter *w, int plane, int x, int y, int tw, int th,
+                 int ssx, int ssy) {
+  if (!plane) ssx = ssy = 0;
+  int c4 = (x >> 2) << ssx;
+  int r4 = (y >> 2) << ssy;
+  int w4 = (tw >> 2) << ssx;
+  int h4 = (th >> 2) << ssy;
+  const int32_t *a = &w->above_levels[plane][c4];
+  int lr = r4 % w->sb4;
+  const int32_t *l = &w->left_levels[plane][lr];
+  int mr = imin(y >> 2, w->mi_rows - 1);
+  int mc = imin(x >> 2, w->mi_cols - 1);
+  if (plane == 0) {
+    int bsize = w->mi_size[mr * w->mi_cols + mc];
+    if (kBlockSizes[bsize].w4 * 4 == tw && kBlockSizes[bsize].h4 * 4 == th)
+      return 0;
+    int top = 0, left = 0;
+    for (int i = 0; i < w4; ++i) top = imax(top, a[i]);
+    for (int i = 0; i < h4; ++i) left = imax(left, l[i]);
+    top = imin(top, 4);
+    left = imin(left, 4);
+    int mx = imin(top | left, 4);
+    int mn = imin(imin(top, left), 4);
+    return kSkipContexts[mn][mx];
+  }
+  int above_nz = 0, left_nz = 0;
+  for (int i = 0; i < w4; ++i) above_nz |= (a[i] != 0);
+  for (int i = 0; i < h4; ++i) left_nz |= (l[i] != 0);
+  mr = imin((y << ssy) >> 2, w->mi_rows - 1);
+  mc = imin((x << ssx) >> 2, w->mi_cols - 1);
+  int bsize = w->mi_size[mr * w->mi_cols + mc];
+  int cbw = imax(kBlockSizes[bsize].w4 >> ssx, 1) * 4;
+  int cbh = imax(kBlockSizes[bsize].h4 >> ssy, 1) * 4;
+  int offset = (cbw * cbh <= tw * th) ? 7 : 10;
+  return offset + above_nz + left_nz;
+}
+
+int dc_sign_ctx(SpecTileWriter *w, int plane, int x, int y, int tw, int th,
+                int ssx, int ssy) {
+  if (!plane) ssx = ssy = 0;
+  int c4 = (x >> 2) << ssx;
+  int r4 = (y >> 2) << ssy;
+  int w4 = (tw >> 2) << ssx;
+  int h4 = (th >> 2) << ssy;
+  int s = 0;
+  for (int i = 0; i < w4; ++i) s += w->above_dcsign[plane][c4 + i];
+  int lr = r4 % w->sb4;
+  for (int i = 0; i < h4; ++i) s += w->left_dcsign[plane][lr + i];
+  return s < 0 ? 1 : (s > 0 ? 2 : 0);
+}
+
+void set_coef_ctx(SpecTileWriter *w, int plane, int x, int y, int tw, int th,
+                  int cul, int dcsign, int ssx, int ssy) {
+  if (!plane) ssx = ssy = 0;
+  int c4 = (x >> 2) << ssx;
+  int r4 = (y >> 2) << ssy;
+  int w4 = (tw >> 2) << ssx;
+  int h4 = (th >> 2) << ssy;
+  for (int i = 0; i < w4; ++i) {
+    w->above_levels[plane][c4 + i] = cul;
+    w->above_dcsign[plane][c4 + i] = dcsign;
+  }
+  int lr = r4 % w->sb4;
+  for (int i = 0; i < h4; ++i) {
+    w->left_levels[plane][lr + i] = cul;
+    w->left_dcsign[plane][lr + i] = dcsign;
+  }
+}
+
+void write_golomb(SpecTileWriter *w, int value) {
+  int x = value + 1;
+  int length = 0;
+  for (int v = x; v; v >>= 1) ++length;
+  for (int i = 0; i < length - 1; ++i) ec_enc_literal(w->enc, 0, 1);
+  ec_enc_literal(w->enc, 1, 1);
+  for (int i = length - 2; i >= 0; --i)
+    ec_enc_literal(w->enc, (x >> i) & 1, 1);
+}
+
+// Emit one transform block.  vals: pointer into the frame-level plane of
+// quantized levels at the txb origin with row stride `stride`.
+// DCT-only path (TX_CLASS_2D, no tx_type symbol for >16 sq_up; callers
+// emitting 16x16 luma must pass intra_ext_tx support — not yet needed).
+void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
+                  const int32_t *vals, int stride, int ssx, int ssy) {
+  TxDim td = kTxSizes[tx];
+  int tw = td.w, th = td.h;
+  int cw = imin(tw, 32), ch = imin(th, 32);
+  int ptype = plane > 0 ? 1 : 0;
+  int txs = txsize_entropy_ctx(tx);
+  int ctx_skip = txb_skip_ctx(w, plane, x, y, tw, th, ssx, ssy);
+  // eob in scan order
+  const std::vector<int> &sr = (cw == 32) ? w->scan32_r : w->scan16_r;
+  const std::vector<int> &sc = (cw == 32) ? w->scan32_c : w->scan16_c;
+  int n = cw * ch;
+  int eob = 0;
+  for (int si = n - 1; si >= 0; --si)
+    if (vals[sr[si] * stride + sc[si]] != 0) {
+      eob = si + 1;
+      break;
+    }
+  if (eob == 0) {
+    sym(w, 1, txb_skip_cdf(w, txs, ctx_skip), 2);
+    set_coef_ctx(w, plane, x, y, tw, th, 0, 0, ssx, ssy);
+    return;
+  }
+  sym(w, 0, txb_skip_cdf(w, txs, ctx_skip), 2);
+  // (luma tx_type symbol: none for sq_up > 2, i.e. 32x32/64x64; the
+  // 32-grid emits only those sizes for luma)
+  // eob_pt
+  int nsyms;
+  uint16_t *ecdf = eob_pt_cdf(w, n, ptype, /*emctx=*/0, &nsyms);
+  int t = eob_pt_group(eob);
+  sym(w, t - 1, ecdf, nsyms);
+  if (t >= 3) {
+    int offset = eob - (1 << (t - 2)) - 1;
+    int extra = (offset >> (t - 3)) & 1;
+    sym(w, extra, eob_extra_cdf(w, txs, ptype, t - 3), 2);
+    for (int i = 1; i < t - 2; ++i)
+      ec_enc_literal(w->enc, (offset >> (t - 3 - i)) & 1, 1);
+  }
+  // reverse scan: base (+br)
+  int lstride = cw + 4;
+  size_t lsize = (size_t)(ch + 4) * lstride;
+  if (w->lvl_scratch.size() < lsize) w->lvl_scratch.resize(lsize);
+  std::vector<int32_t> &levels = w->lvl_scratch;
+  std::memset(levels.data(), 0, lsize * sizeof(int32_t));
+  for (int si = eob - 1; si >= 0; --si) {
+    int rr = sr[si], cc = sc[si];
+    int v = vals[rr * stride + cc];
+    int lvl = v < 0 ? -v : v;
+    if (si == eob - 1) {
+      int cec = base_eob_ctx(si, cw, ch);
+      sym(w, imin(lvl, 3) - 1, coeff_base_eob_cdf(w, txs, ptype, cec), 3);
+    } else {
+      int bctx = base_ctx_2d(levels.data(), lstride, rr, cc);
+      sym(w, imin(lvl, 3), coeff_base_cdf(w, txs, ptype, bctx), 4);
+    }
+    if (lvl > 2) {
+      int brctx = br_ctx_2d(levels.data(), lstride, rr, cc);
+      int rem = imin(lvl, 15) - 3;
+      for (int it = 0; it < 4; ++it) {
+        int k = imin(rem, 3);
+        sym(w, k, coeff_br_cdf(w, imin(txs, 3), ptype, brctx), 4);
+        rem -= k;
+        if (k < 3) break;
+      }
+    }
+    levels[rr * lstride + cc] = imin(lvl, 127);
+  }
+  // forward scan: signs + golomb
+  int cul = 0, dcsign = 0;
+  for (int si = 0; si < eob; ++si) {
+    int rr = sr[si], cc = sc[si];
+    int v = vals[rr * stride + cc];
+    if (v == 0) continue;
+    int sign = v < 0 ? 1 : 0;
+    int lvl = v < 0 ? -v : v;
+    if (si == 0) {
+      int sctx = dc_sign_ctx(w, plane, x, y, tw, th, ssx, ssy);
+      sym(w, sign, dc_sign_cdf(w, ptype, sctx), 2);
+      dcsign = sign ? -1 : 1;
+    } else {
+      ec_enc_literal(w->enc, sign, 1);
+    }
+    if (lvl > 14) write_golomb(w, lvl - 15);
+    cul += lvl;
+  }
+  set_coef_ctx(w, plane, x, y, tw, th, imin(cul, 63), dcsign, ssx, ssy);
+}
+
+void start_sb_row(SpecTileWriter *w, int mi_row) {
+  w->sb_row = mi_row;
+  std::fill(w->left_part.begin(), w->left_part.end(), 0);
+  for (int p = 0; p < 3; ++p) {
+    std::fill(w->left_levels[p].begin(), w->left_levels[p].end(), 0);
+    std::fill(w->left_dcsign[p].begin(), w->left_dcsign[p].end(), 0);
+  }
+}
+
+}  // namespace
+
+// ---- C API ----------------------------------------------------------------
+
+extern "C" {
+
+SpecTileWriter *stw_create(int mi_cols, int mi_rows, int base_q_idx) {
+  auto *w = new SpecTileWriter();
+  w->mi_cols = mi_cols;
+  w->mi_rows = mi_rows;
+  w->base_q_idx = base_q_idx;
+  for (int i = 0; i < TBL_COUNT; ++i)
+    w->tables[i].assign(kTableSize[i], 0);
+  w->above_part.assign(mi_cols, 0);
+  w->left_part.assign(w->sb4, 0);
+  for (int p = 0; p < 3; ++p) {
+    w->above_levels[p].assign(mi_cols, 0);
+    w->above_dcsign[p].assign(mi_cols, 0);
+    w->left_levels[p].assign(w->sb4, 0);
+    w->left_dcsign[p].assign(w->sb4, 0);
+  }
+  w->skips.assign(mi_rows * mi_cols, 0);
+  w->y_modes.assign(mi_rows * mi_cols, 0);
+  w->mi_size.assign(mi_rows * mi_cols, 0);
+  build_zigzag(32, 32, &w->scan32_r, &w->scan32_c);
+  build_zigzag(16, 16, &w->scan16_r, &w->scan16_c);
+  return w;
+}
+
+void stw_destroy(SpecTileWriter *w) {
+  if (w->enc) ec_enc_destroy(w->enc);
+  delete w;
+}
+
+// Copies a FrameContext table (uint16, ICDF+counter rows).  Returns 0 on
+// shape mismatch.
+int stw_set_cdf(SpecTileWriter *w, int table_id, const uint16_t *data,
+                int n_u16) {
+  if (table_id < 0 || table_id >= TBL_COUNT) return 0;
+  if (n_u16 != kTableSize[table_id]) return 0;
+  std::memcpy(w->tables[table_id].data(), data, n_u16 * sizeof(uint16_t));
+  return 1;
+}
+
+// Read back an (adapted) table — used by tests and, later, CDF carry.
+int stw_get_cdf(SpecTileWriter *w, int table_id, uint16_t *out, int n_u16) {
+  if (table_id < 0 || table_id >= TBL_COUNT) return 0;
+  if (n_u16 != kTableSize[table_id]) return 0;
+  std::memcpy(out, w->tables[table_id].data(), n_u16 * sizeof(uint16_t));
+  return 1;
+}
+
+// Encode one intra tile on a fixed 32x32 grid (mi dims multiples of 16;
+// frames are SB-padded upstream).  Block grid is gh x gw with
+// gw = mi_cols/8.  ylv: [mi_rows*4][ystride] int32 quantized levels;
+// ulv/vlv at 4:2:0 half resolution with stride cstride.
+// Returns tile byte count written to out, or -1 if cap is too small.
+int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
+                           const int32_t *uv_modes, const int32_t *skips,
+                           const int32_t *ylv, int ystride,
+                           const int32_t *ulv, const int32_t *vlv,
+                           int cstride, uint8_t *out, int64_t cap) {
+  if (w->enc) ec_enc_destroy(w->enc);
+  w->enc = ec_enc_create();
+  int gw = w->mi_cols / 8;
+  for (int sb_r = 0; sb_r < w->mi_rows; sb_r += 16) {
+    start_sb_row(w, sb_r);
+    for (int sb_c = 0; sb_c < w->mi_cols; sb_c += 16) {
+      write_partition(w, sb_r, sb_c, BLOCK_64X64, PARTITION_SPLIT);
+      // z-order children
+      const int child[4][2] = {{sb_r, sb_c},
+                               {sb_r, sb_c + 8},
+                               {sb_r + 8, sb_c},
+                               {sb_r + 8, sb_c + 8}};
+      for (int k = 0; k < 4; ++k) {
+        int br = child[k][0], bc = child[k][1];
+        int gi = (br / 8) * gw + (bc / 8);
+        int skip = skips[gi];
+        write_partition(w, br, bc, BLOCK_32X32, PARTITION_NONE);
+        write_block_intra(w, br, bc, BLOCK_32X32, skip, y_modes[gi],
+                          uv_modes[gi]);
+        if (!skip) {
+          int x0 = bc * 4, y0 = br * 4;
+          write_coeffs(w, 0, x0, y0, TX_32X32, &ylv[y0 * ystride + x0],
+                       ystride, 1, 1);
+          int cx = x0 >> 1, cy = y0 >> 1;
+          write_coeffs(w, 1, cx, cy, TX_16X16, &ulv[cy * cstride + cx],
+                       cstride, 1, 1);
+          write_coeffs(w, 2, cx, cy, TX_16X16, &vlv[cy * cstride + cx],
+                       cstride, 1, 1);
+        }
+        update_partition_ctx(w, br, bc, BLOCK_32X32);
+      }
+    }
+  }
+  int32_t sz = ec_enc_done(w->enc, out, cap > INT32_MAX ? INT32_MAX
+                                                        : (int32_t)cap);
+  ec_enc_destroy(w->enc);
+  w->enc = nullptr;
+  return sz;
+}
+
+}  // extern "C"

@@ -104,6 +104,15 @@ class KeyFrameEncoder:
         tw = W.TileWriter(fc, mi_cols, mi_rows, qidx)
         self.decoded = np.zeros((mi_rows, mi_cols), bool)
         self.mi_rows, self.mi_cols = mi_rows, mi_cols
+        # per-block records (the native tile writer's input format;
+        # also what the TPU encoder produces directly)
+        gh, gw = mi_rows // 8, mi_cols // 8
+        self.grid_y_mode = np.zeros((gh, gw), np.int32)
+        self.grid_uv_mode = np.zeros((gh, gw), np.int32)
+        self.grid_skip = np.zeros((gh, gw), np.int32)
+        self.levels_y = np.zeros((h, w), np.int32)
+        self.levels_u = np.zeros((h // 2, w // 2), np.int32)
+        self.levels_v = np.zeros((h // 2, w // 2), np.int32)
         rec = [np.zeros((h, w), np.int32),
                np.zeros((h // 2, w // 2), np.int32),
                np.zeros((h // 2, w // 2), np.int32)]
@@ -119,6 +128,7 @@ class KeyFrameEncoder:
                     if br < mi_rows and bc < mi_cols:
                         self._block(tw, src, rec, br, bc)
         tile = tw.finish()
+        self.tile_bytes = tile
         tu = W.assemble_keyframe(w, h, qidx, tile,
                                  render_size=self.render_size)
         return tu, rec
@@ -183,6 +193,13 @@ class KeyFrameEncoder:
             lv_uv.append(quantize(fdct2d(su - upreds[i]), qidx, 8))
         skip = int(not levels_y.any() and not lv_uv[0].any()
                    and not lv_uv[1].any())
+        gr, gc = br // 8, bc // 8
+        self.grid_y_mode[gr, gc] = mode
+        self.grid_uv_mode[gr, gc] = uv_mode
+        self.grid_skip[gr, gc] = skip
+        self.levels_y[y0:y0 + B, x0:x0 + B] = levels_y
+        self.levels_u[cy:cy + CB, cx:cx + CB] = lv_uv[0]
+        self.levels_v[cy:cy + CB, cx:cx + CB] = lv_uv[1]
         # emit
         tw.partition(br, bc, self.BSIZE, T.PARTITION_NONE)
         tw.block_intra(br, bc, self.BSIZE, skip, mode, uv_mode)

@@ -1,0 +1,127 @@
+"""ctypes surface for the native spec-AV1 tile writer (spec_tile.cc).
+
+The C++ writer walks a whole tile per call (the Python TileWriter costs
+seconds per 1080p frame in symbol-call overhead; the native walk is
+milliseconds).  Output bytes are identical to writer.TileWriter by
+construction and by test (tests/test_spec_native.py), and streams are
+decode-verified against system libaom.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from av1tpu.encoder import entropy
+from av1tpu.specav1.cdfs import FrameContext
+
+# table ids — must match spec_tile.cc TableId
+(TBL_PARTITION, TBL_SKIP, TBL_KF_Y_MODE, TBL_ANGLE_DELTA, TBL_UV_MODE,
+ TBL_TXB_SKIP, TBL_EOB_PT_16, TBL_EOB_PT_32, TBL_EOB_PT_64, TBL_EOB_PT_128,
+ TBL_EOB_PT_256, TBL_EOB_PT_512, TBL_EOB_PT_1024, TBL_EOB_EXTRA,
+ TBL_COEFF_BASE_EOB, TBL_COEFF_BASE, TBL_COEFF_BR, TBL_DC_SIGN,
+ TBL_INTRA_EXT_TX) = range(19)
+
+_configured = False
+
+
+def _lib() -> ctypes.CDLL:
+    global _configured
+    lib = entropy.load_library()
+    if not _configured:
+        lib.stw_create.restype = ctypes.c_void_p
+        lib.stw_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.stw_destroy.argtypes = [ctypes.c_void_p]
+        lib.stw_set_cdf.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_void_p, ctypes.c_int]
+        lib.stw_set_cdf.restype = ctypes.c_int
+        lib.stw_get_cdf.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_void_p, ctypes.c_int]
+        lib.stw_get_cdf.restype = ctypes.c_int
+        lib.stw_encode_intra32.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.stw_encode_intra32.restype = ctypes.c_int64
+        _configured = True
+    return lib
+
+
+def _fc_tables(fc: FrameContext) -> list[tuple[int, np.ndarray]]:
+    return [
+        (TBL_PARTITION, fc.partition),
+        (TBL_SKIP, fc.skip),
+        (TBL_KF_Y_MODE, fc.kf_y_mode),
+        (TBL_ANGLE_DELTA, fc.angle_delta),
+        (TBL_UV_MODE, fc.uv_mode),
+        (TBL_TXB_SKIP, fc.txb_skip),
+        (TBL_EOB_PT_16, fc.eob_pt[16]),
+        (TBL_EOB_PT_32, fc.eob_pt[32]),
+        (TBL_EOB_PT_64, fc.eob_pt[64]),
+        (TBL_EOB_PT_128, fc.eob_pt[128]),
+        (TBL_EOB_PT_256, fc.eob_pt[256]),
+        (TBL_EOB_PT_512, fc.eob_pt[512]),
+        (TBL_EOB_PT_1024, fc.eob_pt[1024]),
+        (TBL_EOB_EXTRA, fc.eob_extra),
+        (TBL_COEFF_BASE_EOB, fc.coeff_base_eob),
+        (TBL_COEFF_BASE, fc.coeff_base),
+        (TBL_COEFF_BR, fc.coeff_br),
+        (TBL_DC_SIGN, fc.dc_sign),
+        (TBL_INTRA_EXT_TX, fc.intra_ext_tx),
+    ]
+
+
+def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
+                        y_modes: np.ndarray, uv_modes: np.ndarray,
+                        skips: np.ndarray, ylv: np.ndarray,
+                        ulv: np.ndarray, vlv: np.ndarray) -> bytes:
+    """Emit one spec tile for a fixed-32x32-grid intra frame.
+
+    y_modes/uv_modes/skips: (gh, gw) int32 with gw = mi_cols//8.
+    ylv: (mi_rows*4, mi_cols*4) int32 quantized levels; ulv/vlv at
+    half resolution.  mi dims must be multiples of 16 (SB-padded).
+    """
+    lib = _lib()
+    assert mi_cols % 16 == 0 and mi_rows % 16 == 0
+    gh, gw = mi_rows // 8, mi_cols // 8
+    fc = FrameContext(qindex)
+
+    def as32(a, shape):
+        a = np.ascontiguousarray(np.asarray(a, np.int32))
+        assert a.shape == shape, (a.shape, shape)
+        return a
+
+    y_modes = as32(y_modes, (gh, gw))
+    uv_modes = as32(uv_modes, (gh, gw))
+    skips = as32(skips, (gh, gw))
+    ylv = as32(ylv, (mi_rows * 4, mi_cols * 4))
+    ulv = as32(ulv, (mi_rows * 2, mi_cols * 2))
+    vlv = as32(vlv, (mi_rows * 2, mi_cols * 2))
+
+    w = lib.stw_create(mi_cols, mi_rows, qindex)
+    try:
+        for tid, arr in _fc_tables(fc):
+            a = np.ascontiguousarray(arr.astype(np.uint16))
+            ok = lib.stw_set_cdf(w, tid, a.ctypes.data_as(ctypes.c_void_p),
+                                 a.size)
+            if not ok:
+                raise RuntimeError(f"cdf table {tid} shape mismatch "
+                                   f"({a.size} u16)")
+        cap = ylv.size * 4 + ulv.size * 8 + (1 << 16)
+        out = ctypes.create_string_buffer(cap)
+        sz = lib.stw_encode_intra32(
+            w, y_modes.ctypes.data_as(ctypes.c_void_p),
+            uv_modes.ctypes.data_as(ctypes.c_void_p),
+            skips.ctypes.data_as(ctypes.c_void_p),
+            ylv.ctypes.data_as(ctypes.c_void_p), mi_cols * 4,
+            ulv.ctypes.data_as(ctypes.c_void_p),
+            vlv.ctypes.data_as(ctypes.c_void_p), mi_cols * 2,
+            out, cap)
+        if sz < 0:
+            raise RuntimeError("tile buffer too small")
+        return out.raw[:sz]
+    finally:
+        lib.stw_destroy(w)
