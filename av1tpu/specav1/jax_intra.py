@@ -1,0 +1,506 @@
+"""Device-side spec-AV1 intra keyframe encoder (JAX, wavefront).
+
+The TPU half of the spec-conformant keyframe path: mode decision,
+forward DCT + quantization, and a **spec-exact integer reconstruction**
+(dequant + inverse DCT + intra predictors mirroring specav1.recon
+bit-for-bit) run jitted on device over a superblock wavefront; the
+per-block mode/level arrays are then emitted by the native C++ tile
+writer (spec_tile.cc) on the host.
+
+Spec exactness notes:
+  * only the *reconstruction* must match the spec integers (any level
+    values are legal); fdct/quant run in f32 on the MXU,
+  * the inverse DCT ports recon.idct1d's recursion; with the spec
+    clamp (±2^(bd+7)) applied after every butterfly all intermediates
+    fit int32 (|w|<=4096, |x|<=2^17 for 10-bit -> |btf| < 2^30),
+  * intra availability (haveAbove/Left, top-right/bottom-left
+    extensions) is a static function of block position for the fixed
+    32x32 grid: precomputed host-side by simulating the decoder's
+    raster-SB/z-order walk, then folded into the wavefront tables.
+
+The wavefront is the longest-path levelling of the true dependency
+DAG: above, left, above-right, plus bottom-left for superblock-corner
+blocks (z-order makes (r+1, c-1) decode *before* (r, c) there).
+
+Reference parity: this (with the daemon around it) replaces the
+AV1 encoder inside the reference's exec'd ffmpeg (transcode.go:119-123)
+— emitting the same universally-decodable spec bitstream.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.specav1 import native
+from av1tpu.specav1 import recon
+from av1tpu.specav1 import writer as W
+
+# mode order must match encode.py _MODES (first-strict-min tie-breaks)
+_MODE_IDS = np.array([recon.DC_PRED, recon.V_PRED, recon.H_PRED,
+                      recon.SMOOTH_PRED, recon.PAETH_PRED, recon.D45_PRED,
+                      recon.D135_PRED, recon.D203_PRED, recon.D67_PRED],
+                     np.int32)
+_DIRECTIONAL = np.array([0, 1, 1, 0, 0, 1, 1, 1, 1], bool)  # V/H count too
+
+
+# ---------------------------------------------------------------------------
+# static plans
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def plan_waves(nbr: int, nbc: int):
+    """Wavefront levels + availability for an nbr x nbc grid of 32x32
+    blocks, by simulating the decoder's raster-SB/z-order walk.
+
+    Returns dict of (nwaves, maxb) int32 arrays: r, c, have_a, have_l,
+    ntr, nbl, valid.
+    """
+    level = np.zeros((nbr, nbc), np.int64)
+    ntr = np.zeros((nbr, nbc), np.int32)
+    nbl = np.zeros((nbr, nbc), np.int32)
+    decoded = np.zeros((nbr, nbc), bool)
+    # decode order: raster over 2x2-block superblocks, z-order within
+    order = []
+    for sr in range(0, nbr, 2):
+        for sc in range(0, nbc, 2):
+            for dr, dc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                r, c = sr + dr, sc + dc
+                if r < nbr and c < nbc:
+                    order.append((r, c))
+    for r, c in order:
+        deps = []
+        if r > 0:
+            deps.append((r - 1, c))
+        if c > 0:
+            deps.append((r, c - 1))
+        if r > 0 and c + 1 < nbc and decoded[r - 1, c + 1]:
+            ntr[r, c] = 32
+            deps.append((r - 1, c + 1))
+        if c > 0 and r + 1 < nbr and decoded[r + 1, c - 1]:
+            nbl[r, c] = 32
+            deps.append((r + 1, c - 1))
+        level[r, c] = 1 + max((level[d] for d in deps), default=-1)
+        decoded[r, c] = True
+    nwaves = int(level.max()) + 1
+    waves = [[] for _ in range(nwaves)]
+    for r, c in order:
+        waves[int(level[r, c])].append((r, c))
+    maxb = max(len(wv) for wv in waves)
+    out = {k: np.zeros((nwaves, maxb), np.int32)
+           for k in ("r", "c", "have_a", "have_l", "ntr", "nbl", "valid")}
+    for i, wv in enumerate(waves):
+        for j, (r, c) in enumerate(wv):
+            out["r"][i, j] = r
+            out["c"][i, j] = c
+            out["have_a"][i, j] = int(r > 0)
+            out["have_l"][i, j] = int(c > 0)
+            out["ntr"][i, j] = ntr[r, c]
+            out["nbl"][i, j] = nbl[r, c]
+            out["valid"][i, j] = 1
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _dir_tables(mode: int, size: int):
+    """Static gather tables for a directional predictor at angle_delta 0.
+
+    Returns (sel, i0, i1, w1) int32 (size, size) arrays: prediction =
+    round2(src[i0]*(32-w1) + src[i1]*w1, 5) where src is ar_full when
+    sel==0 else lc_full (length 2*size+1, index 0 = corner).
+    """
+    p_angle = recon.MODE_ANGLE[mode]
+    w = h = size
+    mx = w + h - 1
+    sel = np.zeros((h, w), np.int32)
+    i0 = np.zeros((h, w), np.int32)
+    i1 = np.zeros((h, w), np.int32)
+    w1 = np.zeros((h, w), np.int32)
+    for i in range(h):
+        for j in range(w):
+            if p_angle < 90:
+                dx = int(recon.DR_DERIVATIVE[p_angle])
+                idx = (i + 1) * dx
+                base_i = (idx >> 6) + j
+                shift = (idx >> 1) & 0x1F
+                if base_i > mx:
+                    i0[i, j] = i1[i, j] = 1 + mx
+                    w1[i, j] = 0
+                else:
+                    i0[i, j] = 1 + min(base_i, mx)
+                    i1[i, j] = 1 + min(base_i + 1, mx)
+                    w1[i, j] = shift
+            elif p_angle > 180:
+                dy = int(recon.DR_DERIVATIVE[270 - p_angle])
+                idx = (j + 1) * dy
+                base_i = (idx >> 6) + i
+                shift = (idx >> 1) & 0x1F
+                sel[i, j] = 1
+                i0[i, j] = 1 + min(base_i, mx)
+                i1[i, j] = 1 + min(base_i + 1, mx)
+                w1[i, j] = shift
+            else:  # zone 2
+                dx = int(recon.DR_DERIVATIVE[180 - p_angle])
+                idx = (j << 6) - (i + 1) * dx
+                base_i = idx >> 6
+                if base_i >= -1:
+                    shift = (idx >> 1) & 0x1F
+                    i0[i, j] = 1 + base_i
+                    i1[i, j] = 2 + base_i
+                    w1[i, j] = shift
+                else:
+                    dy = int(recon.DR_DERIVATIVE[p_angle - 90])
+                    idx2 = (i << 6) - (j + 1) * dy
+                    base2 = idx2 >> 6
+                    shift = (idx2 >> 1) & 0x1F
+                    sel[i, j] = 1
+                    i0[i, j] = 1 + base2
+                    i1[i, j] = 2 + base2
+                    w1[i, j] = shift
+    return sel, i0, i1, w1
+
+
+def _fwd_mat(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    m = np.cos((2 * j + 1) * k * math.pi / (2 * n)) * math.sqrt(2.0 / n)
+    m[0] *= 1.0 / math.sqrt(2)
+    gw = math.sqrt(n) / math.sqrt(2)
+    rs = recon._ROW_SHIFT[(n.bit_length() - 1, n.bit_length() - 1)]
+    scale = (1 << (rs + 4)) / (gw * gw)
+    return (m * math.sqrt(scale)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# spec-exact integer inverse DCT (port of recon.idct1d, jnp int32)
+# ---------------------------------------------------------------------------
+
+def _round2(x, n):
+    if n == 0:
+        return x
+    return (x + (1 << (n - 1))) >> n
+
+
+def _jbtf(w0, x0, w1, x1):
+    return _round2(w0 * x0 + w1 * x1, recon.COS_BIT)
+
+
+def _bitrev(i, n):
+    return int(format(i, f"0{n}b")[::-1], 2) if n else 0
+
+
+def _jidct(T, clamp):
+    n = len(T)
+    if n == 2:
+        c32 = recon.cos128(32)
+        return [clamp(_jbtf(c32, T[0], c32, T[1])),
+                clamp(_jbtf(c32, T[0], -c32, T[1]))]
+    half = n // 2
+    even = _jidct([T[2 * i] for i in range(half)], clamp)
+    odd = _jidct_odd([T[2 * i + 1] for i in range(half)], n, clamp)
+    out = [None] * n
+    for i in range(half):
+        out[i] = clamp(even[i] + odd[half - 1 - i])
+        out[n - 1 - i] = clamp(even[i] - odd[half - 1 - i])
+    return out
+
+
+def _jidct_odd(O, full, clamp):
+    m = len(O)
+    bits = m.bit_length() - 1
+    unit = 64 // full
+    s = [None] * m
+    for k in range(m // 2):
+        coeff = 2 * _bitrev(k, bits) + 1
+        a = unit * coeff
+        lo = O[(coeff - 1) // 2]
+        hi = O[(full - coeff - 1) // 2]
+        s[k] = clamp(_jbtf(recon.cos128(64 - a), lo, -recon.cos128(a), hi))
+        s[m - 1 - k] = clamp(_jbtf(recon.cos128(a), lo,
+                                   recon.cos128(64 - a), hi))
+    if m == 2:
+        return s
+    for lvl in range(1, bits):
+        g = 1 << lvl
+        t = [None] * m
+        for lo0 in range(0, m, g):
+            gi = lo0 // g
+            for i in range(g // 2):
+                a_i, b_i = lo0 + i, lo0 + g - 1 - i
+                if gi % 2 == 0:
+                    t[a_i] = clamp(s[a_i] + s[b_i])
+                    t[b_i] = clamp(s[a_i] - s[b_i])
+                else:
+                    t[a_i] = clamp(-s[a_i] + s[b_i])
+                    t[b_i] = clamp(s[a_i] + s[b_i])
+        s = t
+        band_lo = g // 2
+        base_angle = (64 * g) // m
+        t = list(s)
+        for j in range(m // 2):
+            if not (band_lo <= (j % (2 * g)) < band_lo + g):
+                continue
+            k = m - 1 - j
+            quad = j // (2 * g)
+            nq = m // (2 * g)
+            mult = 2 * _bitrev(quad, max(nq.bit_length() - 1, 0)) + 1
+            a = base_angle * mult
+            ca, cb = recon.cos128(a), recon.cos128(64 - a)
+            if (j // g) % 2 == 0:
+                t[j] = clamp(_jbtf(-ca, s[j], cb, s[k]))
+                t[k] = clamp(_jbtf(cb, s[j], ca, s[k]))
+            else:
+                t[j] = clamp(_jbtf(-cb, s[j], -ca, s[k]))
+                t[k] = clamp(_jbtf(-ca, s[j], cb, s[k]))
+        s = t
+    return s
+
+
+def inv_dct2d_add(dq, pred, bit_depth: int):
+    """dq: (B, n, n) int32 levels*dqv; pred: (B, n, n) int32.  Returns
+    spec-exact reconstructed pixels (B, n, n) int32."""
+    n = dq.shape[-1]
+    cb = bit_depth + 8
+    lo, hi = -(1 << (cb - 1)), (1 << (cb - 1)) - 1
+
+    def clamp(x):
+        return jnp.clip(x, lo, hi)
+
+    buf = clamp(dq)
+    cols = [buf[:, :, i] for i in range(n)]
+    row_out = _jidct(cols, clamp)
+    buf = jnp.stack(row_out, axis=2)
+    rs = recon._ROW_SHIFT[(n.bit_length() - 1, n.bit_length() - 1)]
+    buf = clamp(_round2(buf, rs))
+    rows = [buf[:, i, :] for i in range(n)]
+    col_out = _jidct(rows, clamp)
+    buf = jnp.stack(col_out, axis=1)
+    res = _round2(buf, 4)
+    return jnp.clip(pred + res, 0, (1 << bit_depth) - 1)
+
+
+# ---------------------------------------------------------------------------
+# predictors (batched; edges per spec availability rules)
+# ---------------------------------------------------------------------------
+
+def _gather_edges(rec, y0, x0, have_a, have_l, ntr, nbl, size, base):
+    """Returns (ar_full, lc_full, corner): length 2*size+1 vectors with
+    index 0 = corner, mirroring recon.predict_intra's edge assembly."""
+    n = 2 * size
+    fh, fw = rec.shape
+    y0c = jnp.maximum(y0 - 1, 0)
+    x0c = jnp.maximum(x0 - 1, 0)
+    na = jnp.maximum(1, jnp.minimum(jnp.minimum(size + ntr, fw - x0), n))
+    above = rec[y0c, x0 + jnp.minimum(jnp.arange(n), na - 1)]
+    above = jnp.where(have_a, above,
+                      jnp.where(have_l, rec[y0, x0c], base - 1))
+    nl = jnp.maximum(1, jnp.minimum(jnp.minimum(size + nbl, fh - y0), n))
+    left = rec[y0 + jnp.minimum(jnp.arange(n), nl - 1), x0c]
+    left = jnp.where(have_l, left,
+                     jnp.where(have_a, rec[y0c, x0], base + 1))
+    corner = jnp.where(have_a & have_l, rec[y0c, x0c],
+                       jnp.where(have_a, rec[ y0c, x0],
+                                 jnp.where(have_l, rec[y0, x0c], base)))
+    ar = jnp.concatenate([corner[None], above])
+    lc = jnp.concatenate([corner[None], left])
+    return ar, lc, corner
+
+
+def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes):
+    """All candidate predictions, stacked (n_modes, size, size) int32.
+    ar/lc: (2*size+1,) with [0]=corner."""
+    above = ar[1:1 + size]
+    left = lc[1:1 + size]
+    n2 = size.bit_length() - 1
+    preds = []
+    for m in modes:
+        if m == recon.DC_PRED:
+            s_a = above.sum()
+            s_l = left.sum()
+            v = jnp.where(
+                have_a & have_l,
+                (s_a + s_l + size) // (2 * size),
+                jnp.where(have_a, (s_a + (size >> 1)) >> n2,
+                          jnp.where(have_l, (s_l + (size >> 1)) >> n2,
+                                    base)))
+            preds.append(jnp.full((size, size), 0, jnp.int32) + v)
+        elif m == recon.V_PRED:
+            preds.append(jnp.tile(above[None, :], (size, 1)))
+        elif m == recon.H_PRED:
+            preds.append(jnp.tile(left[:, None], (1, size)))
+        elif m == recon.PAETH_PRED:
+            a = jnp.tile(above[None, :], (size, 1))
+            l_ = jnp.tile(left[:, None], (1, size))
+            pb = a + l_ - corner
+            pa = jnp.abs(pb - a)
+            pl = jnp.abs(pb - l_)
+            pc = jnp.abs(pb - corner)
+            preds.append(jnp.where((pa <= pl) & (pa <= pc), a,
+                                   jnp.where(pl <= pc, l_, corner)))
+        elif m == recon.SMOOTH_PRED:
+            wv = jnp.asarray(recon.SM_WEIGHTS[size], jnp.int32)
+            br = left[size - 1]
+            rt = above[size - 1]
+            i = wv[:, None]
+            j = wv[None, :]
+            s = (i * above[None, :] + (256 - i) * br +
+                 j * left[:, None] + (256 - j) * rt)
+            preds.append(_round2(s, 9))
+        else:  # directional, angle_delta 0
+            sel, i0, i1, w1 = _dir_tables(m, size)
+            v0 = jnp.where(sel == 0, ar[i0], lc[i0])
+            v1 = jnp.where(sel == 0, ar[i1], lc[i1])
+            w1j = jnp.asarray(w1, jnp.int32)
+            preds.append(_round2(v0 * (32 - w1j) + v1 * w1j, 5))
+    return jnp.stack([p.astype(jnp.int32) for p in preds])
+
+
+# ---------------------------------------------------------------------------
+# the jitted frame encoder
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nbr", "nbc", "bit_depth"))
+def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int):
+    """y: (H, W) uint8/16 SB-padded source; returns grids + levels +
+    recon planes."""
+    waves = plan_waves(nbr, nbc)
+    wave_xs = {k: jnp.asarray(a) for k, a in waves.items()}
+    H, Wd = nbr * 32, nbc * 32
+    base = 1 << (bit_depth - 1)
+    maxlvl = (1 << bit_depth) - 1
+
+    fm32 = jnp.asarray(_fwd_mat(32))
+    fm16 = jnp.asarray(_fwd_mat(16))
+    dcq = jnp.asarray(recon.DC_Q[bit_depth], jnp.int32)[qindex]
+    acq = jnp.asarray(recon.AC_Q[bit_depth], jnp.int32)[qindex]
+    deadzone = jnp.float32(1.0 - 0.62)
+
+    def quant(coef, n, shift):
+        dq = jnp.full((n, n), acq, jnp.float32)
+        dq = dq.at[0, 0].set(dcq.astype(jnp.float32))
+        dq = dq / (1 << shift)
+        mag = jnp.abs(coef) / dq + deadzone
+        lv = jnp.clip(jnp.floor(mag), 0, 32767).astype(jnp.int32)
+        return jnp.where(coef < 0, -lv, lv)
+
+    def dequant(lv, n, shift):
+        dq = jnp.full((n, n), acq, jnp.int32)
+        dq = dq.at[0, 0].set(dcq)
+        mag = (jnp.abs(lv) * dq) & 0xFFFFFF
+        return jnp.sign(lv) * (mag >> shift)
+
+    src_y = y.astype(jnp.int32)
+    src_u = u.astype(jnp.int32)
+    src_v = v.astype(jnp.int32)
+
+    def block_fn(rec_y, rec_u, rec_v, r, c, have_a, have_l, ntr, nbl):
+        y0, x0 = r * 32, c * 32
+        ha = have_a.astype(bool)
+        hl = have_l.astype(bool)
+        ar, lcv, corner = _gather_edges(rec_y, y0, x0, ha, hl, ntr, nbl,
+                                        32, base)
+        preds = _predict_all(ar, lcv, corner, ha, hl, 32, base,
+                             list(_MODE_IDS))
+        rows = y0 + jnp.arange(32)[:, None]
+        cols = x0 + jnp.arange(32)[None, :]
+        sy = src_y[rows, cols]
+        sse = ((sy[None] - preds) ** 2).sum(axis=(1, 2))  # < 2^27, int32-safe
+        penalty = jnp.where(jnp.asarray(_DIRECTIONAL) & ~(ha | hl),
+                            jnp.int32(1 << 30), jnp.int32(0))
+        mi = jnp.argmin(sse + penalty)
+        mode = jnp.asarray(_MODE_IDS)[mi]
+        pred = preds[mi]
+        coef = fm32 @ (sy - pred).astype(jnp.float32) @ fm32.T
+        lvy = quant(coef, 32, 1)
+        rec_blk_y = inv_dct2d_add(dequant(lvy, 32, 1)[None], pred[None],
+                                  bit_depth)[0]
+        # chroma: DC_PRED, 16x16
+        cy0, cx0 = y0 // 2, x0 // 2
+        crows = cy0 + jnp.arange(16)[:, None]
+        ccols = cx0 + jnp.arange(16)[None, :]
+        out_c = []
+        for rec_p, src_p in ((rec_u, src_u), (rec_v, src_v)):
+            arc, lcc, cornc = _gather_edges(
+                rec_p, cy0, cx0, ha, hl, ntr // 2, nbl // 2, 16, base)
+            predc = _predict_all(arc, lcc, cornc, ha, hl, 16, base,
+                                 [recon.DC_PRED])[0]
+            sc = src_p[crows, ccols]
+            coefc = fm16 @ (sc - predc).astype(jnp.float32) @ fm16.T
+            lvc = quant(coefc, 16, 0)
+            recc = inv_dct2d_add(dequant(lvc, 16, 0)[None], predc[None],
+                                 bit_depth)[0]
+            out_c.append((lvc, recc))
+        (lvu, rec_blk_u), (lvv, rec_blk_v) = out_c
+        skip = ((lvy == 0).all() & (lvu == 0).all() &
+                (lvv == 0).all()).astype(jnp.int32)
+        return rec_blk_y, rec_blk_u, rec_blk_v, lvy, lvu, lvv, mode, skip
+
+    def wave_step(carry, xs):
+        rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, g_mode, g_uv, g_skip = carry
+        outs = jax.vmap(
+            lambda r, c, a, l, t, b: block_fn(rec_y, rec_u, rec_v, r, c,
+                                              a, l, t, b)
+        )(xs["r"], xs["c"], xs["have_a"], xs["have_l"], xs["ntr"],
+          xs["nbl"])
+        rby, rbu, rbv, lvy, lvu, lvv, mode, skip = outs
+        # scatter: invalid lanes get out-of-range coords -> dropped
+        r_eff = jnp.where(xs["valid"] == 1, xs["r"], nbr + 1)
+        c_eff = xs["c"]
+        ys = r_eff[:, None, None] * 32 + jnp.arange(32)[None, :, None]
+        xsx = c_eff[:, None, None] * 32 + jnp.arange(32)[None, None, :]
+        rec_y = rec_y.at[ys, xsx].set(rby.astype(rec_y.dtype), mode="drop")
+        lv_y = lv_y.at[ys, xsx].set(lvy, mode="drop")
+        cyx = r_eff[:, None, None] * 16 + jnp.arange(16)[None, :, None]
+        cxx = c_eff[:, None, None] * 16 + jnp.arange(16)[None, None, :]
+        rec_u = rec_u.at[cyx, cxx].set(rbu.astype(rec_u.dtype), mode="drop")
+        rec_v = rec_v.at[cyx, cxx].set(rbv.astype(rec_v.dtype), mode="drop")
+        lv_u = lv_u.at[cyx, cxx].set(lvu, mode="drop")
+        lv_v = lv_v.at[cyx, cxx].set(lvv, mode="drop")
+        g_mode = g_mode.at[r_eff, c_eff].set(mode, mode="drop")
+        g_uv = g_uv.at[r_eff, c_eff].set(jnp.zeros_like(mode), mode="drop")
+        g_skip = g_skip.at[r_eff, c_eff].set(skip, mode="drop")
+        return (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, g_mode, g_uv,
+                g_skip), None
+
+    init = (jnp.zeros((H, Wd), jnp.int32),
+            jnp.zeros((H // 2, Wd // 2), jnp.int32),
+            jnp.zeros((H // 2, Wd // 2), jnp.int32),
+            jnp.zeros((H, Wd), jnp.int32),
+            jnp.zeros((H // 2, Wd // 2), jnp.int32),
+            jnp.zeros((H // 2, Wd // 2), jnp.int32),
+            jnp.zeros((nbr, nbc), jnp.int32),
+            jnp.zeros((nbr, nbc), jnp.int32),
+            jnp.zeros((nbr, nbc), jnp.int32))
+    carry, _ = jax.lax.scan(wave_step, init, wave_xs)
+    return carry
+
+
+def encode_keyframe_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                           qindex: int, bit_depth: int = 8):
+    """Full spec keyframe: device compute + native entropy.
+
+    Returns (tu_bytes, (rec_y, rec_u, rec_v)) cropped to source dims.
+    """
+    h, w = y.shape
+    ph, pw = (h + 63) & ~63, (w + 63) & ~63
+    if (ph, pw) != (h, w):
+        y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+        u = np.pad(u, ((0, (ph - h) // 2), (0, (pw - w) // 2)), mode="edge")
+        v = np.pad(v, ((0, (ph - h) // 2), (0, (pw - w) // 2)), mode="edge")
+    nbr, nbc = ph // 32, pw // 32
+    out = _encode_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                        jnp.int32(qindex), nbr=nbr, nbc=nbc,
+                        bit_depth=bit_depth)
+    (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v,
+     g_mode, g_uv, g_skip) = jax.device_get(out)
+    tile = native.encode_intra32_tile(qindex, pw // 4, ph // 4, g_mode,
+                                      g_uv, g_skip, lv_y, lv_u, lv_v)
+    tu = W.assemble_keyframe(pw, ph, qindex, tile,
+                             render_size=(w, h) if (ph, pw) != (h, w)
+                             else None)
+    return tu, (rec_y[:h, :w], rec_u[:h // 2, :w // 2],
+                rec_v[:h // 2, :w // 2])
