@@ -139,16 +139,19 @@ class MvComponentCdfs:
     sign).  Extracted as distinct tables mv_comp_{c}_* when solved."""
 
     def __init__(self, t: dict, comp: int):
-        def g(name, default_shape):
+        def g(name, squeeze=False):
             key = f"mv_comp{comp}_{name}"
-            if key in t:
-                return t[key].astype(np.int32).copy()
-            return None
-        self.classes = g("classes", None)
-        self.class0 = g("class0", None)
-        self.bits = g("bits", None)
-        self.class0_fp = g("class0_fp", None)
-        self.fp = g("fp", None)
-        self.sign = g("sign", None)
-        self.class0_hp = g("class0_hp", None)
-        self.hp = g("hp", None)
+            if key not in t:
+                return None
+            a = t[key].astype(np.int32).copy()
+            if squeeze and a.ndim == 2 and a.shape[0] == 1:
+                a = a[0]
+            return a
+        self.classes = g("classes", squeeze=True)
+        self.class0 = g("class0", squeeze=True)
+        self.bits = g("bits")              # (10, 3)
+        self.class0_fp = g("class0_fp")    # (2, 5)
+        self.fp = g("fp", squeeze=True)
+        self.sign = g("sign", squeeze=True)
+        self.class0_hp = g("class0_hp", squeeze=True)
+        self.hp = g("hp", squeeze=True)

@@ -20,6 +20,11 @@ class Decoder:
     def __init__(self):
         self.seq: headers.SequenceHeader | None = None
         self.ref_frames: list = [None] * 8
+        self.ref_slot_meta: list = [None] * 8  # (planes, width, height)
+        # debug/bring-up switch: return pre-loop-filter recon instead of
+        # raising when the header enables deblocking (output then
+        # differs from a conformant decoder near block edges)
+        self.ignore_loop_filter = False
 
     def decode_tu(self, tu: bytes) -> list:
         """Decode one temporal unit; returns list of (y, u, v) planes."""
@@ -36,14 +41,14 @@ class Decoder:
                 continue
         return out
 
-    def _decode_frame_obu(self, payload: bytes) -> list:
+    def _decode_frame_obu(self, payload: bytes,
+                          _td_out: dict | None = None) -> list:
         assert self.seq is not None, "no sequence header seen"
         seq = self.seq
         hdr = headers.parse_frame_header(payload, seq)
         if hdr.show_existing_frame:
-            return [self.ref_frames[hdr.frame_to_show_map_idx]]
-        if not hdr.frame_is_intra():
-            raise NotImplementedError("inter frames")
+            planes, w, h = self.ref_slot_meta[hdr.frame_to_show_map_idx]
+            return [self._crop_dims(planes, w, h)]
         # byte-align then tile group
         pos = (hdr.header_bits + 7) & ~7
         b = BitReader(payload, pos)
@@ -56,7 +61,9 @@ class Decoder:
                 tg_end = b.f(bits)
         b.byte_align()
         fc = FrameContext(hdr.base_q_idx)
-        td = TileDecoder(seq, hdr, fc)
+        td = TileDecoder(seq, hdr, fc,
+                         ref_planes=None if hdr.frame_is_intra()
+                         else self.ref_frames)
         data = payload[b.pos // 8:]
         off = 0
         for tn in range(tg_start, tg_end + 1):
@@ -72,14 +79,22 @@ class Decoder:
             td.decode_tile(tile_data,
                            hdr.mi_row_starts[tr], hdr.mi_row_starts[tr + 1],
                            hdr.mi_col_starts[tc], hdr.mi_col_starts[tc + 1])
-        frame = self._finish_frame(td, hdr)
+        if _td_out is not None:
+            _td_out["td"] = td
+        full = self._finish_frame(td, hdr)
         for i in range(8):
             if hdr.refresh_frame_flags & (1 << i):
-                self.ref_frames[i] = frame
-        return [frame] if hdr.show_frame else []
+                self.ref_frames[i] = full
+                self.ref_slot_meta[i] = (full, hdr.frame_width,
+                                         hdr.frame_height)
+        if not hdr.show_frame:
+            return []
+        return [self._crop_dims(full, hdr.frame_width, hdr.frame_height)]
 
     def _finish_frame(self, td: TileDecoder, hdr) -> tuple:
-        if any(hdr.lf.level):
+        """Returns the FULL coded-size planes (reference slots keep the
+        SB-padded area: inter prediction clamps against coded dims)."""
+        if any(hdr.lf.level) and not self.ignore_loop_filter:
             # spec deblocking: required for exact output when enabled
             raise NotImplementedError(
                 f"loop filter enabled (levels {hdr.lf.level})")
@@ -88,14 +103,14 @@ class Decoder:
             raise NotImplementedError("CDEF enabled")
         if hdr.lr.uses_lr:
             raise NotImplementedError("loop restoration enabled")
-        w, h = hdr.frame_width, hdr.frame_height
+        return (td.planes[0], td.planes[1], td.planes[2])
+
+    def _crop_dims(self, planes, w, h) -> tuple:
+        y, u, v = planes
         ssx, ssy = self.seq.subsampling_x, self.seq.subsampling_y
         cw = (w + ssx) >> ssx
         ch = (h + ssy) >> ssy
-        y = td.planes[0][:h, :w].copy()
-        u = td.planes[1][:ch, :cw].copy()
-        v = td.planes[2][:ch, :cw].copy()
-        return (y, u, v)
+        return (y[:h, :w].copy(), u[:ch, :cw].copy(), v[:ch, :cw].copy())
 
 
 def decode_stream(tus) -> list:

@@ -23,7 +23,7 @@ import math
 
 import numpy as np
 
-from av1tpu.specav1 import recon
+from av1tpu.specav1 import inter_recon, mvrefs, recon
 from av1tpu.specav1 import tile as T
 from av1tpu.specav1 import writer as W
 from av1tpu.specav1.cdfs import FrameContext
@@ -93,8 +93,9 @@ class KeyFrameEncoder:
         self.qindex = qindex
 
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-               render_size: tuple | None = None):
+               render_size: tuple | None = None, order_hint: int = 0):
         """Returns (tu_bytes, recon_planes)."""
+        self.order_hint = order_hint
         qidx = self.qindex
         h, w = y.shape
         assert h % 64 == 0 and w % 64 == 0, "pad to SB size first"
@@ -130,7 +131,8 @@ class KeyFrameEncoder:
         tile = tw.finish()
         self.tile_bytes = tile
         tu = W.assemble_keyframe(w, h, qidx, tile,
-                                 render_size=self.render_size)
+                                 render_size=self.render_size,
+                                 order_hint=self.order_hint)
         return tu, rec
 
     def _avail(self, r4, c4s, c4e=None, rows=False):
@@ -219,6 +221,222 @@ class KeyFrameEncoder:
             rec[p][cy:cy + CB, cx:cx + CB] = recon.inv_txfm_add(
                 dq, recon.DCT_DCT, upreds[i], 8)
         self.decoded[br:br + B // 4, bc:bc + B // 4] = True
+
+
+class InterFrameEncoder:
+    """Spec-AV1 single-ref inter frame (host reference implementation).
+
+    Same fixed 32x32 grid as the keyframe encoder.  Per block the mode
+    decision tries: NEARESTMV (stack[0]), GLOBALMV (0,0), NEWMV from a
+    small diamond integer search + quarter-pel refine, and a DC-intra
+    fallback — all evaluated with the exact spec MC, picked by luma
+    SSE.  Reconstruction is the spec path so any conformant decoder
+    matches bit-for-bit.
+    """
+
+    BLOCK = 32
+    BSIZE = T.BLOCK_32X32
+
+    def __init__(self, qindex: int, ref_planes: tuple, order_hint: int,
+                 search_range: int = 16):
+        self.qindex = qindex
+        self.refs = ref_planes          # (y, u, v) FULL coded-size recon
+        self.order_hint = order_hint
+        self.search_range = search_range
+
+    def encode(self, y, u, v, render_size=None):
+        qidx = self.qindex
+        h, w = y.shape
+        assert h % 64 == 0 and w % 64 == 0
+        assert self.refs[0].shape == (h, w), "ref/coded size mismatch"
+        mi_cols, mi_rows = w // 4, h // 4
+        fc = FrameContext(qidx)
+        tw = W.TileWriter(fc, mi_cols, mi_rows, qidx)
+        rec = [np.zeros((h, w), np.int32),
+               np.zeros((h // 2, w // 2), np.int32),
+               np.zeros((h // 2, w // 2), np.int32)]
+        src = [y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)]
+        self.mi_rows, self.mi_cols = mi_rows, mi_cols
+        self.decoded = np.zeros((mi_rows, mi_cols), bool)
+        for sb_r in range(0, mi_rows, 16):
+            tw.start_sb_row(sb_r)
+            for sb_c in range(0, mi_cols, 16):
+                tw.partition(sb_r, sb_c, T.BLOCK_64X64, T.PARTITION_SPLIT)
+                for br, bc in ((sb_r, sb_c), (sb_r, sb_c + 8),
+                               (sb_r + 8, sb_c), (sb_r + 8, sb_c + 8)):
+                    if br < mi_rows and bc < mi_cols:
+                        self._block(tw, src, rec, br, bc)
+        tile = tw.finish()
+        self.tile_bytes = tile
+        tu = W.assemble_interframe(w, h, qidx, tile,
+                                   order_hint=self.order_hint,
+                                   render_size=render_size)
+        return tu, rec
+
+    # -----------------------------------------------------------------
+    def _search_mv(self, sy, x0, y0, pred_mv):
+        """Small diamond integer search + quarter-pel refine around the
+        predictor; returns a quarter-pel (even 1/8-unit) MV."""
+        ref_y = self.refs[0]
+        rh, rw = ref_y.shape
+        B = self.BLOCK
+
+        def sad_int(mr, mc):
+            ry, rx = y0 + mr, x0 + mc
+            if not (0 <= ry <= rh - B and 0 <= rx <= rw - B):
+                return 1 << 30
+            blk = ref_y[ry:ry + B, rx:rx + B]
+            return int(np.abs(sy - blk).sum())
+
+        best = (pred_mv[0] >> 3, pred_mv[1] >> 3)
+        best_cost = sad_int(*best)
+        if sad_int(0, 0) < best_cost:
+            best, best_cost = (0, 0), sad_int(0, 0)
+        step = 8
+        while step >= 1:
+            improved = True
+            while improved:
+                improved = False
+                for dr, dc in ((-step, 0), (step, 0), (0, -step),
+                               (0, step)):
+                    cand = (best[0] + dr, best[1] + dc)
+                    if abs(cand[0]) > self.search_range or \
+                            abs(cand[1]) > self.search_range:
+                        continue
+                    c = sad_int(*cand)
+                    if c < best_cost:
+                        best, best_cost = cand, c
+                        improved = True
+            step >>= 1
+        # quarter-pel refine with exact MC (mv in 1/8 units, even)
+        mv = (best[0] * 8, best[1] * 8)
+        cost = None
+        for _ in range(2):
+            improved = False
+            for dr, dc in ((-2, 0), (2, 0), (0, -2), (0, 2)):
+                cand = (mv[0] + dr, mv[1] + dc)
+                pred = inter_recon.predict_inter(ref_y, x0, y0, B, B,
+                                                 cand, 0, 0, 8)
+                c = int(((sy - pred) ** 2).sum())
+                if cost is None:
+                    base = inter_recon.predict_inter(ref_y, x0, y0, B, B,
+                                                     mv, 0, 0, 8)
+                    cost = int(((sy - base) ** 2).sum())
+                if c < cost:
+                    mv, cost = cand, c
+                    improved = True
+            if not improved:
+                break
+        return mv
+
+    def _block(self, tw, src, rec, br, bc):
+        qidx = self.qindex
+        B = self.BLOCK
+        x0, y0 = bc * 4, br * 4
+        sy = src[0][y0:y0 + B, x0:x0 + B]
+        stack = tw.mv_stack(br, bc, self.BSIZE, mvrefs.LAST_FRAME)
+        ref_y = self.refs[0]
+
+        cands = []  # (sse, order, y_mode, mv, pred)
+        for order, (mode, mv) in enumerate((
+                (T.NEARESTMV, stack.ref_mv(0)),
+                (T.GLOBALMV, (0, 0)))):
+            pred = inter_recon.predict_inter(ref_y, x0, y0, B, B, mv,
+                                             0, 0, 8)
+            cands.append((int(((sy - pred) ** 2).sum()), order, mode,
+                          mv, pred))
+        new_mv = self._search_mv(sy, x0, y0, stack.ref_mv(0))
+        if new_mv != stack.ref_mv(0) and new_mv != (0, 0):
+            pred = inter_recon.predict_inter(ref_y, x0, y0, B, B, new_mv,
+                                             0, 0, 8)
+            cands.append((int(((sy - pred) ** 2).sum()), 2, T.NEWMV,
+                          new_mv, pred))
+        cands.sort(key=lambda t: (t[0], t[1]))
+        sse_inter, _, y_mode, mv, pred_y = cands[0]
+        # DC-intra fallback (occlusions / scene content the ref lacks)
+        have_l, have_a = x0 > 0, y0 > 0
+        pred_dc = recon.predict_intra(rec[0], x0, y0, B, B, T.DC_PRED, 0,
+                                      8, have_l, have_a, 0, 0)
+        use_intra = int(((sy - pred_dc) ** 2).sum()) * 2 < sse_inter
+        cx, cy = x0 // 2, y0 // 2
+        CB = B // 2
+        if use_intra:
+            y_mode, uv_mode = T.DC_PRED, T.DC_PRED
+            pred_y = pred_dc
+            preds_uv = [recon.predict_intra(rec[p], cx, cy, CB, CB,
+                                            T.DC_PRED, 0, 8, cx > 0,
+                                            cy > 0, 0, 0)
+                        for p in (1, 2)]
+        else:
+            preds_uv = [inter_recon.predict_inter(self.refs[p], cx, cy,
+                                                  CB, CB, mv, 1, 1, 8)
+                        for p in (1, 2)]
+        levels_y = quantize(fdct2d(sy - pred_y), qidx, 8)
+        lv_uv = [quantize(fdct2d(src[p][cy:cy + CB, cx:cx + CB] -
+                                 preds_uv[i]), qidx, 8)
+                 for i, p in enumerate((1, 2))]
+        skip = int(not levels_y.any() and not lv_uv[0].any()
+                   and not lv_uv[1].any())
+        tw.partition(br, bc, self.BSIZE, T.PARTITION_NONE)
+        if use_intra:
+            tw.block_intra_interframe(br, bc, self.BSIZE, skip,
+                                      T.DC_PRED, T.DC_PRED)
+        else:
+            tw.block_inter(br, bc, self.BSIZE, skip, mvrefs.LAST_FRAME,
+                           y_mode, mv, stack)
+        if not skip:
+            tw.coeffs(0, x0, y0, T.TX_32X32, levels_y)
+            tw.coeffs(1, cx, cy, T.TX_16X16, lv_uv[0])
+            tw.coeffs(2, cx, cy, T.TX_16X16, lv_uv[1])
+        tw.update_partition_ctx(br, bc, self.BSIZE)
+        # spec recon
+        dqy = recon.dequant_coeffs(levels_y, qidx, 0, 0, 8, B, B)
+        rec[0][y0:y0 + B, x0:x0 + B] = recon.inv_txfm_add(
+            dqy, recon.DCT_DCT, pred_y, 8)
+        for i, p in enumerate((1, 2)):
+            dq = recon.dequant_coeffs(lv_uv[i], qidx, 0, 0, 8, CB, CB)
+            rec[p][cy:cy + CB, cx:cx + CB] = recon.inv_txfm_add(
+                dq, recon.DCT_DCT, preds_uv[i], 8)
+        self.decoded[br:br + B // 4, bc:bc + B // 4] = True
+
+
+def encode_stream_host(frames, qindex: int, keyint: int = 64):
+    """Host spec encoder: list of (y, u, v) -> list of temporal units.
+
+    Keyframe every `keyint` frames; inter frames reference the previous
+    reconstruction (slot 0).  Returns (tus, recons) with recons cropped
+    to source dims.
+    """
+    tus, recons = [], []
+    ref_full = None
+    h0 = w0 = None
+    for i, (y, u, v) in enumerate(frames):
+        h, w = y.shape
+        if h0 is None:
+            h0, w0 = h, w
+        assert (h, w) == (h0, w0)
+        ph, pw = (h + 63) & ~63, (w + 63) & ~63
+        if (ph, pw) != (h, w):
+            yp = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+            up = np.pad(u, ((0, (ph - h) // 2), (0, (pw - w) // 2)),
+                        mode="edge")
+            vp = np.pad(v, ((0, (ph - h) // 2), (0, (pw - w) // 2)),
+                        mode="edge")
+        else:
+            yp, up, vp = y, u, v
+        rs = (w, h) if (ph, pw) != (h, w) else None
+        if i % keyint == 0:
+            enc = KeyFrameEncoder(qindex)
+            tu, rec = enc.encode(yp, up, vp, render_size=rs,
+                                 order_hint=i & 127)
+        else:
+            enc = InterFrameEncoder(qindex, ref_full, order_hint=i & 127)
+            tu, rec = enc.encode(yp, up, vp, render_size=rs)
+        ref_full = tuple(r.copy() for r in rec)
+        tus.append(tu)
+        recons.append((rec[0][:h, :w], rec[1][:h // 2, :w // 2],
+                       rec[2][:h // 2, :w // 2]))
+    return tus, recons
 
 
 def encode_keyframe(y, u, v, qindex: int):

@@ -351,8 +351,7 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader,
     to the position just after (before byte_alignment for OBU_FRAME)."""
     b = BitReader(payload, pos_bits)
     h = FrameHeader()
-    if seq.frame_id_numbers_present:
-        raise NotImplementedError("frame_id_numbers")
+    id_len = seq.delta_frame_id_length + seq.additional_frame_id_length
     if seq.reduced_still_picture_header:
         h.frame_type = KEY_FRAME
         h.show_frame = 1
@@ -361,6 +360,8 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader,
         h.show_existing_frame = b.f(1)
         if h.show_existing_frame:
             h.frame_to_show_map_idx = b.f(3)
+            if seq.frame_id_numbers_present:
+                b.f(id_len)  # display_frame_id
             h.header_bits = b.pos
             return h
         h.frame_type = b.f(2)
@@ -389,6 +390,8 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader,
         h.force_integer_mv = 0
     if frame_is_intra:
         h.force_integer_mv = 1
+    if seq.frame_id_numbers_present:
+        b.f(id_len)  # current_frame_id
     if not seq.reduced_still_picture_header:
         if h.frame_type == SWITCH_FRAME:
             h.frame_size_override = 1
@@ -434,6 +437,8 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader,
         for i in range(REFS_PER_FRAME):
             if not frame_refs_short_signaling:
                 h.ref_frame_idx[i] = b.f(3)
+            if seq.frame_id_numbers_present:
+                b.f(seq.delta_frame_id_length)  # delta_frame_id_minus_1
         if h.frame_size_override and not h.error_resilient_mode:
             # frame_size_with_refs: found_ref per ref
             found = False

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from av1tpu.specav1 import recon
+from av1tpu.specav1 import inter_recon, mvrefs, recon
 from av1tpu.specav1.msac import SymbolDecoder
 from av1tpu.specav1.headers import FrameHeader, SequenceHeader
 
@@ -39,6 +39,13 @@ _SQUARES = {1: BLOCK_4X4, 2: BLOCK_8X8, 4: BLOCK_16X16, 8: BLOCK_32X32,
  PAETH_PRED) = range(13)
 UV_CFL_PRED = 13
 INTRA_MODE_CONTEXT = (0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0)
+
+# inter Y modes (continuing the spec YMode numbering)
+NEARESTMV, NEARMV, GLOBALMV, NEWMV = 13, 14, 15, 16
+
+# Size_Group (our BLOCK_SIZES index order)
+SIZE_GROUP = (0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 3,
+              1, 1, 2, 2, 3, 3)
 
 # tx sizes: (w, h)
 TX_SIZES_ALL = [
@@ -142,13 +149,18 @@ def get_scan(tx: int, tx_type: int) -> np.ndarray:
 
 
 class TileDecoder:
-    def __init__(self, seq: SequenceHeader, hdr: FrameHeader, fc):
+    def __init__(self, seq: SequenceHeader, hdr: FrameHeader, fc,
+                 ref_planes: list | None = None):
         self.seq = seq
         self.hdr = hdr
         self.fc = fc
         self.bd = seq.bit_depth
         self.mi_cols = hdr.mi_cols
         self.mi_rows = hdr.mi_rows
+        # inter state: full coded-size planes of the reference slots
+        self.ref_planes = ref_planes
+        self.mvgrid = mvrefs.MvGrid.create(hdr.mi_rows, hdr.mi_cols)
+        self.blocks: list = []  # (mi_r, mi_c, bsize) in decode order
         self.sb4 = 32 if seq.use_128x128_superblock else 16
         # pad to SB size: blocks/txbs may extend beyond the visible
         # frame (spec codes them fully; output is cropped)
@@ -287,6 +299,268 @@ class TileDecoder:
 
     # --- block ----------------------------------------------------------
     def decode_block(self, r, c, bsize):
+        if not self.hdr.frame_is_intra():
+            return self._decode_block_interframe(r, c, bsize)
+        return self._decode_block_intraframe(r, c, bsize)
+
+    # --- inter-frame blocks (spec 5.11.15 inter_frame_mode_info) ---------
+    def _decode_block_interframe(self, r, c, bsize):
+        self.blocks.append((r, c, bsize))
+        seq, hdr, fc = self.seq, self.hdr, self.fc
+        w4, h4 = BLOCK_SIZES[bsize]
+        bw4 = min(w4, self.mi_cols - c)
+        bh4 = min(h4, self.mi_rows - r)
+        avail_u = self._avail(r - 1, c)
+        avail_l = self._avail(r, c - 1)
+        tile = (self.mrs, self.mre, self.mcs, self.mce)
+        # skip_mode absent (skip_mode_present = 0), then skip
+        ctx = 0
+        if avail_u:
+            ctx += int(self.skips[r - 1, c])
+        if avail_l:
+            ctx += int(self.skips[r, c - 1])
+        skip = self.r.read_adapt(fc.skip[ctx], 2)
+        # is_inter
+        ii_ctx = mvrefs.intra_inter_ctx(self.mvgrid, r, c, tile)
+        is_inter = self.r.read_adapt(fc.intra_inter[ii_ctx], 2)
+        y_mode = uv_mode = DC_PRED
+        angle_y = angle_uv = 0
+        mv = (0, 0)
+        ref_frame = 0  # INTRA_FRAME
+        if is_inter:
+            # read_ref_frames, single-reference tree (reference_select=0)
+            ctxs = mvrefs.single_ref_ctxs(self.mvgrid, r, c, tile)
+            b1 = self.r.read_adapt(fc.single_ref[ctxs[0]][0], 2)
+            if b1:  # backward group
+                b2 = self.r.read_adapt(fc.single_ref[ctxs[4]][1], 2)
+                if b2:
+                    ref_frame = mvrefs.ALTREF_FRAME
+                else:
+                    b6 = self.r.read_adapt(fc.single_ref[ctxs[5]][5], 2)
+                    ref_frame = (mvrefs.ALTREF2_FRAME if b6
+                                 else mvrefs.BWDREF_FRAME)
+            else:
+                b3 = self.r.read_adapt(fc.single_ref[ctxs[1]][2], 2)
+                if b3:
+                    b5 = self.r.read_adapt(fc.single_ref[ctxs[3]][4], 2)
+                    ref_frame = (mvrefs.GOLDEN_FRAME if b5
+                                 else mvrefs.LAST3_FRAME)
+                else:
+                    b4 = self.r.read_adapt(fc.single_ref[ctxs[2]][3], 2)
+                    ref_frame = (mvrefs.LAST2_FRAME if b4
+                                 else mvrefs.LAST_FRAME)
+            stack = mvrefs.find_mv_stack(self.mvgrid, r, c, w4, h4,
+                                         ref_frame, tile)
+            # inter mode tree
+            if self.r.read_adapt(fc.newmv[stack.new_mv_ctx], 2) == 0:
+                y_mode = NEWMV
+            elif self.r.read_adapt(fc.zeromv[stack.zero_mv_ctx], 2) == 0:
+                y_mode = GLOBALMV
+            elif self.r.read_adapt(fc.refmv[stack.ref_mv_ctx], 2) == 0:
+                y_mode = NEARESTMV
+            else:
+                y_mode = NEARMV
+            # read_drl_idx
+            ref_mv_idx = 0
+            if y_mode == NEWMV:
+                for idx in range(2):
+                    if stack.num_mv_found > idx + 1:
+                        if self.r.read_adapt(
+                                fc.drl[stack.drl_ctx(idx)], 2) == 0:
+                            ref_mv_idx = idx
+                            break
+                        ref_mv_idx = idx + 1
+            elif y_mode == NEARMV:
+                ref_mv_idx = 1
+                for idx in range(1, 3):
+                    if stack.num_mv_found > idx + 1:
+                        if self.r.read_adapt(
+                                fc.drl[stack.drl_ctx(idx)], 2) == 0:
+                            ref_mv_idx = idx
+                            break
+                        ref_mv_idx = idx + 1
+            # assign_mv
+            if y_mode == NEWMV:
+                pred_mv = stack.ref_mv(ref_mv_idx)
+                mv = self._read_mv(pred_mv)
+            elif y_mode == NEARESTMV:
+                mv = stack.ref_mv(0)
+            elif y_mode == NEARMV:
+                mv = stack.ref_mv(ref_mv_idx)
+            else:  # GLOBALMV, identity
+                mv = (0, 0)
+            # read_motion_mode (our own streams set
+            # is_motion_mode_switchable=0; needed to replay foreign
+            # streams).  AllowWarpedMotion off in scope -> obmc bool.
+            if hdr.is_motion_mode_switchable and \
+                    min(BLOCK_SIZES[bsize]) * 4 >= 8 and \
+                    self._has_overlappable(r, c, bsize, tile):
+                mm = self.r.read_adapt(fc.obmc[bsize], 2)
+                if mm:
+                    raise NotImplementedError("OBMC prediction")
+        else:
+            # intra_block_mode_info
+            y_mode = self.r.read_adapt(
+                fc.if_y_mode[SIZE_GROUP[bsize]], 13)
+            if bsize >= BLOCK_8X8 and V_PRED <= y_mode <= D67_PRED:
+                angle_y = self.r.read_adapt(
+                    fc.angle_delta[y_mode - V_PRED], 7) - 3
+            if self._has_chroma(r, c, bsize):
+                cfl_allowed = int(max(BLOCK_SIZES[bsize]) * 4 <= 32)
+                uv_mode = self.r.read_adapt(
+                    fc.uv_mode[cfl_allowed][y_mode],
+                    14 if cfl_allowed else 13)
+                if uv_mode == UV_CFL_PRED:
+                    raise NotImplementedError("CFL")
+                if bsize >= BLOCK_8X8 and V_PRED <= uv_mode <= D67_PRED:
+                    angle_uv = self.r.read_adapt(
+                        fc.angle_delta[uv_mode - V_PRED], 7) - 3
+        # tx size: intra blocks read the depth tree; non-skip inter
+        # blocks use var-tx (txfm_partition), not implemented yet
+        tx = MAX_TX_SIZE_RECT[bsize]
+        if hdr.tx_mode == "TX_MODE_SELECT" and bsize > BLOCK_4X4 \
+                and not skip:
+            if is_inter:
+                raise NotImplementedError("var-tx in inter frames")
+            tx = self._read_tx_size(r, c, bsize, avail_u, avail_l)
+        # store mode info
+        self.y_modes[r:r + bh4, c:c + bw4] = y_mode if not is_inter \
+            else DC_PRED
+        self.uv_modes[r:r + bh4, c:c + bw4] = uv_mode
+        self.skips[r:r + bh4, c:c + bw4] = skip
+        self.mi_size[r:r + bh4, c:c + bw4] = bsize
+        self.mvgrid.set_block(r, c, bh4, bw4, ref_frame, mv,
+                              y_mode == NEWMV)
+        tw, th = TX_SIZES_ALL[tx]
+        self.tx_w4[r:r + bh4, c:c + bw4] = tw >> 2
+        self.tx_h4[r:r + bh4, c:c + bw4] = th >> 2
+        self.above_txw[c:c + bw4] = tw
+        lr = (r - self.sb_row) & (self.sb4 - 1)
+        self.left_txh[lr:lr + bh4] = th
+        if is_inter:
+            self._inter_residual(r, c, bsize, tx, ref_frame, mv, skip)
+        else:
+            self._predict_and_residual(r, c, bsize, tx, y_mode, uv_mode,
+                                       angle_y, angle_uv, skip)
+        self.decoded[r:r + bh4, c:c + bw4] = True
+
+    def _has_overlappable(self, r, c, bsize, tile):
+        """spec has_overlappable_candidates: any inter block in the
+        row above / column left of this block."""
+        t_r0, _, t_c0, _ = tile
+        w4, h4 = BLOCK_SIZES[bsize]
+        if r > t_r0:
+            for j in range(min(w4, self.mi_cols - c)):
+                if self.mvgrid.ref[r - 1, c + j] > 0:
+                    return True
+        if c > t_c0:
+            for i in range(min(h4, self.mi_rows - r)):
+                if self.mvgrid.ref[r + i, c - 1] > 0:
+                    return True
+        return False
+
+    def _read_mv(self, pred_mv):
+        """spec 5.11.31/32 read_mv for our header config (no intrabc)."""
+        fc, r = self.fc, self.r
+        joint = r.read_adapt(fc.mv_joint, 4)
+        dr = self._read_mv_component(0) if joint in (2, 3) else 0
+        dc = self._read_mv_component(1) if joint in (1, 3) else 0
+        return (pred_mv[0] + dr, pred_mv[1] + dc)
+
+    def _read_mv_component(self, comp):
+        fc, r = self.fc, self.r
+        hdr = self.hdr
+        m = fc.mv[comp]
+        sign = r.read_adapt(m.sign, 2)
+        mv_class = r.read_adapt(m.classes, 11)
+        if mv_class == 0:
+            int_bit = r.read_adapt(m.class0, 2)
+            if hdr.force_integer_mv:
+                fr = 3
+            else:
+                fr = r.read_adapt(m.class0_fp[int_bit], 4)
+            hp = r.read_adapt(m.class0_hp, 2) \
+                if hdr.allow_high_precision_mv else 1
+            mag = ((int_bit << 3) | (fr << 1) | hp) + 1
+        else:
+            d = 0
+            for i in range(mv_class):
+                d |= r.read_adapt(m.bits[i], 2) << i
+            mag = 2 << (mv_class + 2)
+            if hdr.force_integer_mv:
+                fr = 3
+            else:
+                fr = r.read_adapt(m.fp, 4)
+            hp = r.read_adapt(m.hp, 2) \
+                if hdr.allow_high_precision_mv else 1
+            mag += ((d << 3) | (fr << 1) | hp) + 1
+        return -mag if sign else mag
+
+    def _inter_residual(self, r, c, bsize, tx, ref_frame, mv, skip):
+        seq, hdr = self.seq, self.hdr
+        w4, h4 = BLOCK_SIZES[bsize]
+        slot = hdr.ref_frame_idx[ref_frame - mvrefs.LAST_FRAME]
+        refs = self.ref_planes[slot]
+        tw, th = TX_SIZES_ALL[tx]
+        x0, y0 = c * 4, r * 4
+        bw, bh = w4 * 4, h4 * 4
+        pred_y = inter_recon.predict_inter(refs[0], x0, y0, bw, bh, mv,
+                                           0, 0, self.bd)
+        for ty in range(0, bh, th):
+            for tx_x in range(0, bw, tw):
+                self._txb_inter(0, x0 + tx_x, y0 + ty, tx,
+                                pred_y[ty:ty + th, tx_x:tx_x + tw], skip,
+                                r, c)
+        if self._has_chroma(r, c, bsize):
+            ssx, ssy = seq.subsampling_x, seq.subsampling_y
+            ctx_tx = _chroma_tx_size(bsize, ssx, ssy)
+            ctw, cth = TX_SIZES_ALL[ctx_tx]
+            cx0, cy0 = (c >> ssx) * 4, (r >> ssy) * 4
+            cbw = max(w4 >> ssx, 1) * 4
+            cbh = max(h4 >> ssy, 1) * 4
+            for plane in (1, 2):
+                pred = inter_recon.predict_inter(
+                    refs[plane], cx0, cy0, cbw, cbh, mv, ssx, ssy, self.bd)
+                for ty in range(0, cbh, cth):
+                    for tx_x in range(0, cbw, ctw):
+                        self._txb_inter(plane, cx0 + tx_x, cy0 + ty,
+                                        ctx_tx,
+                                        pred[ty:ty + cth, tx_x:tx_x + ctw],
+                                        skip, r, c)
+
+    def _txb_inter(self, plane, x, y, tx, pred, skip, mi_r, mi_c):
+        tw, th = TX_SIZES_ALL[tx]
+        frame = self.planes[plane]
+        ssx = self.seq.subsampling_x if plane else 0
+        ssy = self.seq.subsampling_y if plane else 0
+        if x >= ((self.mi_cols * 4) >> ssx) or \
+                y >= ((self.mi_rows * 4) >> ssy):
+            return
+        if skip:
+            frame[y:y + th, x:x + tw] = np.clip(
+                pred, 0, (1 << self.bd) - 1).astype(frame.dtype)
+            self._set_ctx(plane, x, y, tw, th, 0, 0)
+            return
+        eob, levels, tx_type, culdc = self._coeffs(plane, x, y, tx,
+                                                   DC_PRED)
+        if eob == 0:
+            frame[y:y + th, x:x + tw] = np.clip(
+                pred, 0, (1 << self.bd) - 1).astype(frame.dtype)
+            return
+        hdr = self.hdr
+        if plane == 0:
+            dcd, acd = hdr.delta_q_y_dc, 0
+        elif plane == 1:
+            dcd, acd = hdr.delta_q_u_dc, hdr.delta_q_u_ac
+        else:
+            dcd, acd = hdr.delta_q_v_dc, hdr.delta_q_v_ac
+        dq = recon.dequant_coeffs(levels, hdr.base_q_idx, dcd, acd,
+                                  self.bd, tw, th)
+        out = recon.inv_txfm_add(dq, tx_type, pred, self.bd)
+        frame[y:y + th, x:x + tw] = out.astype(frame.dtype)
+
+    def _decode_block_intraframe(self, r, c, bsize):
+        self.blocks.append((r, c, bsize))
         seq, hdr = self.seq, self.hdr
         w4, h4 = BLOCK_SIZES[bsize]
         bw4 = min(w4, self.mi_cols - c)

@@ -18,7 +18,7 @@ import ctypes
 import numpy as np
 
 from av1tpu.encoder import entropy
-from av1tpu.specav1 import recon
+from av1tpu.specav1 import mvrefs, recon
 from av1tpu.specav1 import tile as T
 from av1tpu.specav1.bits import BitWriter
 from av1tpu.specav1.cdfs import FrameContext
@@ -140,6 +140,87 @@ def _tl2(blk: int, target: int) -> int:
     return k
 
 
+def _write_tile_info(b: BitWriter, w: int, h: int) -> None:
+    """Single uniform tile (minimal log2s)."""
+    b.f(1, 1)          # uniform_tile_spacing
+    mi_cols = 2 * ((w + 7) >> 3)
+    mi_rows = 2 * ((h + 7) >> 3)
+    sbc = (mi_cols + 15) >> 4
+    sbr = (mi_rows + 15) >> 4
+    if _tl2(1, min(sbc, 64)) > _tl2(64, sbc):
+        b.f(0, 1)      # stop at minimum tile_cols_log2
+    if _tl2(1, min(sbr, 64)) > 0:
+        b.f(0, 1)
+
+
+def write_inter_frame_header(w: int, h: int, qidx: int, *,
+                             order_hint: int,
+                             refresh_frame_flags: int = 0x01,
+                             ref_slots: tuple = (0,) * 7,
+                             render_size: tuple | None = None,
+                             tx_mode_select: int = 0,
+                             reduced_tx_set: int = 0) -> BitWriter:
+    """Uncompressed header for a shown INTER frame matching
+    write_sequence_header's gates: primary_ref_frame NONE (default CDFs
+    per frame), single-reference (reference_select 0), regular filter,
+    loop filter off, no superres/cdef/lr, no temporal MVPs."""
+    b = BitWriter()
+    b.f(0, 1)              # show_existing_frame
+    b.f(1, 2)              # frame_type = INTER
+    b.f(1, 1)              # show_frame (showable inferred)
+    b.f(0, 1)              # error_resilient_mode
+    b.f(0, 1)              # disable_cdf_update (in-frame adaptation ON)
+    b.f(0, 1)              # frame_size_override
+    b.f(order_hint, 7)
+    b.f(7, 3)              # primary_ref_frame = PRIMARY_REF_NONE
+    b.f(refresh_frame_flags, 8)
+    b.f(0, 1)              # frame_refs_short_signaling
+    for slot in ref_slots:
+        b.f(slot, 3)       # ref_frame_idx[i]
+    # frame_size(): override 0 -> coded dims = seq max, no bits
+    if render_size is not None and render_size != (w, h):
+        b.f(1, 1)
+        b.f(render_size[0] - 1, 16)
+        b.f(render_size[1] - 1, 16)
+    else:
+        b.f(0, 1)
+    b.f(0, 1)              # allow_high_precision_mv
+    b.f(0, 1)              # is_filter_switchable
+    b.f(0, 2)              # interpolation_filter = EIGHTTAP_REGULAR
+    b.f(0, 1)              # is_motion_mode_switchable
+    b.f(1, 1)              # disable_frame_end_update_cdf
+    _write_tile_info(b, w, h)
+    b.f(qidx, 8)
+    b.f(0, 1)              # delta_q_y_dc
+    b.f(0, 1)              # delta_q_u_dc (diff_uv_delta absent: sep=0)
+    b.f(0, 1)              # delta_q_u_ac
+    b.f(0, 1)              # using_qmatrix
+    b.f(0, 1)              # segmentation_enabled
+    b.f(0, 1)              # delta_q_present
+    b.f(0, 6)              # loop_filter_level[0]
+    b.f(0, 6)              # loop_filter_level[1]
+    b.f(0, 3)              # sharpness
+    b.f(0, 1)              # mode_ref_delta_enabled
+    b.f(tx_mode_select, 1)
+    b.f(0, 1)              # reference_select (single reference)
+    # skip_mode_params: not allowed (reference_select 0) -> no bit
+    # allow_warped_motion: seq disables -> no bit
+    b.f(reduced_tx_set, 1)
+    for _ in range(7):
+        b.f(0, 1)          # is_global[ref] = 0 (IDENTITY)
+    return b
+
+
+def assemble_interframe(w: int, h: int, qidx: int, tile_data: bytes,
+                        **hdr_kw) -> bytes:
+    """TD + frame OBU for a single-tile inter frame (sequence header
+    carried by the stream's keyframe TU)."""
+    hdr = write_inter_frame_header(w, h, qidx, **hdr_kw)
+    hdr.byte_align()
+    return obu_mod.temporal_delimiter() + \
+        obu_mod.make_obu(obu_mod.OBU_FRAME, hdr.tobytes() + tile_data)
+
+
 class TileWriter:
     """Symbol emitter mirroring TileDecoder's context model."""
 
@@ -164,6 +245,9 @@ class TileWriter:
         self.y_modes = np.zeros((mi_rows, mi_cols), np.int32)
         self.mi_size = np.zeros((mi_rows, mi_cols), np.int32)
         self.sb_row = 0
+        # inter-frame state (mirrors TileDecoder's)
+        self.mvgrid = mvrefs.MvGrid.create(mi_rows, mi_cols)
+        self.tile = (0, mi_rows, 0, mi_cols)
 
     def start_sb_row(self, mi_row: int) -> None:
         self.sb_row = mi_row
@@ -256,6 +340,124 @@ class TileWriter:
             lr = (r - self.sb_row) & 15
             self.left_levels[p][lr:lr + bh4] = 0
             self.left_dcsign[p][lr:lr + bh4] = 0
+
+    # --- inter-frame blocks (write-side dual of
+    #     TileDecoder._decode_block_interframe) --------------------------
+    def mv_stack(self, r: int, c: int, bsize: int, ref_frame: int):
+        w4, h4 = T.BLOCK_SIZES[bsize]
+        return mvrefs.find_mv_stack(self.mvgrid, r, c, w4, h4, ref_frame,
+                                    self.tile)
+
+    def _skip_and_inter(self, r, c, skip, is_inter):
+        ctx = (int(self.skips[r - 1, c]) if r > 0 else 0) + \
+              (int(self.skips[r, c - 1]) if c > 0 else 0)
+        self.sym(skip, self.fc.skip[ctx], 2)
+        ii = mvrefs.intra_inter_ctx(self.mvgrid, r, c, self.tile)
+        self.sym(is_inter, self.fc.intra_inter[ii], 2)
+
+    def block_inter(self, r: int, c: int, bsize: int, skip: int,
+                    ref_frame: int, y_mode: int, mv: tuple,
+                    stack) -> None:
+        """Emit one single-ref inter block (mode in NEARESTMV..NEWMV);
+        `stack` from self.mv_stack (computed BEFORE this call)."""
+        fc = self.fc
+        self._skip_and_inter(r, c, skip, 1)
+        # read_ref_frames dual: LAST/LAST2/LAST3/GOLDEN supported
+        p1, p3, p4 = mvrefs.single_ref_ctxs(self.mvgrid, r, c,
+                                            self.tile)[:3]
+        assert mvrefs.LAST_FRAME <= ref_frame <= mvrefs.GOLDEN_FRAME
+        self.sym(0, fc.single_ref[p1][0], 2)
+        in_l3g = int(ref_frame in (mvrefs.LAST3_FRAME,
+                                   mvrefs.GOLDEN_FRAME))
+        self.sym(in_l3g, fc.single_ref[p3][2], 2)
+        if in_l3g:
+            self.sym(int(ref_frame == mvrefs.GOLDEN_FRAME),
+                     fc.single_ref[p3][4], 2)
+        else:
+            self.sym(int(ref_frame == mvrefs.LAST2_FRAME),
+                     fc.single_ref[p4][3], 2)
+        # inter mode tree
+        self.sym(int(y_mode != T.NEWMV), fc.newmv[stack.new_mv_ctx], 2)
+        if y_mode != T.NEWMV:
+            self.sym(int(y_mode != T.GLOBALMV),
+                     fc.zeromv[stack.zero_mv_ctx], 2)
+            if y_mode != T.GLOBALMV:
+                self.sym(int(y_mode != T.NEARESTMV),
+                         fc.refmv[stack.ref_mv_ctx], 2)
+        # drl (the encoder always selects ref_mv_idx 0 for NEWMV and the
+        # first NEARMV entry)
+        if y_mode == T.NEWMV:
+            if stack.num_mv_found > 1:
+                self.sym(0, fc.drl[stack.drl_ctx(0)], 2)
+        elif y_mode == T.NEARMV:
+            if stack.num_mv_found > 2:
+                self.sym(0, fc.drl[stack.drl_ctx(1)], 2)
+        if y_mode == T.NEWMV:
+            pred = stack.ref_mv(0)
+            self._write_mv(mv[0] - pred[0], mv[1] - pred[1])
+        self._finish_block_common(r, c, bsize, skip, T.DC_PRED, ref_frame,
+                                  mv, y_mode == T.NEWMV)
+
+    def block_intra_interframe(self, r: int, c: int, bsize: int,
+                               skip: int, y_mode: int,
+                               uv_mode: int) -> None:
+        fc = self.fc
+        self._skip_and_inter(r, c, skip, 0)
+        self.sym(y_mode, fc.if_y_mode[T.SIZE_GROUP[bsize]], 13)
+        if bsize >= T.BLOCK_8X8 and T.V_PRED <= y_mode <= T.D67_PRED:
+            self.sym(3, fc.angle_delta[y_mode - T.V_PRED], 7)
+        cfl_allowed = int(max(T.BLOCK_SIZES[bsize]) * 4 <= 32)
+        self.sym(uv_mode, fc.uv_mode[cfl_allowed][y_mode],
+                 14 if cfl_allowed else 13)
+        if bsize >= T.BLOCK_8X8 and T.V_PRED <= uv_mode <= T.D67_PRED:
+            self.sym(3, fc.angle_delta[uv_mode - T.V_PRED], 7)
+        self._finish_block_common(r, c, bsize, skip, y_mode, 0, (0, 0),
+                                  False)
+
+    def _finish_block_common(self, r, c, bsize, skip, store_y_mode,
+                             ref_frame, mv, is_newmv):
+        w4, h4 = T.BLOCK_SIZES[bsize]
+        bw4 = min(w4, self.mi_cols - c)
+        bh4 = min(h4, self.mi_rows - r)
+        self.skips[r:r + bh4, c:c + bw4] = skip
+        self.y_modes[r:r + bh4, c:c + bw4] = store_y_mode
+        self.mi_size[r:r + bh4, c:c + bw4] = bsize
+        self.mvgrid.set_block(r, c, bh4, bw4, ref_frame, mv, is_newmv)
+        if skip:
+            self._reset_block_ctx(r, c, bw4, bh4)
+
+    def _write_mv(self, dr: int, dc: int) -> None:
+        """Write the NEWMV residual (quarter-pel: allow_hp 0 means all
+        frame MVs are even in 1/8 units)."""
+        joint = (2 if dr else 0) | (1 if dc else 0)
+        assert joint != 0, "NEWMV with zero residual: use NEARESTMV"
+        self.sym(joint, self.fc.mv_joint, 4)
+        if dr:
+            self._write_mv_component(0, dr)
+        if dc:
+            self._write_mv_component(1, dc)
+
+    def _write_mv_component(self, comp: int, d: int) -> None:
+        m = self.fc.mv[comp]
+        sign = int(d < 0)
+        mag = -d if sign else d
+        z = mag - 1
+        assert z & 1, "odd 1/8-pel MV with allow_high_precision_mv 0"
+        self.sym(sign, m.sign, 2)
+        if z < 16:
+            self.sym(0, m.classes, 11)
+            bit = z >> 3
+            self.sym(bit, m.class0, 2)
+            self.sym((z >> 1) & 3, m.class0_fp[bit], 4)
+            # hp inferred 1 (allow_hp 0)
+        else:
+            cls = z.bit_length() - 4
+            self.sym(cls, m.classes, 11)
+            offset = z - (2 << (cls + 2))
+            dbits = offset >> 3
+            for i in range(cls):
+                self.sym((dbits >> i) & 1, m.bits[i], 2)
+            self.sym((offset >> 1) & 3, m.fp, 4)
 
     # --- coefficients ------------------------------------------------
     def coeffs(self, plane: int, x: int, y: int, tx: int,
