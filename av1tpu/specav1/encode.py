@@ -385,9 +385,10 @@ class InterFrameEncoder:
             tw.block_inter(br, bc, self.BSIZE, skip, mvrefs.LAST_FRAME,
                            y_mode, mv, stack)
         if not skip:
-            tw.coeffs(0, x0, y0, T.TX_32X32, levels_y)
-            tw.coeffs(1, cx, cy, T.TX_16X16, lv_uv[0])
-            tw.coeffs(2, cx, cy, T.TX_16X16, lv_uv[1])
+            inter_blk = not use_intra
+            tw.coeffs(0, x0, y0, T.TX_32X32, levels_y, is_inter=inter_blk)
+            tw.coeffs(1, cx, cy, T.TX_16X16, lv_uv[0], is_inter=inter_blk)
+            tw.coeffs(2, cx, cy, T.TX_16X16, lv_uv[1], is_inter=inter_blk)
         tw.update_partition_ctx(br, bc, self.BSIZE)
         # spec recon
         dqy = recon.dequant_coeffs(levels_y, qidx, 0, 0, 8, B, B)

@@ -542,7 +542,7 @@ class TileDecoder:
             self._set_ctx(plane, x, y, tw, th, 0, 0)
             return
         eob, levels, tx_type, culdc = self._coeffs(plane, x, y, tx,
-                                                   DC_PRED)
+                                                   DC_PRED, is_inter=True)
         if eob == 0:
             frame[y:y + th, x:x + tw] = np.clip(
                 pred, 0, (1 << self.bd) - 1).astype(frame.dtype)
@@ -769,7 +769,7 @@ class TileDecoder:
         self.left_dcsign[plane][lr:lr + h4] = dcsign
 
     # --- coefficient parsing (spec 5.11.39) -------------------------------
-    def _coeffs(self, plane, x, y, tx, intra_dir):
+    def _coeffs(self, plane, x, y, tx, intra_dir, is_inter=False):
         r = self.r
         fc = self.fc
         tw, th = TX_SIZES_ALL[tx]
@@ -784,7 +784,7 @@ class TileDecoder:
         # transform type
         tx_type = recon.DCT_DCT
         if plane == 0:
-            tx_type = self._read_tx_type(tx, intra_dir)
+            tx_type = self._read_tx_type(tx, intra_dir, is_inter)
             self._last_luma_txtype = tx_type
         else:
             tx_type = getattr(self, "_last_luma_txtype", recon.DCT_DCT)
@@ -860,10 +860,21 @@ class TileDecoder:
         full[:ch, :cw] = vals
         return eob, full, tx_type, culdc
 
-    def _read_tx_type(self, tx, intra_dir):
+    def _read_tx_type(self, tx, intra_dir, is_inter=False):
         sq_up = tx_size_sqr_up(tx)
-        if sq_up > 2 or self.hdr.base_q_idx == 0:
+        if self.hdr.base_q_idx == 0 or sq_up > (3 if is_inter else 2):
             return recon.DCT_DCT
+        if is_inter:
+            sqr = tx_size_sqr(tx)
+            if self.hdr.reduced_tx_set or sq_up == 3:
+                txset, set_idx = EXT_TX_SET_DCT_IDTX, 3
+            elif sqr == 2:
+                txset, set_idx = EXT_TX_SET_DTT9_IDTX_1DDCT, 2
+            else:
+                txset, set_idx = EXT_TX_SET_ALL16, 1
+            sym = self.r.read_adapt(self.fc.inter_ext_tx[set_idx][sqr],
+                                    len(txset))
+            return txset[sym]
         if self.hdr.reduced_tx_set:
             txset = EXT_TX_SET_DTT4_IDTX
             set_idx = 2

@@ -463,7 +463,7 @@ class TileWriter:
     def coeffs(self, plane: int, x: int, y: int, tx: int,
                vals: np.ndarray, intra_dir: int = 0,
                tx_type: int = recon.DCT_DCT,
-               subsampling: tuple = (1, 1)) -> None:
+               subsampling: tuple = (1, 1), is_inter: bool = False) -> None:
         """Emit one transform block.  vals: (th, tw) int levels (signed),
         zero array means txb_skip."""
         fc = self.fc
@@ -480,7 +480,7 @@ class TileWriter:
             return
         self.sym(0, fc.txb_skip[txs_ctx][ctx_skip], 2)
         if plane == 0:
-            self._write_tx_type(tx, intra_dir, tx_type)
+            self._write_tx_type(tx, intra_dir, tx_type, is_inter)
         tx_class = T._TX_CLASS.get(tx_type, T.TX_CLASS_2D)
         scan = T.get_scan(tx, tx_type)
         # find eob in scan order
@@ -549,10 +549,23 @@ class TileWriter:
         self._set_ctx(plane, x, y, tw, th, min(cul, 63), dcsign,
                       subsampling)
 
-    def _write_tx_type(self, tx, intra_dir, tx_type):
+    def _write_tx_type(self, tx, intra_dir, tx_type, is_inter=False):
         sq_up = T.tx_size_sqr_up(tx)
-        if sq_up > 2 or self.base_q_idx == 0:
+        if self.base_q_idx == 0 or sq_up > (3 if is_inter else 2):
             assert tx_type == recon.DCT_DCT
+            return
+        sqr = T.tx_size_sqr(tx)
+        if is_inter:
+            # spec get_tx_set (inter): 32x32-square -> {IDTX, DCT},
+            # 16x16-square -> 12-type set, smaller -> all 16
+            if self.reduced_tx_set or sq_up == 3:
+                txset, set_idx = T.EXT_TX_SET_DCT_IDTX, 3
+            elif sqr == 2:
+                txset, set_idx = T.EXT_TX_SET_DTT9_IDTX_1DDCT, 2
+            else:
+                txset, set_idx = T.EXT_TX_SET_ALL16, 1
+            self.sym(txset.index(tx_type),
+                     self.fc.inter_ext_tx[set_idx][sqr], len(txset))
             return
         if self.reduced_tx_set:
             txset = T.EXT_TX_SET_DTT4_IDTX
@@ -560,7 +573,6 @@ class TileWriter:
         else:
             txset = T.EXT_TX_SET_DTT4_IDTX_1DDCT
             set_idx = 1
-        sqr = T.tx_size_sqr(tx)
         sym = txset.index(tx_type)
         self.sym(sym, self.fc.intra_ext_tx[set_idx][sqr][intra_dir],
                  len(txset))
