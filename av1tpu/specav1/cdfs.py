@@ -87,7 +87,7 @@ class FrameContext:
         self.filter_intra_mode = cp("filter_intra_mode")[0]
         self.filter_intra = cp("filter_intra", (22,))
         self.partition = cp("partition", (5, 4))
-        self.tx_size = cp("tx_size", (3, 3))
+        self.tx_size = cp("tx_size", (4, 3))
         self.txfm_partition = cp("txfm_partition", (21,))
         self.intra_ext_tx = cp("intra_ext_tx", (3, 4, 13))
         self.inter_ext_tx = cp("inter_ext_tx", (4, 4))

@@ -99,22 +99,32 @@ class MvStackResult:
 
 def _has_top_right(mi_row: int, mi_col: int, bw4: int, bh4: int,
                    sb_mi: int = 16) -> bool:
-    """libaom has_top_right geometry for square blocks (our grid)."""
-    if bw4 > 16:
+    """libaom has_top_right geometry (rect-aware)."""
+    bs = max(bw4, bh4)
+    if bs > 16:  # > 64x64
         return False
     mask_row = mi_row & (sb_mi - 1)
     mask_col = mi_col & (sb_mi - 1)
-    has_tr = not ((mask_row & bw4) and (mask_col & bw4))
-    bs = bw4
-    while bs < sb_mi:
-        if mask_col & bs:
-            if (mask_col & (2 * bs)) and (mask_row & (2 * bs)):
+    has_tr = not ((mask_row & bs) and (mask_col & bs))
+    b = bs
+    while b < sb_mi:
+        if mask_col & b:
+            if (mask_col & (2 * b)) and (mask_row & (2 * b)):
                 has_tr = False
                 break
         else:
             break
-        bs <<= 1
-    # (rectangular-partition adjustments omitted: grid is square blocks)
+        b <<= 1
+    # rectangular partitions (libaom is_sec_rect rule): the non-final
+    # vertical strip always has a TR; a non-first horizontal strip never
+    if bw4 < bh4:  # vertical rectangle
+        is_sec = ((mi_col + bw4) & (bh4 - 1)) == 0  # last strip
+        if not is_sec:
+            has_tr = True
+    elif bw4 > bh4:  # horizontal rectangle
+        is_sec = (mi_row & (bw4 - 1)) != 0
+        if is_sec:
+            has_tr = False
     return has_tr
 
 
@@ -249,17 +259,21 @@ def find_mv_stack(grid: MvGrid, mi_row: int, mi_col: int, bw4: int,
     up_available = mi_row > t_r0
     left_available = mi_col > t_c0
 
+    # sub-8x8 parity adjustments (spec find_mv_stack deltaRow/deltaCol)
+    row_adj = 1 if (bh4 < 2 and (mi_row & 1)) else 0
+    col_adj = 1 if (bw4 < 2 and (mi_col & 1)) else 0
+
     max_row_offset = 0
     if up_available:
-        max_row_offset = -(MVREF_ROW_COLS << 1)
+        max_row_offset = -(MVREF_ROW_COLS << 1) + row_adj
         if bh4 < 2:
-            max_row_offset = -(2 << 1)
+            max_row_offset = -(2 << 1) + row_adj
         max_row_offset = max(max_row_offset, t_r0 - mi_row)
     max_col_offset = 0
     if left_available:
-        max_col_offset = -(MVREF_ROW_COLS << 1)
+        max_col_offset = -(MVREF_ROW_COLS << 1) + col_adj
         if bw4 < 2:
-            max_col_offset = -(2 << 1)
+            max_col_offset = -(2 << 1) + col_adj
         max_col_offset = max(max_col_offset, t_c0 - mi_col)
 
     processed_rows = processed_cols = 0
@@ -273,21 +287,21 @@ def find_mv_stack(grid: MvGrid, mi_row: int, mi_col: int, bw4: int,
         _scan_point(st, grid, mi_row, mi_col, -1, bw4, ref_frame, tile,
                     "row_match")
 
-    nearest_match = (st.row_match > 0) + (st.col_match > 0)
+    close_matches = (st.row_match > 0) + (st.col_match > 0)
     nearest_count = len(st.mvs)
     for i in range(nearest_count):
         st.weights[i] += REF_CAT_LEVEL
-    newmv_count = st.newmv_count
 
     # (temporal MV scan: sequence disables ref_frame_mvs)
     zero_mv_ctx = 0
 
-    # second outer area: top-left point + outer rings (newmv not counted)
+    # second outer area: top-left point + outer rings (NewMvCount is
+    # frozen after the nearest scans — behaviorally confirmed vs libaom)
     _scan_point(st, grid, mi_row, mi_col, -1, -1, ref_frame, tile,
                 "row_match", count_newmv=False)
     for idx in range(2, MVREF_ROW_COLS + 1):
-        row_offset = -(idx << 1) + 1
-        col_offset = -(idx << 1) + 1
+        row_offset = -(idx << 1) + 1 + row_adj
+        col_offset = -(idx << 1) + 1 + col_adj
         if abs(row_offset) <= abs(max_row_offset) and \
                 abs(row_offset) > processed_rows:
             _scan_row(st, grid, mi_row, mi_col, bw4, bh4, row_offset,
@@ -297,19 +311,19 @@ def find_mv_stack(grid: MvGrid, mi_row: int, mi_col: int, bw4: int,
             _scan_col(st, grid, mi_row, mi_col, bw4, bh4, col_offset,
                       ref_frame, max_col_offset, tile, count_newmv=False)
 
-    total_match = (st.row_match > 0) + (st.col_match > 0)
+    total_matches = (st.row_match > 0) + (st.col_match > 0)
+    newmv_count = st.newmv_count
     refmv_count = len(st.mvs)
 
-    # mode contexts (libaom mode_context composition)
-    if nearest_match == 0:
-        new_mv_ctx = min(refmv_count, 1)
-        ref_mv_ctx = 1 if refmv_count == 1 else (2 if refmv_count >= 2
-                                                 else 0)
-    elif nearest_match == 1:
-        new_mv_ctx = 2 if newmv_count > 0 else 3
-        ref_mv_ctx = 3 if total_match == 1 else 4
+    # mode contexts (spec 7.10.2.x: CloseMatches / TotalMatches flags)
+    if close_matches == 0:
+        new_mv_ctx = min(total_matches, 1)
+        ref_mv_ctx = total_matches
+    elif close_matches == 1:
+        new_mv_ctx = 3 - min(newmv_count, 1)
+        ref_mv_ctx = 2 + total_matches
     else:
-        new_mv_ctx = 4 if newmv_count >= 1 else 5
+        new_mv_ctx = 5 - min(newmv_count, 1)
         ref_mv_ctx = 5
 
     # sort by weight (two bubble passes: nearest region, then rest)

@@ -40,6 +40,13 @@ _SQUARES = {1: BLOCK_4X4, 2: BLOCK_8X8, 4: BLOCK_16X16, 8: BLOCK_32X32,
 UV_CFL_PRED = 13
 INTRA_MODE_CONTEXT = (0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0)
 
+# spec Mode_To_Txfm_Type (chroma intra tx-type derivation)
+MODE_TO_TXFM = (recon.DCT_DCT, recon.ADST_DCT, recon.DCT_ADST,
+                recon.DCT_DCT, recon.ADST_ADST, recon.ADST_DCT,
+                recon.DCT_ADST, recon.DCT_ADST, recon.ADST_DCT,
+                recon.ADST_ADST, recon.ADST_DCT, recon.DCT_ADST,
+                recon.ADST_ADST, recon.DCT_DCT)
+
 # inter Y modes (continuing the spec YMode numbering)
 NEARESTMV, NEARMV, GLOBALMV, NEWMV = 13, 14, 15, 16
 
@@ -180,6 +187,11 @@ class TileDecoder:
         self.tx_w4 = np.zeros((mr, mc), np.int32)  # tx width in 4x4 units
         self.tx_h4 = np.zeros((mr, mc), np.int32)
         self.mi_size = np.zeros((mr, mc), np.int32)
+        # per-mi interpolation filter (0 reg / 1 smooth / 2 sharp);
+        # 3 = none (intra / not yet coded), the spec neighbor sentinel
+        self.filters = np.full((mr, mc), 3, np.int8)
+        # per-mi inter tx size (var-tx leaves), index into TX_SIZES_ALL
+        self.inter_tx = np.zeros((mr, mc), np.int32)
 
     # --- per-tile state -------------------------------------------------
     def decode_tile(self, data: bytes, mrs, mre, mcs, mce):
@@ -398,6 +410,14 @@ class TileDecoder:
                 mm = self.r.read_adapt(fc.obmc[bsize], 2)
                 if mm:
                     raise NotImplementedError("OBMC prediction")
+            # read_interpolation_filter (spec 5.11.27); dual_filter is
+            # disabled at the sequence level in scope -> one symbol
+            interp = hdr.interpolation_filter
+            if interp == 4:  # SWITCHABLE
+                if self.seq.enable_dual_filter:
+                    raise NotImplementedError("dual filter")
+                ictx = self._interp_filter_ctx(r, c, ref_frame, 0, tile)
+                interp = self.r.read_adapt(fc.switchable_interp[ictx], 3)
         else:
             # intra_block_mode_info
             y_mode = self.r.read_adapt(
@@ -411,18 +431,20 @@ class TileDecoder:
                     fc.uv_mode[cfl_allowed][y_mode],
                     14 if cfl_allowed else 13)
                 if uv_mode == UV_CFL_PRED:
-                    raise NotImplementedError("CFL")
+                    self._read_cfl_alphas()
                 if bsize >= BLOCK_8X8 and V_PRED <= uv_mode <= D67_PRED:
                     angle_uv = self.r.read_adapt(
                         fc.angle_delta[uv_mode - V_PRED], 7) - 3
         # tx size: intra blocks read the depth tree; non-skip inter
-        # blocks use var-tx (txfm_partition), not implemented yet
+        # blocks read the var-tx split tree (txfm_partition)
         tx = MAX_TX_SIZE_RECT[bsize]
+        var_tx = False
         if hdr.tx_mode == "TX_MODE_SELECT" and bsize > BLOCK_4X4 \
                 and not skip:
             if is_inter:
-                raise NotImplementedError("var-tx in inter frames")
-            tx = self._read_tx_size(r, c, bsize, avail_u, avail_l)
+                var_tx = True
+            else:
+                tx = self._read_tx_size(r, c, bsize, avail_u, avail_l)
         # store mode info
         self.y_modes[r:r + bh4, c:c + bw4] = y_mode if not is_inter \
             else DC_PRED
@@ -431,18 +453,100 @@ class TileDecoder:
         self.mi_size[r:r + bh4, c:c + bw4] = bsize
         self.mvgrid.set_block(r, c, bh4, bw4, ref_frame, mv,
                               y_mode == NEWMV)
+        self.filters[r:r + bh4, c:c + bw4] = interp if is_inter else 3
         tw, th = TX_SIZES_ALL[tx]
         self.tx_w4[r:r + bh4, c:c + bw4] = tw >> 2
         self.tx_h4[r:r + bh4, c:c + bw4] = th >> 2
-        self.above_txw[c:c + bw4] = tw
         lr = (r - self.sb_row) & (self.sb4 - 1)
-        self.left_txh[lr:lr + bh4] = th
+        if var_tx:
+            # read_var_tx_size over the block in max-rect-tx units; the
+            # recursion fills inter_tx and the above/left tx contexts
+            sw4, sh4 = tw >> 2, th >> 2
+            for i in range(0, h4, sh4):
+                for j in range(0, w4, sw4):
+                    self._read_var_tx_size(r + i, c + j, tx, 0, bsize)
+        else:
+            self.inter_tx[r:r + bh4, c:c + bw4] = tx
+            # spec compute_tx_size ctx update: skip inter blocks record
+            # the block dims, others the tx dims
+            if skip and is_inter:
+                self.above_txw[c:c + bw4] = w4 * 4
+                self.left_txh[lr:lr + bh4] = h4 * 4
+            else:
+                self.above_txw[c:c + bw4] = tw
+                self.left_txh[lr:lr + bh4] = th
         if is_inter:
-            self._inter_residual(r, c, bsize, tx, ref_frame, mv, skip)
+            self._inter_residual(r, c, bsize, tx, ref_frame, mv, skip,
+                                 interp, var_tx)
         else:
             self._predict_and_residual(r, c, bsize, tx, y_mode, uv_mode,
                                        angle_y, angle_uv, skip)
         self.decoded[r:r + bh4, c:c + bw4] = True
+
+    def _interp_filter_ctx(self, r, c, ref_frame, dir_, tile):
+        """spec: context for interp_filter[dir] from neighbours sharing
+        the block's first reference frame."""
+        t_r0, _, t_c0, _ = tile
+        NONE = 3  # SWITCHABLE_FILTERS sentinel
+
+        def ref_filter(nr, nc):
+            if int(self.mvgrid.ref[nr, nc]) <= 0:
+                return NONE
+            nref = int(self.mvgrid.ref[nr, nc])
+            if nref != ref_frame:
+                return NONE
+            f = int(self.filters[nr, nc])
+            return f if f < 3 else NONE
+
+        left = ref_filter(r, c - 1) if c > t_c0 else NONE
+        above = ref_filter(r - 1, c) if r > t_r0 else NONE
+        ctx = (dir_ & 1) * 4
+        if left == above:
+            ctx += left
+        elif left == NONE:
+            ctx += above
+        elif above == NONE:
+            ctx += left
+        else:
+            ctx += NONE
+        return ctx
+
+    def _read_var_tx_size(self, r, c, tx, depth, bsize):
+        """spec 5.11.46 read_var_tx_size: recursive tx split tree."""
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        tw, th = TX_SIZES_ALL[tx]
+        if tx == TX_4X4 or depth == 2:  # MAX_VARTX_DEPTH
+            split = 0
+        else:
+            ctx = self._txfm_partition_ctx(r, c, bsize, tx)
+            split = self.r.read_adapt(self.fc.txfm_partition[ctx], 2)
+        lr = (r - self.sb_row) & (self.sb4 - 1)
+        if split:
+            sub = SPLIT_TX_SIZE[tx]
+            sw, sh = TX_SIZES_ALL[sub]
+            for i in range(0, th >> 2, sh >> 2):
+                for j in range(0, tw >> 2, sw >> 2):
+                    self._read_var_tx_size(r + i, c + j, sub, depth + 1,
+                                           bsize)
+        else:
+            h4, w4 = th >> 2, tw >> 2
+            self.inter_tx[r:r + h4, c:c + w4] = tx
+            self.above_txw[c:c + w4] = tw
+            self.left_txh[lr:lr + h4] = th
+
+    def _txfm_partition_ctx(self, r, c, bsize, tx):
+        tw, th = TX_SIZES_ALL[tx]
+        above = int(int(self.above_txw[c]) < tw)
+        left_r = (r - self.sb_row) & (self.sb4 - 1)
+        left = int(int(self.left_txh[left_r]) < th)
+        w4, h4 = BLOCK_SIZES[bsize]
+        maxdim = min(max(w4, h4) * 4, 64)
+        max_tx = {8: 1, 16: 2, 32: 3, 64: 4}[max(maxdim, 8)]
+        tx_sqr_up = tx_size_sqr_up(tx)
+        category = int(tx_sqr_up != max_tx and max_tx > 1) + \
+            (4 - max_tx) * 2
+        return category * 3 + above + left
 
     def _has_overlappable(self, r, c, bsize, tile):
         """spec has_overlappable_candidates: any inter block in the
@@ -496,7 +600,8 @@ class TileDecoder:
             mag += ((d << 3) | (fr << 1) | hp) + 1
         return -mag if sign else mag
 
-    def _inter_residual(self, r, c, bsize, tx, ref_frame, mv, skip):
+    def _inter_residual(self, r, c, bsize, tx, ref_frame, mv, skip,
+                        interp=0, var_tx=False):
         seq, hdr = self.seq, self.hdr
         w4, h4 = BLOCK_SIZES[bsize]
         slot = hdr.ref_frame_idx[ref_frame - mvrefs.LAST_FRAME]
@@ -505,12 +610,22 @@ class TileDecoder:
         x0, y0 = c * 4, r * 4
         bw, bh = w4 * 4, h4 * 4
         pred_y = inter_recon.predict_inter(refs[0], x0, y0, bw, bh, mv,
-                                           0, 0, self.bd)
-        for ty in range(0, bh, th):
-            for tx_x in range(0, bw, tw):
-                self._txb_inter(0, x0 + tx_x, y0 + ty, tx,
-                                pred_y[ty:ty + th, tx_x:tx_x + tw], skip,
-                                r, c)
+                                           0, 0, self.bd, interp)
+        if var_tx:
+            # spec transform_tree: recurse to the read_var_tx_size
+            # leaves; 64-pixel chunking matches residual()'s loop
+            for cy in range(0, bh, 64):
+                for cx in range(0, bw, 64):
+                    self._transform_tree(x0 + cx, y0 + cy,
+                                         min(64, bw - cx),
+                                         min(64, bh - cy), pred_y, x0, y0,
+                                         skip, r, c)
+        else:
+            for ty in range(0, bh, th):
+                for tx_x in range(0, bw, tw):
+                    self._txb_inter(0, x0 + tx_x, y0 + ty, tx,
+                                    pred_y[ty:ty + th, tx_x:tx_x + tw],
+                                    skip, r, c)
         if self._has_chroma(r, c, bsize):
             ssx, ssy = seq.subsampling_x, seq.subsampling_y
             ctx_tx = _chroma_tx_size(bsize, ssx, ssy)
@@ -520,13 +635,50 @@ class TileDecoder:
             cbh = max(h4 >> ssy, 1) * 4
             for plane in (1, 2):
                 pred = inter_recon.predict_inter(
-                    refs[plane], cx0, cy0, cbw, cbh, mv, ssx, ssy, self.bd)
+                    refs[plane], cx0, cy0, cbw, cbh, mv, ssx, ssy,
+                    self.bd, interp)
                 for ty in range(0, cbh, cth):
                     for tx_x in range(0, cbw, ctw):
                         self._txb_inter(plane, cx0 + tx_x, cy0 + ty,
                                         ctx_tx,
                                         pred[ty:ty + cth, tx_x:tx_x + ctw],
                                         skip, r, c)
+
+    def _transform_tree(self, sx, sy, w, h, pred_y, px0, py0, skip,
+                        mi_r, mi_c):
+        """spec 5.11.36 transform_tree (inter luma)."""
+        row, col = sy >> 2, sx >> 2
+        if row >= self.mi_rows or col >= self.mi_cols:
+            return
+        ltx = int(self.inter_tx[row, col])
+        lw, lh = TX_SIZES_ALL[ltx]
+        if w <= lw and h <= lh:
+            tx = _find_tx_size(w, h)
+            tw, th = TX_SIZES_ALL[tx]
+            oy, ox = sy - py0, sx - px0
+            self._txb_inter(0, sx, sy, tx,
+                            pred_y[oy:oy + th, ox:ox + tw], skip,
+                            mi_r, mi_c)
+        elif w > h:
+            self._transform_tree(sx, sy, w // 2, h, pred_y, px0, py0,
+                                 skip, mi_r, mi_c)
+            self._transform_tree(sx + w // 2, sy, w // 2, h, pred_y,
+                                 px0, py0, skip, mi_r, mi_c)
+        elif w < h:
+            self._transform_tree(sx, sy, w, h // 2, pred_y, px0, py0,
+                                 skip, mi_r, mi_c)
+            self._transform_tree(sx, sy + h // 2, w, h // 2, pred_y,
+                                 px0, py0, skip, mi_r, mi_c)
+        else:
+            hw, hh = w // 2, h // 2
+            self._transform_tree(sx, sy, hw, hh, pred_y, px0, py0,
+                                 skip, mi_r, mi_c)
+            self._transform_tree(sx + hw, sy, hw, hh, pred_y, px0, py0,
+                                 skip, mi_r, mi_c)
+            self._transform_tree(sx, sy + hh, hw, hh, pred_y, px0, py0,
+                                 skip, mi_r, mi_c)
+            self._transform_tree(sx + hw, sy + hh, hw, hh, pred_y, px0,
+                                 py0, skip, mi_r, mi_c)
 
     def _txb_inter(self, plane, x, y, tx, pred, skip, mi_r, mi_c):
         tw, th = TX_SIZES_ALL[tx]
@@ -594,7 +746,7 @@ class TileDecoder:
             uv_mode = self.r.read_adapt(
                 self.fc.uv_mode[cfl_allowed][y_mode], nsyms)
             if uv_mode == UV_CFL_PRED:
-                raise NotImplementedError("CFL")
+                self._read_cfl_alphas()
             if bsize >= BLOCK_8X8 and V_PRED <= uv_mode <= D67_PRED:
                 angle_uv = self.r.read_adapt(
                     self.fc.angle_delta[uv_mode - V_PRED], 7) - 3
@@ -640,11 +792,20 @@ class TileDecoder:
         depth_max = _max_tx_depth(bsize)
         if depth_max == 0:
             return max_rect
-        above = int(self.above_txw[c]) if avail_u else 64
+        # unavailable neighbours contribute nothing; inter neighbours
+        # count their coding-block dims, intra their tx dims
         lr = (r - self.sb_row) & (self.sb4 - 1)
-        left = int(self.left_txh[lr]) if avail_l else 64
-        # neighbours that are skipped intra count as max size
-        ctx = int(above >= max_tx_w) + int(left >= max_tx_h)
+        ctx = 0
+        if avail_u:
+            above = int(self.above_txw[c])
+            if int(self.mvgrid.ref[r - 1, c]) > 0:
+                above = int(self.mvgrid.n4_w[r - 1, c]) * 4
+            ctx += int(above >= max_tx_w)
+        if avail_l:
+            left = int(self.left_txh[lr])
+            if int(self.mvgrid.ref[r, c - 1]) > 0:
+                left = int(self.mvgrid.n4_h[r, c - 1]) * 4
+            ctx += int(left >= max_tx_h)
         cat = _tx_size_cat(bsize)
         nsyms = min(depth_max, 2) + 1
         depth = self.r.read_adapt(self.fc.tx_size[cat][ctx], nsyms)
@@ -680,6 +841,51 @@ class TileDecoder:
                         self._txb(plane, tx_x, ty, ctx_tx, uv_mode,
                                   angle_uv, skip, r, c, bsize)
 
+    def _read_cfl_alphas(self):
+        """spec 5.11.45: joint sign + per-plane alpha magnitudes."""
+        fc, r = self.fc, self.r
+        js = r.read_adapt(fc.cfl_sign, 8)
+        sign_u = (js + 1) // 3
+        sign_v = (js + 1) % 3
+        alpha_u = alpha_v = 0
+        if sign_u != 0:
+            ctx = js - 2
+            alpha_u = r.read_adapt(fc.cfl_alpha[ctx], 16) + 1
+            if sign_u == 1:
+                alpha_u = -alpha_u
+        if sign_v != 0:
+            ctx = sign_v * 3 + sign_u - 3
+            alpha_v = r.read_adapt(fc.cfl_alpha[ctx], 16) + 1
+            if sign_v == 1:
+                alpha_v = -alpha_v
+        self._cfl_alphas = (alpha_u, alpha_v)
+
+    def _cfl_pred(self, plane, x, y, tw, th, dc_pred):
+        """spec 7.11.5: chroma-from-luma prediction for one chroma txb."""
+        ssx, ssy = self.seq.subsampling_x, self.seq.subsampling_y
+        alpha = self._cfl_alphas[plane - 1]
+        luma = self.planes[0]
+        lx, ly = x << ssx, y << ssy
+        lw, lh = tw << ssx, th << ssy
+        blk = luma[ly:ly + lh, lx:lx + lw].astype(np.int64)
+        if ssx and ssy:
+            sub = (blk[0::2, 0::2] + blk[0::2, 1::2] +
+                   blk[1::2, 0::2] + blk[1::2, 1::2]) << 1
+        elif ssx or ssy:
+            a = blk[:, 0::2] + blk[:, 1::2] if ssx else \
+                blk[0::2, :] + blk[1::2, :]
+            sub = a << 2
+        else:
+            sub = blk << 3
+        navg = (tw * th).bit_length() - 1
+        avg = int(sub.sum()) >> navg
+        ac = sub - avg
+        # spec round2_signed(alpha * ac, 6)
+        v = alpha * ac
+        scaled = np.where(v >= 0, (v + 32) >> 6, -((-v + 32) >> 6))
+        out = dc_pred.astype(np.int64) + scaled
+        return np.clip(out, 0, (1 << self.bd) - 1)
+
     def _txb(self, plane, x, y, tx, mode, angle, skip, mi_r, mi_c, bsize):
         tw, th = TX_SIZES_ALL[tx]
         frame = self.planes[plane]
@@ -695,11 +901,14 @@ class TileDecoder:
         have_above = y > ((self.mrs * 4) >> ssy)
         n_tr = self._n_top_right(plane, x, y, tw, th, mi_r, mi_c, bsize)
         n_bl = self._n_bottom_left(plane, x, y, tw, th, mi_r, mi_c, bsize)
+        pred_mode = DC_PRED if (plane and mode == UV_CFL_PRED) else mode
         pred = recon.predict_intra(
-            frame, x, y, tw, th, mode, angle, self.bd,
+            frame, x, y, tw, th, pred_mode, angle, self.bd,
             have_left, have_above, n_tr, n_bl,
             max_x=((self.mi_cols * 4) >> ssx) - 1,
             max_y=((self.mi_rows * 4) >> ssy) - 1)
+        if plane and mode == UV_CFL_PRED:
+            pred = self._cfl_pred(plane, x, y, tw, th, pred)
         if skip:
             frame[y:y + th, x:x + tw] = np.clip(
                 pred, 0, (1 << self.bd) - 1).astype(frame.dtype)
@@ -781,17 +990,31 @@ class TileDecoder:
         if all_zero:
             self._set_ctx(plane, x, y, tw, th, 0, 0)
             return 0, None, recon.DCT_DCT, 0
-        # transform type
+        # transform type (spec compute_tx_type)
         tx_type = recon.DCT_DCT
         if plane == 0:
             tx_type = self._read_tx_type(tx, intra_dir, is_inter)
             self._last_luma_txtype = tx_type
-        else:
+        elif is_inter:
             tx_type = getattr(self, "_last_luma_txtype", recon.DCT_DCT)
-            if max(tw, th) == 32:
-                if tx_type != recon.DCT_DCT:
-                    tx_type = recon.DCT_DCT if tx_type != recon.IDTX \
-                        else recon.IDTX
+        else:
+            # intra chroma: derived from the UV prediction mode
+            tx_type = MODE_TO_TXFM[min(intra_dir, 13)]
+        if plane:
+            # clip to the chroma tx's set
+            sq_up = tx_size_sqr_up(tx)
+            if sq_up > (3 if is_inter else 2):
+                tx_type = recon.DCT_DCT
+            elif is_inter and sq_up == 3:
+                if tx_type not in EXT_TX_SET_DCT_IDTX:
+                    tx_type = recon.DCT_DCT
+            elif not is_inter:
+                sqr = tx_size_sqr(tx)
+                tset = EXT_TX_SET_DTT4_IDTX if \
+                    (self.hdr.reduced_tx_set or sqr == 2) else \
+                    EXT_TX_SET_DTT4_IDTX_1DDCT
+                if tx_type not in tset:
+                    tx_type = recon.DCT_DCT
         tx_class = _TX_CLASS.get(tx_type, TX_CLASS_2D)
         # eob
         eob_size = cw * ch
@@ -875,13 +1098,13 @@ class TileDecoder:
             sym = self.r.read_adapt(self.fc.inter_ext_tx[set_idx][sqr],
                                     len(txset))
             return txset[sym]
-        if self.hdr.reduced_tx_set:
+        sqr = tx_size_sqr(tx)
+        if self.hdr.reduced_tx_set or sqr == 2:
             txset = EXT_TX_SET_DTT4_IDTX
             set_idx = 2
         else:
             txset = EXT_TX_SET_DTT4_IDTX_1DDCT
             set_idx = 1
-        sqr = tx_size_sqr(tx)
         sym = self.r.read_adapt(
             self.fc.intra_ext_tx[set_idx][sqr][intra_dir], len(txset))
         return txset[sym]
@@ -1034,6 +1257,13 @@ def _partition_subsize(part, bsize):
     return _find_bsize(w4 >> 2, h4)
 
 
+def _find_tx_size(w, h):
+    for t, (tw, th) in enumerate(TX_SIZES_ALL):
+        if tw == w and th == h:
+            return t
+    raise ValueError((w, h))
+
+
 def _find_bsize(w4, h4):
     for i, (w, h) in enumerate(BLOCK_SIZES):
         if w == w4 and h == h4:
@@ -1060,7 +1290,7 @@ def _max_tx_depth(bsize):
 
 
 def _tx_size_cat(bsize):
-    return min(_max_tx_depth(bsize) - 1, 2)
+    return min(_max_tx_depth(bsize) - 1, 3)
 
 
 def _chroma_tx_size(bsize, ssx, ssy):

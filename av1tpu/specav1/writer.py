@@ -567,7 +567,9 @@ class TileWriter:
             self.sym(txset.index(tx_type),
                      self.fc.inter_ext_tx[set_idx][sqr], len(txset))
             return
-        if self.reduced_tx_set:
+        # intra sets: 16x16-square (or reduced) -> DTT4_IDTX (5),
+        # smaller -> DTT4_IDTX_1DDCT (7)
+        if self.reduced_tx_set or sqr == 2:
             txset = T.EXT_TX_SET_DTT4_IDTX
             set_idx = 2
         else:
