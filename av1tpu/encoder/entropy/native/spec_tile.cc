@@ -181,7 +181,23 @@ enum TableId {
   TBL_COEFF_BR = 16,        // [5][2][21][5]
   TBL_DC_SIGN = 17,         // [2][3][3]
   TBL_INTRA_EXT_TX = 18,    // [3][4][13][17]
-  TBL_COUNT = 19,
+  // inter-frame tables
+  TBL_IF_Y_MODE = 19,       // [4][14]
+  TBL_INTRA_INTER = 20,     // [4][3]
+  TBL_SINGLE_REF = 21,      // [3][6][3]
+  TBL_NEWMV = 22,           // [6][3]
+  TBL_ZEROMV = 23,          // [2][3]
+  TBL_REFMV = 24,           // [6][3]
+  TBL_DRL = 25,             // [3][3]
+  TBL_MV_JOINT = 26,        // [5]
+  TBL_MV_SIGN = 27,         // [2][3]
+  TBL_MV_CLASSES = 28,      // [2][12]
+  TBL_MV_CLASS0 = 29,       // [2][3]
+  TBL_MV_BITS = 30,         // [2][10][3]
+  TBL_MV_CLASS0_FP = 31,    // [2][2][5]
+  TBL_MV_FP = 32,           // [2][5]
+  TBL_INTER_EXT_TX = 33,    // [4][4][17]
+  TBL_COUNT = 34,
 };
 
 const int kTableSize[TBL_COUNT] = {
@@ -189,7 +205,11 @@ const int kTableSize[TBL_COUNT] = {
     2 * 13 * 15,      5 * 13 * 3,      2 * 2 * 6,   2 * 2 * 7,
     2 * 2 * 8,        2 * 2 * 9,       2 * 2 * 10,  2 * 2 * 11,
     2 * 2 * 12,       5 * 2 * 9 * 3,   5 * 2 * 4 * 4, 5 * 2 * 42 * 5,
-    5 * 2 * 21 * 5,   2 * 3 * 3,       3 * 4 * 13 * 17};
+    5 * 2 * 21 * 5,   2 * 3 * 3,       3 * 4 * 13 * 17,
+    4 * 14,           4 * 3,           3 * 6 * 3,   6 * 3,
+    2 * 3,            6 * 3,           3 * 3,       5,
+    2 * 3,            2 * 12,          2 * 3,       2 * 10 * 3,
+    2 * 2 * 5,        2 * 5,           4 * 4 * 17};
 
 struct SpecTileWriter {
   EcEnc *enc = nullptr;
@@ -207,6 +227,11 @@ struct SpecTileWriter {
   std::vector<int32_t> skips;                 // [mi_rows*mi_cols]
   std::vector<int32_t> y_modes;
   std::vector<int32_t> mi_size;
+  // inter mode state on the uniform 32x32 grid (gh x gw cells)
+  int gw = 0, gh = 0;
+  std::vector<int8_t> g_ref;    // 0 intra, -1 uncoded, 1 LAST
+  std::vector<int32_t> g_mvr, g_mvc;
+  std::vector<uint8_t> g_newmv;
   int sb_row = 0;
   // scans
   std::vector<int> scan32_r, scan32_c, scan16_r, scan16_c;
@@ -427,7 +452,8 @@ void write_golomb(SpecTileWriter *w, int value) {
 // DCT-only path (TX_CLASS_2D, no tx_type symbol for >16 sq_up; callers
 // emitting 16x16 luma must pass intra_ext_tx support — not yet needed).
 void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
-                  const int32_t *vals, int stride, int ssx, int ssy) {
+                  const int32_t *vals, int stride, int ssx, int ssy,
+                  int is_inter = 0) {
   TxDim td = kTxSizes[tx];
   int tw = td.w, th = td.h;
   int cw = imin(tw, 32), ch = imin(th, 32);
@@ -450,8 +476,12 @@ void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
     return;
   }
   sym(w, 0, txb_skip_cdf(w, txs, ctx_skip), 2);
-  // (luma tx_type symbol: none for sq_up > 2, i.e. 32x32/64x64; the
-  // 32-grid emits only those sizes for luma)
+  // luma tx_type: intra 32x32 is DCTONLY (no symbol); inter 32x32 is
+  // TX_SET_INTER_3 {IDTX, DCT} -> signal DCT (index 1)
+  if (plane == 0 && is_inter && tx_size_sqr_up(tx) == 3) {
+    int sqr = tx_size_sqr(tx);
+    sym(w, 1, w->tbl(TBL_INTER_EXT_TX, (3 * 4 + sqr) * 17), 2);
+  }
   // eob_pt
   int nsyms;
   uint16_t *ecdf = eob_pt_cdf(w, n, ptype, /*emctx=*/0, &nsyms);
@@ -514,6 +544,289 @@ void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
   set_coef_ctx(w, plane, x, y, tw, th, imin(cul, 63), dcsign, ssx, ssy);
 }
 
+// ---- inter mode machinery (uniform 32x32 grid) ----------------------------
+// Port of mvrefs.find_mv_stack specialized to the fixed grid every
+// block is 8x8 mi: the outer ring scans are unreachable (processed
+// rows/cols = 6 >= all ring offsets), leaving above/left/top-right
+// (nearest) plus the top-left point and the short-stack extension.
+
+constexpr int kRefCat = 640;
+
+struct MvStack {
+  int mv[8][2];
+  int wgt[8];
+  int n = 0;
+  int nearest_n = 0;
+  int newmv_ctx = 0, refmv_ctx = 0, zeromv_ctx = 0;
+  void refmv(int idx, int *r, int *c) const {
+    if (idx < n) { *r = mv[idx][0]; *c = mv[idx][1]; }
+    else { *r = 0; *c = 0; }
+  }
+};
+
+inline void stack_add(MvStack *s, int mvr, int mvc, int weight) {
+  for (int i = 0; i < s->n; ++i)
+    if (s->mv[i][0] == mvr && s->mv[i][1] == mvc) {
+      s->wgt[i] += weight;
+      return;
+    }
+  if (s->n < 8) {
+    s->mv[s->n][0] = mvr;
+    s->mv[s->n][1] = mvc;
+    s->wgt[s->n] = weight;
+    ++s->n;
+  }
+}
+
+// has_top_right for 32x32 blocks inside 64x64 SBs (square path)
+inline bool has_tr32(int mi_row, int mi_col) {
+  int mask_row = mi_row & 15, mask_col = mi_col & 15;
+  return !((mask_row & 8) && (mask_col & 8));
+}
+
+void find_mv_stack32(SpecTileWriter *w, int gr, int gc, MvStack *s) {
+  const int gw = w->gw;
+  int row_match = 0, col_match = 0, newmv_count = 0;
+  auto cell = [&](int r, int c) { return r * gw + c; };
+  bool up = gr > 0, left = gc > 0;
+  // nearest: above row (one 8-wide candidate), left col, top-right pt
+  if (up && w->g_ref[cell(gr - 1, gc)] > 0) {
+    stack_add(s, w->g_mvr[cell(gr - 1, gc)], w->g_mvc[cell(gr - 1, gc)],
+              8 * 6);
+    row_match = 1;
+    newmv_count += w->g_newmv[cell(gr - 1, gc)];
+  }
+  if (left && w->g_ref[cell(gr, gc - 1)] > 0) {
+    stack_add(s, w->g_mvr[cell(gr, gc - 1)], w->g_mvc[cell(gr, gc - 1)],
+              8 * 6);
+    col_match = 1;
+    newmv_count += w->g_newmv[cell(gr, gc - 1)];
+  }
+  if (up && gc + 1 < gw && has_tr32(gr * 8, gc * 8) &&
+      w->g_ref[cell(gr - 1, gc + 1)] > 0) {
+    stack_add(s, w->g_mvr[cell(gr - 1, gc + 1)],
+              w->g_mvc[cell(gr - 1, gc + 1)], 2 * 2);
+    row_match = 1;
+    newmv_count += w->g_newmv[cell(gr - 1, gc + 1)];
+  }
+  int close_matches = row_match + col_match;
+  s->nearest_n = s->n;
+  for (int i = 0; i < s->nearest_n; ++i) s->wgt[i] += kRefCat;
+  // outer area: top-left point (newmv not counted)
+  if (up && left && w->g_ref[cell(gr - 1, gc - 1)] > 0) {
+    stack_add(s, w->g_mvr[cell(gr - 1, gc - 1)],
+              w->g_mvc[cell(gr - 1, gc - 1)], 2 * 2);
+    row_match = 1;
+  }
+  int total_matches = (row_match > 0) + (col_match > 0);
+  // spec mode-context composition (CloseMatches/TotalMatches)
+  if (close_matches == 0) {
+    s->newmv_ctx = imin(total_matches, 1);
+    s->refmv_ctx = total_matches;
+  } else if (close_matches == 1) {
+    s->newmv_ctx = 3 - imin(newmv_count, 1);
+    s->refmv_ctx = 2 + total_matches;
+  } else {
+    s->newmv_ctx = 5 - imin(newmv_count, 1);
+    s->refmv_ctx = 5;
+  }
+  s->zeromv_ctx = 0;
+  // sort by weight: nearest segment, then the rest (bubble per spec)
+  int ln = s->nearest_n;
+  while (ln > 0) {
+    int nr = 0;
+    for (int i = 1; i < ln; ++i)
+      if (s->wgt[i - 1] < s->wgt[i]) {
+        std::swap(s->wgt[i - 1], s->wgt[i]);
+        std::swap(s->mv[i - 1][0], s->mv[i][0]);
+        std::swap(s->mv[i - 1][1], s->mv[i][1]);
+        nr = i;
+      }
+    ln = nr;
+  }
+  ln = s->n;
+  while (ln > s->nearest_n) {
+    int nr = s->nearest_n;
+    for (int i = s->nearest_n + 1; i < ln; ++i)
+      if (s->wgt[i - 1] < s->wgt[i]) {
+        std::swap(s->wgt[i - 1], s->wgt[i]);
+        std::swap(s->mv[i - 1][0], s->mv[i][0]);
+        std::swap(s->mv[i - 1][1], s->mv[i][1]);
+        nr = i;
+      }
+    ln = nr;
+  }
+  // single-ref extension (any inter ref; all ours share direction)
+  if (s->n < 2) {
+    if (up && w->g_ref[cell(gr - 1, gc)] > 0)
+      stack_add(s, w->g_mvr[cell(gr - 1, gc)],
+                w->g_mvc[cell(gr - 1, gc)], 2);
+    if (s->n < 2 && left && w->g_ref[cell(gr, gc - 1)] > 0)
+      stack_add(s, w->g_mvr[cell(gr, gc - 1)],
+                w->g_mvc[cell(gr, gc - 1)], 2);
+  }
+  // clamp to the frame-relative MV bounds
+  int mi_row = gr * 8, mi_col = gc * 8;
+  int bw8 = 8 * 32, bh8 = 8 * 32;  // block dims in 1/8 pel
+  int lo_c = -(mi_col * 32) - bw8 - 128;
+  int hi_c = (w->mi_cols - 8 - mi_col) * 32 + bw8 + 128;
+  int lo_r = -(mi_row * 32) - bh8 - 128;
+  int hi_r = (w->mi_rows - 8 - mi_row) * 32 + bh8 + 128;
+  for (int i = 0; i < s->n; ++i) {
+    s->mv[i][0] = imin(imax(s->mv[i][0], lo_r), hi_r);
+    s->mv[i][1] = imin(imax(s->mv[i][1], lo_c), hi_c);
+  }
+}
+
+inline int intra_inter_ctx32(SpecTileWriter *w, int gr, int gc) {
+  const int gw = w->gw;
+  bool has_a = gr > 0, has_l = gc > 0;
+  bool ai = has_a && w->g_ref[(gr - 1) * gw + gc] == 0;
+  bool li = has_l && w->g_ref[gr * gw + gc - 1] == 0;
+  if (has_a && has_l) return (ai && li) ? 3 : (int)(ai || li);
+  if (has_a || has_l) return 2 * (int)(has_a ? ai : li);
+  return 0;
+}
+
+inline int balance_ctx(int c0, int c1) {
+  if (c0 == c1) return 1;
+  return c0 < c1 ? 0 : 2;
+}
+
+void single_ref_ctxs32(SpecTileWriter *w, int gr, int gc, int *p1, int *p3,
+                       int *p4) {
+  const int gw = w->gw;
+  int last = 0;
+  if (gr > 0 && w->g_ref[(gr - 1) * gw + gc] == 1) ++last;
+  if (gc > 0 && w->g_ref[gr * gw + gc - 1] == 1) ++last;
+  *p1 = balance_ctx(last, 0);  // fwd vs bwd
+  *p3 = balance_ctx(last, 0);  // LAST+LAST2 vs LAST3+GOLDEN
+  *p4 = balance_ctx(last, 0);  // LAST vs LAST2
+}
+
+// spec YMode ids continuing intra numbering (tile.py)
+constexpr int NEARESTMV = 13;
+constexpr int GLOBALMV = 15;
+constexpr int NEWMV = 16;
+
+void write_mv_component(SpecTileWriter *w, int comp, int d) {
+  int sign = d < 0 ? 1 : 0;
+  int mag = sign ? -d : d;
+  int z = mag - 1;
+  sym(w, sign, w->tbl(TBL_MV_SIGN, comp * 3), 2);
+  if (z < 16) {
+    sym(w, 0, w->tbl(TBL_MV_CLASSES, comp * 12), 11);
+    int bit = z >> 3;
+    sym(w, bit, w->tbl(TBL_MV_CLASS0, comp * 3), 2);
+    sym(w, (z >> 1) & 3, w->tbl(TBL_MV_CLASS0_FP, (comp * 2 + bit) * 5), 4);
+  } else {
+    int bl = 0;
+    for (int v = z; v; v >>= 1) ++bl;
+    int cls = bl - 4;  // z.bit_length() - 4
+    sym(w, cls, w->tbl(TBL_MV_CLASSES, comp * 12), 11);
+    int offset = z - (2 << (cls + 2));
+    int dbits = offset >> 3;
+    for (int i = 0; i < cls; ++i)
+      sym(w, (dbits >> i) & 1, w->tbl(TBL_MV_BITS, (comp * 10 + i) * 3), 2);
+    sym(w, (offset >> 1) & 3, w->tbl(TBL_MV_FP, comp * 5), 4);
+  }
+}
+
+void write_mv(SpecTileWriter *w, int dr, int dc) {
+  int joint = (dr ? 2 : 0) | (dc ? 1 : 0);
+  sym(w, joint, w->tbl(TBL_MV_JOINT, 0), 4);
+  if (dr) write_mv_component(w, 0, dr);
+  if (dc) write_mv_component(w, 1, dc);
+}
+
+void reset_coef_ctx_block(SpecTileWriter *w, int r, int c, int bw4, int bh4) {
+  int lr = (r - w->sb_row) & 15;
+  for (int p = 0; p < 3; ++p) {
+    for (int j = 0; j < bw4; ++j) {
+      w->above_levels[p][c + j] = 0;
+      w->above_dcsign[p][c + j] = 0;
+    }
+    for (int i = 0; i < bh4; ++i) {
+      w->left_levels[p][lr + i] = 0;
+      w->left_dcsign[p][lr + i] = 0;
+    }
+  }
+}
+
+void finish_block_common32(SpecTileWriter *w, int r, int c, int skip,
+                           int store_mode, int ref, int mvr, int mvc,
+                           int is_newmv) {
+  int gr = r / 8, gc = c / 8;
+  int gi = gr * w->gw + gc;
+  w->g_ref[gi] = (int8_t)ref;
+  w->g_mvr[gi] = mvr;
+  w->g_mvc[gi] = mvc;
+  w->g_newmv[gi] = (uint8_t)is_newmv;
+  for (int i = 0; i < 8; ++i)
+    for (int j = 0; j < 8; ++j) {
+      w->skips[(r + i) * w->mi_cols + c + j] = skip;
+      w->y_modes[(r + i) * w->mi_cols + c + j] = store_mode;
+      w->mi_size[(r + i) * w->mi_cols + c + j] = BLOCK_32X32;
+    }
+  if (skip) reset_coef_ctx_block(w, r, c, 8, 8);
+}
+
+void write_skip_and_inter(SpecTileWriter *w, int r, int c, int skip,
+                          int is_inter, int gr, int gc) {
+  int ctx = 0;
+  if (r > 0) ctx += w->skips[(r - 1) * w->mi_cols + c];
+  if (c > 0) ctx += w->skips[r * w->mi_cols + c - 1];
+  sym(w, skip, skip_cdf(w, ctx), 2);
+  int ii = intra_inter_ctx32(w, gr, gc);
+  sym(w, is_inter, w->tbl(TBL_INTRA_INTER, ii * 3), 2);
+}
+
+void write_block_inter32(SpecTileWriter *w, int r, int c, int skip,
+                         int y_mode, int mvr, int mvc, const MvStack *s) {
+  int gr = r / 8, gc = c / 8;
+  write_skip_and_inter(w, r, c, skip, 1, gr, gc);
+  int p1, p3, p4;
+  single_ref_ctxs32(w, gr, gc, &p1, &p3, &p4);
+  sym(w, 0, w->tbl(TBL_SINGLE_REF, (p1 * 6 + 0) * 3), 2);
+  sym(w, 0, w->tbl(TBL_SINGLE_REF, (p3 * 6 + 2) * 3), 2);
+  sym(w, 0, w->tbl(TBL_SINGLE_REF, (p4 * 6 + 3) * 3), 2);
+  sym(w, y_mode != NEWMV ? 1 : 0, w->tbl(TBL_NEWMV, s->newmv_ctx * 3), 2);
+  if (y_mode != NEWMV) {
+    sym(w, y_mode != GLOBALMV ? 1 : 0,
+        w->tbl(TBL_ZEROMV, s->zeromv_ctx * 3), 2);
+    if (y_mode != GLOBALMV)
+      sym(w, y_mode != NEARESTMV ? 1 : 0,
+          w->tbl(TBL_REFMV, s->refmv_ctx * 3), 2);
+  }
+  if (y_mode == NEWMV) {
+    if (s->n > 1) {
+      // drl_ctx(0): weights vs REF_CAT_LEVEL
+      int a = s->wgt[0] >= kRefCat, b = (1 < s->n) && s->wgt[1] >= kRefCat;
+      int dctx = (a && b) ? 0 : (a ? 1 : (!a && !b ? 2 : 0));
+      sym(w, 0, w->tbl(TBL_DRL, dctx * 3), 2);
+    }
+    int pr, pc;
+    s->refmv(0, &pr, &pc);
+    write_mv(w, mvr - pr, mvc - pc);
+  }
+  finish_block_common32(w, r, c, skip, /*DC*/ 0, 1, mvr, mvc,
+                        y_mode == NEWMV);
+}
+
+void write_block_intra_if32(SpecTileWriter *w, int r, int c, int skip,
+                            int y_mode, int uv_mode) {
+  int gr = r / 8, gc = c / 8;
+  write_skip_and_inter(w, r, c, skip, 0, gr, gc);
+  // SIZE_GROUP[32x32] = 3
+  sym(w, y_mode, w->tbl(TBL_IF_Y_MODE, 3 * 14), 13);
+  if (y_mode >= V_PRED && y_mode <= D67_PRED)
+    sym(w, 3, angle_delta_cdf(w, y_mode - V_PRED), 7);
+  sym(w, uv_mode, uv_mode_cdf(w, 1, y_mode), 14);
+  if (uv_mode >= V_PRED && uv_mode <= D67_PRED)
+    sym(w, 3, angle_delta_cdf(w, uv_mode - V_PRED), 7);
+  finish_block_common32(w, r, c, skip, y_mode, 0, 0, 0, 0);
+}
+
 void start_sb_row(SpecTileWriter *w, int mi_row) {
   w->sb_row = mi_row;
   std::fill(w->left_part.begin(), w->left_part.end(), 0);
@@ -547,6 +860,12 @@ SpecTileWriter *stw_create(int mi_cols, int mi_rows, int base_q_idx) {
   w->skips.assign(mi_rows * mi_cols, 0);
   w->y_modes.assign(mi_rows * mi_cols, 0);
   w->mi_size.assign(mi_rows * mi_cols, 0);
+  w->gw = mi_cols / 8;
+  w->gh = mi_rows / 8;
+  w->g_ref.assign(w->gw * w->gh, -1);
+  w->g_mvr.assign(w->gw * w->gh, 0);
+  w->g_mvc.assign(w->gw * w->gh, 0);
+  w->g_newmv.assign(w->gw * w->gh, 0);
   build_zigzag(32, 32, &w->scan32_r, &w->scan32_c);
   build_zigzag(16, 16, &w->scan16_r, &w->scan16_c);
   return w;
@@ -613,6 +932,71 @@ int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
                        cstride, 1, 1);
           write_coeffs(w, 2, cx, cy, TX_16X16, &vlv[cy * cstride + cx],
                        cstride, 1, 1);
+        }
+        update_partition_ctx(w, br, bc, BLOCK_32X32);
+      }
+    }
+  }
+  int32_t sz = ec_enc_done(w->enc, out, cap > INT32_MAX ? INT32_MAX
+                                                        : (int32_t)cap);
+  ec_enc_destroy(w->enc);
+  w->enc = nullptr;
+  return sz;
+}
+
+// Encode one single-reference inter tile on the fixed 32x32 grid.
+// modes[gi]: 0 = intra DC fallback, 1 = inter (motion-compensated).
+// mvs: [gh*gw*2] int32 final MVs in 1/8-pel (even; rows then cols
+// interleaved per cell).  The inter Y mode per block is derived from
+// the MV-prediction stack: NEARESTMV when the MV equals the stack
+// head, GLOBALMV when (0,0), else NEWMV (residual vs the stack head).
+int64_t stw_encode_inter32(SpecTileWriter *w, const int32_t *modes,
+                           const int32_t *mvs, const int32_t *skips,
+                           const int32_t *ylv, int ystride,
+                           const int32_t *ulv, const int32_t *vlv,
+                           int cstride, uint8_t *out, int64_t cap) {
+  if (w->enc) ec_enc_destroy(w->enc);
+  w->enc = ec_enc_create();
+  std::fill(w->g_ref.begin(), w->g_ref.end(), (int8_t)-1);
+  int gw = w->gw;
+  for (int sb_r = 0; sb_r < w->mi_rows; sb_r += 16) {
+    start_sb_row(w, sb_r);
+    for (int sb_c = 0; sb_c < w->mi_cols; sb_c += 16) {
+      write_partition(w, sb_r, sb_c, BLOCK_64X64, PARTITION_SPLIT);
+      const int child[4][2] = {{sb_r, sb_c},
+                               {sb_r, sb_c + 8},
+                               {sb_r + 8, sb_c},
+                               {sb_r + 8, sb_c + 8}};
+      for (int k = 0; k < 4; ++k) {
+        int br = child[k][0], bc = child[k][1];
+        int gr = br / 8, gc = bc / 8;
+        int gi = gr * gw + gc;
+        int skip = skips[gi];
+        write_partition(w, br, bc, BLOCK_32X32, PARTITION_NONE);
+        int is_inter = modes[gi] != 0;
+        if (is_inter) {
+          MvStack s;
+          find_mv_stack32(w, gr, gc, &s);
+          int mvr = mvs[gi * 2], mvc = mvs[gi * 2 + 1];
+          int pr, pc;
+          s.refmv(0, &pr, &pc);
+          int ym;
+          if (mvr == pr && mvc == pc) ym = NEARESTMV;
+          else if (mvr == 0 && mvc == 0) ym = GLOBALMV;
+          else ym = NEWMV;
+          write_block_inter32(w, br, bc, skip, ym, mvr, mvc, &s);
+        } else {
+          write_block_intra_if32(w, br, bc, skip, /*DC*/ 0, /*DC*/ 0);
+        }
+        if (!skip) {
+          int x0 = bc * 4, y0 = br * 4;
+          write_coeffs(w, 0, x0, y0, TX_32X32, &ylv[y0 * ystride + x0],
+                       ystride, 1, 1, is_inter);
+          int cx = x0 >> 1, cy = y0 >> 1;
+          write_coeffs(w, 1, cx, cy, TX_16X16, &ulv[cy * cstride + cx],
+                       cstride, 1, 1, is_inter);
+          write_coeffs(w, 2, cx, cy, TX_16X16, &vlv[cy * cstride + cx],
+                       cstride, 1, 1, is_inter);
         }
         update_partition_ctx(w, br, bc, BLOCK_32X32);
       }

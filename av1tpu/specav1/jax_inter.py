@@ -1,0 +1,191 @@
+"""Device-side spec-AV1 inter-frame encoder (JAX, fully batched).
+
+The TPU half of the spec-conformant inter path: full-pel motion search
+(reusing the encoder's Pallas/shift-scan kernels), quarter-pel
+refinement and motion compensation with the **spec 8-tap subpel
+filters and InterRound0/1 rounding** (mirroring specav1.inter_recon
+bit-for-bit), forward DCT + quantization, and the spec-exact integer
+reconstruction from jax_intra.  Unlike the intra wavefront, every
+block depends only on the previous frame's reconstruction, so the
+whole frame batches as one vmap over 32x32 blocks.
+
+The per-block (mv, skip, levels) outputs feed the native C++ tile
+writer (spec_tile.cc: stw_encode_inter32), which derives the coded
+Y mode (NEARESTMV / GLOBALMV / NEWMV) from the spec MV-prediction
+stack on the host.
+
+Replaces the inter half of the AV1 encoder inside the reference's
+exec'd ffmpeg (internal/ffmpeg/transcode.go:119-123).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.encoder.kernels import motion
+from av1tpu.specav1 import inter_recon, recon
+from av1tpu.specav1.jax_intra import _fwd_mat, inv_dct2d_add
+
+PAD = motion.PAD  # luma edge padding (chroma uses PAD // 2)
+_MAX_FP = PAD - 8  # clamp full-pel MVs so MC windows stay in the pad
+
+
+def _rounds(bit_depth: int):
+    if bit_depth == 12:
+        return 5, 9
+    return 3, 11
+
+
+@functools.partial(jax.jit, static_argnames=("size", "ss", "bit_depth"))
+def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
+    """Spec motion compensation for B size x size blocks.
+
+    ref_pad: plane padded by PAD >> ss (edge replicate).  pos: (B, 2)
+    plane-space block origins.  mvs: (B, 2) luma MVs in 1/8-pel.
+    Returns (B, size, size) int32 predictions.
+    """
+    pad = PAD >> ss
+    r0, r1 = _rounds(bit_depth)
+    filt = jnp.asarray(inter_recon.SUBPEL_REGULAR, jnp.int32)  # (16, 8)
+
+    def one(p, mv):
+        sy16 = (p[0] << 4) + (mv[0] << (1 - ss))
+        sx16 = (p[1] << 4) + (mv[1] << (1 - ss))
+        fy = filt[sy16 & 15]
+        fx = filt[sx16 & 15]
+        iy = (sy16 >> 4) - 3 + pad
+        ix = (sx16 >> 4) - 3 + pad
+        win = jax.lax.dynamic_slice(ref_pad, (iy, ix),
+                                    (size + 7, size + 7)).astype(jnp.int32)
+        # horizontal 8-tap
+        h = jnp.zeros((size + 7, size), jnp.int32)
+        for t in range(8):
+            h = h + fx[t] * jax.lax.dynamic_slice_in_dim(win, t, size, 1)
+        h = (h + (1 << (r0 - 1))) >> r0
+        # vertical 8-tap
+        v = jnp.zeros((size, size), jnp.int32)
+        for t in range(8):
+            v = v + fy[t] * jax.lax.dynamic_slice_in_dim(h, t, size, 0)
+        v = (v + (1 << (r1 - 1))) >> r1
+        return jnp.clip(v, 0, (1 << bit_depth) - 1)
+
+    return jax.vmap(one)(pos, mvs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("qindex", "bit_depth", "refine"))
+def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex: int,
+                  bit_depth: int, refine: bool = True):
+    """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
+    rec_y, rec_u, rec_v) for the SB-padded frame."""
+    H, Wd = y.shape
+    n = 32
+    gh, gw = H // n, Wd // n
+    B = gh * gw
+    pos = jnp.asarray(motion.block_positions(H, Wd, n))
+    cpos = pos // 2
+
+    ref_pad_y = motion.pad_ref(ref_y)
+    ref_pad_u = jnp.pad(ref_u, PAD // 2, mode="edge")
+    ref_pad_v = jnp.pad(ref_v, PAD // 2, mode="edge")
+
+    src_y = y.astype(jnp.int32)
+    blocks = src_y.reshape(gh, n, gw, n).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(B, n, n)
+
+    mv_fp = motion.search_v3(src_y, ref_pad_y, n)
+    mv_fp = jnp.clip(mv_fp, -_MAX_FP, _MAX_FP)
+    mv8 = mv_fp * 8
+
+    if refine:
+        # quarter-pel refinement: evaluate the 3x3 even-1/8 offsets
+        # around the full-pel winner with exact spec MC
+        cands = [(dr, dc) for dr in (-2, 0, 2) for dc in (-2, 0, 2)]
+        costs = []
+        preds = []
+        for dr, dc in cands:
+            mvc = mv8 + jnp.asarray([dr, dc], jnp.int32)[None]
+            p = _mc_blocks(ref_pad_y, pos, mvc, n, 0, bit_depth)
+            preds.append(p)
+            costs.append(((blocks - p) ** 2).sum(axis=(1, 2)))
+        costs = jnp.stack(costs)               # (9, B)
+        pidx = jnp.argmin(costs, axis=0)       # (B,)
+        offs = jnp.asarray(cands, jnp.int32)   # (9, 2)
+        mv8 = mv8 + offs[pidx]
+        pred_y = jnp.stack(preds, 0)[pidx, jnp.arange(B)]
+    else:
+        pred_y = _mc_blocks(ref_pad_y, pos, mv8, n, 0, bit_depth)
+
+    pred_u = _mc_blocks(ref_pad_u, cpos, mv8, n // 2, 1, bit_depth)
+    pred_v = _mc_blocks(ref_pad_v, cpos, mv8, n // 2, 1, bit_depth)
+
+    fm32 = jnp.asarray(_fwd_mat(32))
+    fm16 = jnp.asarray(_fwd_mat(16))
+    dcq = jnp.asarray(recon.DC_Q[bit_depth], jnp.int32)[qindex]
+    acq = jnp.asarray(recon.AC_Q[bit_depth], jnp.int32)[qindex]
+    deadzone = jnp.float32(1.0 - 0.62)
+
+    def quant(coef, nn, shift):
+        dq = jnp.full((nn, nn), acq, jnp.float32)
+        dq = dq.at[0, 0].set(dcq.astype(jnp.float32))
+        dq = dq / (1 << shift)
+        mag = jnp.abs(coef) / dq + deadzone
+        lv = jnp.clip(jnp.floor(mag), 0, 32767).astype(jnp.int32)
+        return jnp.where(coef < 0, -lv, lv)
+
+    def dequant(lv, nn, shift):
+        dq = jnp.full((nn, nn), acq, jnp.int32)
+        dq = dq.at[0, 0].set(dcq)
+        mag = (jnp.abs(lv) * dq) & 0xFFFFFF
+        return jnp.sign(lv) * (mag >> shift)
+
+    def plane_pipe(src, preds, nn, shift, fm):
+        sblk = src.astype(jnp.int32).reshape(
+            gh, nn, gw, nn).transpose(0, 2, 1, 3).reshape(B, nn, nn)
+        resid = (sblk - preds).astype(jnp.float32)
+        coef = jnp.einsum("ij,bjk,lk->bil", fm, resid, fm)
+        lv = quant(coef, nn, shift)
+        rec = inv_dct2d_add(dequant(lv, nn, shift), preds, bit_depth)
+        return lv, rec
+
+    lv_y, rec_y_b = plane_pipe(y, pred_y, 32, 1, fm32)
+    lv_u, rec_u_b = plane_pipe(u, pred_u, 16, 0, fm16)
+    lv_v, rec_v_b = plane_pipe(v, pred_v, 16, 0, fm16)
+
+    skip = ((lv_y == 0).all(axis=(1, 2)) & (lv_u == 0).all(axis=(1, 2)) &
+            (lv_v == 0).all(axis=(1, 2))).astype(jnp.int32)
+
+    def to_plane(b, nn, ph, pw):
+        return b.reshape(gh, gw, nn, nn).transpose(0, 2, 1, 3).reshape(
+            ph, pw)
+
+    return (mv8, skip,
+            to_plane(lv_y, 32, H, Wd),
+            to_plane(lv_u, 16, H // 2, Wd // 2),
+            to_plane(lv_v, 16, H // 2, Wd // 2),
+            to_plane(rec_y_b, 32, H, Wd),
+            to_plane(rec_u_b, 16, H // 2, Wd // 2),
+            to_plane(rec_v_b, 16, H // 2, Wd // 2))
+
+
+def encode_interframe_device(y, u, v, ref_planes, qindex: int,
+                             bit_depth: int = 8):
+    """Host wrapper: returns (modes, mvs, skips, ylv, ulv, vlv) numpy
+    arrays ready for native.encode_inter32_tile plus the device recon
+    planes (y, u, v) for the next frame's reference."""
+    H, Wd = y.shape
+    assert H % 64 == 0 and Wd % 64 == 0
+    gh, gw = H // 32, Wd // 32
+    out = _encode_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                        ref_planes[0], ref_planes[1], ref_planes[2],
+                        qindex, bit_depth)
+    mv8, skip, ylv, ulv, vlv, ry, ru, rv = out
+    mvs = np.asarray(mv8).reshape(gh, gw, 2)
+    skips = np.asarray(skip).reshape(gh, gw)
+    modes = np.ones((gh, gw), np.int32)
+    return (modes, mvs, skips, np.asarray(ylv), np.asarray(ulv),
+            np.asarray(vlv)), (ry, ru, rv)

@@ -21,7 +21,10 @@ from av1tpu.specav1.cdfs import FrameContext
  TBL_TXB_SKIP, TBL_EOB_PT_16, TBL_EOB_PT_32, TBL_EOB_PT_64, TBL_EOB_PT_128,
  TBL_EOB_PT_256, TBL_EOB_PT_512, TBL_EOB_PT_1024, TBL_EOB_EXTRA,
  TBL_COEFF_BASE_EOB, TBL_COEFF_BASE, TBL_COEFF_BR, TBL_DC_SIGN,
- TBL_INTRA_EXT_TX) = range(19)
+ TBL_INTRA_EXT_TX, TBL_IF_Y_MODE, TBL_INTRA_INTER, TBL_SINGLE_REF,
+ TBL_NEWMV, TBL_ZEROMV, TBL_REFMV, TBL_DRL, TBL_MV_JOINT, TBL_MV_SIGN,
+ TBL_MV_CLASSES, TBL_MV_CLASS0, TBL_MV_BITS, TBL_MV_CLASS0_FP,
+ TBL_MV_FP, TBL_INTER_EXT_TX) = range(34)
 
 _configured = False
 
@@ -46,6 +49,13 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int64]
         lib.stw_encode_intra32.restype = ctypes.c_int64
+        lib.stw_encode_inter32.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.stw_encode_inter32.restype = ctypes.c_int64
         _configured = True
     return lib
 
@@ -71,7 +81,76 @@ def _fc_tables(fc: FrameContext) -> list[tuple[int, np.ndarray]]:
         (TBL_COEFF_BR, fc.coeff_br),
         (TBL_DC_SIGN, fc.dc_sign),
         (TBL_INTRA_EXT_TX, fc.intra_ext_tx),
+        (TBL_IF_Y_MODE, fc.if_y_mode),
+        (TBL_INTRA_INTER, fc.intra_inter),
+        (TBL_SINGLE_REF, fc.single_ref),
+        (TBL_NEWMV, fc.newmv),
+        (TBL_ZEROMV, fc.zeromv),
+        (TBL_REFMV, fc.refmv),
+        (TBL_DRL, fc.drl),
+        (TBL_MV_JOINT, fc.mv_joint),
+        (TBL_MV_SIGN, np.stack([fc.mv[0].sign, fc.mv[1].sign])),
+        (TBL_MV_CLASSES, np.stack([fc.mv[0].classes, fc.mv[1].classes])),
+        (TBL_MV_CLASS0, np.stack([fc.mv[0].class0, fc.mv[1].class0])),
+        (TBL_MV_BITS, np.stack([fc.mv[0].bits, fc.mv[1].bits])),
+        (TBL_MV_CLASS0_FP, np.stack([fc.mv[0].class0_fp,
+                                     fc.mv[1].class0_fp])),
+        (TBL_MV_FP, np.stack([fc.mv[0].fp, fc.mv[1].fp])),
+        (TBL_INTER_EXT_TX, fc.inter_ext_tx),
     ]
+
+
+def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
+                        modes: np.ndarray, mvs: np.ndarray,
+                        skips: np.ndarray, ylv: np.ndarray,
+                        ulv: np.ndarray, vlv: np.ndarray) -> bytes:
+    """Emit one spec tile for a fixed-32x32-grid single-ref inter frame.
+
+    modes: (gh, gw) int32, 0 = intra-DC fallback, 1 = inter.
+    mvs: (gh, gw, 2) int32 final MVs in (row, col) 1/8-pel (even).
+    The inter Y mode is derived from the MV stack in native code.
+    """
+    lib = _lib()
+    assert mi_cols % 16 == 0 and mi_rows % 16 == 0
+    gh, gw = mi_rows // 8, mi_cols // 8
+    fc = FrameContext(qindex)
+
+    def as32(a, shape):
+        a = np.ascontiguousarray(np.asarray(a, np.int32))
+        assert a.shape == shape, (a.shape, shape)
+        return a
+
+    modes = as32(modes, (gh, gw))
+    mvs = as32(mvs, (gh, gw, 2))
+    skips = as32(skips, (gh, gw))
+    ylv = as32(ylv, (mi_rows * 4, mi_cols * 4))
+    ulv = as32(ulv, (mi_rows * 2, mi_cols * 2))
+    vlv = as32(vlv, (mi_rows * 2, mi_cols * 2))
+
+    w = lib.stw_create(mi_cols, mi_rows, qindex)
+    try:
+        for tid, arr in _fc_tables(fc):
+            a = np.ascontiguousarray(arr.astype(np.uint16))
+            ok = lib.stw_set_cdf(w, tid, a.ctypes.data_as(ctypes.c_void_p),
+                                 a.size)
+            if not ok:
+                raise RuntimeError(f"cdf table {tid} shape mismatch "
+                                   f"({a.size} u16)")
+        cap = ylv.size * 4 + ulv.size * 8 + (1 << 16)
+        out = ctypes.create_string_buffer(cap)
+        sz = lib.stw_encode_inter32(
+            w, modes.ctypes.data_as(ctypes.c_void_p),
+            mvs.ctypes.data_as(ctypes.c_void_p),
+            skips.ctypes.data_as(ctypes.c_void_p),
+            ylv.ctypes.data_as(ctypes.c_void_p), mi_cols * 4,
+            ulv.ctypes.data_as(ctypes.c_void_p),
+            vlv.ctypes.data_as(ctypes.c_void_p), mi_cols * 2,
+            out, cap)
+        if sz < 0:
+            raise RuntimeError("tile buffer too small")
+        return out.raw[:sz]
+    finally:
+        lib.stw_destroy(w)
 
 
 def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,

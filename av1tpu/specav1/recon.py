@@ -394,7 +394,9 @@ def predict_intra(frame: np.ndarray, x: int, y: int, w: int, h: int,
                   have_left: bool, have_above: bool,
                   n_top_right: int, n_bottom_left: int,
                   max_x: int | None = None,
-                  max_y: int | None = None) -> np.ndarray:
+                  max_y: int | None = None,
+                  edge_filter: bool = False,
+                  filt_type: int = 0) -> np.ndarray:
     """Predict a w×h block at (x, y) from reconstructed `frame` pixels.
 
     n_top_right / n_bottom_left: number of valid pixels beyond the
@@ -493,7 +495,202 @@ def predict_intra(frame: np.ndarray, x: int, y: int, w: int, h: int,
         return round2(s, 8).astype(np.int32)
     # directional
     p_angle = MODE_ANGLE[mode] + angle_delta * 3
+    if edge_filter:
+        return _predict_directional_edge(above, left, corner, w, h,
+                                         p_angle, filt_type, have_above,
+                                         have_left, x, y, fw, fh,
+                                         bit_depth)
     return _predict_directional(above, left, corner, w, h, p_angle)
+
+
+_EDGE_KERNELS = ((0, 4, 8, 4, 0), (0, 5, 6, 5, 0), (2, 4, 4, 4, 2))
+
+
+def _edge_filter_strength(w, h, filt_type, delta):
+    d = abs(delta)
+    blk_wh = w + h
+    s = 0
+    if filt_type == 0:
+        if blk_wh <= 8:
+            if d >= 56:
+                s = 1
+        elif blk_wh <= 12:
+            if d >= 40:
+                s = 1
+        elif blk_wh <= 16:
+            if d >= 40:
+                s = 1
+        elif blk_wh <= 24:
+            if d >= 8:
+                s = 1
+            if d >= 16:
+                s = 2
+            if d >= 32:
+                s = 3
+        elif blk_wh <= 32:
+            s = 1
+            if d >= 4:
+                s = 2
+            if d >= 32:
+                s = 3
+        else:
+            s = 3
+    else:
+        if blk_wh <= 8:
+            if d >= 40:
+                s = 1
+            if d >= 64:
+                s = 2
+        elif blk_wh <= 16:
+            if d >= 20:
+                s = 1
+            if d >= 48:
+                s = 2
+        elif blk_wh <= 24:
+            if d >= 4:
+                s = 3
+        else:
+            s = 3
+    return s
+
+
+def _use_edge_upsample(w, h, filt_type, delta):
+    d = abs(delta)
+    blk_wh = w + h
+    if d <= 0 or d >= 40:
+        return 0
+    return int(blk_wh <= 8) if filt_type == 1 else int(blk_wh <= 16)
+
+
+def _apply_edge_filter(buf, sz, strength):
+    """buf[0] is the corner; filters buf[1..sz-1] in place (spec
+    intra_edge_filter)."""
+    if strength == 0:
+        return
+    kern = _EDGE_KERNELS[strength - 1]
+    orig = buf[:sz].copy()
+    for i in range(1, sz):
+        s = 0
+        for j in range(5):
+            k = min(max(i - 2 + j, 0), sz - 1)
+            s += kern[j] * int(orig[k])
+        buf[i] = (s + 8) >> 4
+
+
+def _upsample_edge(buf, num_px, bit_depth):
+    """buf[1] is index 0 (buf[0] = corner).  Returns a new array where
+    index i maps to position (i - 2) / 2 relative to the old edge
+    (spec intra_edge_upsample: positions -2..2*numPx-1 in half units).
+    out[k] corresponds to old coordinate (k - 2) in half-sample units:
+    out[2 + 2*i] = old[i], out[2 + 2*i - 1] = interpolated."""
+    dup = np.empty(num_px + 3, np.int64)
+    dup[0] = buf[0]
+    dup[1] = buf[0]
+    dup[2:2 + num_px] = buf[1:1 + num_px]
+    dup[num_px + 2] = buf[num_px]
+    out = np.empty(2 * num_px + 2, np.int64)
+    out[0] = dup[0]  # position -2 (old corner)
+    lim = (1 << bit_depth) - 1
+    for i in range(num_px):
+        s = -dup[i] + 9 * dup[i + 1] + 9 * dup[i + 2] - dup[i + 3]
+        s = min(max((s + 8) >> 4, 0), lim)
+        out[2 * i + 1] = s          # position 2*i - 1
+        out[2 * i + 2] = dup[i + 2]  # position 2*i
+    return out
+
+
+def _predict_directional_edge(above, left, corner, w, h, p_angle,
+                              filt_type, have_above, have_left, x, y,
+                              fw, fh, bit_depth):
+    """Directional prediction with the enable_intra_edge_filter path
+    (corner smoothing, edge filtering, edge upsampling)."""
+    ar = np.concatenate(([corner], above)).astype(np.int64)
+    lc = np.concatenate(([corner], left)).astype(np.int64)
+    if 90 < p_angle < 180 and (w + h) >= 24 and have_left and have_above:
+        s = (int(lc[1]) * 5 + int(ar[0]) * 6 + int(ar[1]) * 5 + 8) >> 4
+        ar[0] = lc[0] = s
+    if have_above and p_angle != 90:
+        strength = _edge_filter_strength(w, h, filt_type, p_angle - 90)
+        num_px = min(w, fw - x) + (h if p_angle < 90 else 0) + 1
+        _apply_edge_filter(ar, num_px, strength)
+    if have_left and p_angle != 180:
+        strength = _edge_filter_strength(w, h, filt_type, p_angle - 180)
+        num_px = min(h, fh - y) + (w if p_angle > 180 else 0) + 1
+        _apply_edge_filter(lc, num_px, strength)
+    up_above = _use_edge_upsample(w, h, filt_type, p_angle - 90) \
+        if have_above else 0
+    up_left = _use_edge_upsample(w, h, filt_type, p_angle - 180) \
+        if have_left else 0
+    if up_above:
+        num_px = w + (h if p_angle < 90 else 0)
+        au = _upsample_edge(ar, num_px, bit_depth)
+    else:
+        au = None
+    if up_left:
+        num_px = h + (w if p_angle > 180 else 0)
+        lu = _upsample_edge(lc, num_px, bit_depth)
+    else:
+        lu = None
+
+    def a_at(base):
+        # base in (possibly upsampled) units; array origin at corner=-1
+        if up_above:
+            return int(au[min(max(base + 2, 0), len(au) - 1)])
+        return int(ar[min(max(base + 1, 0), len(ar) - 1)])
+
+    def l_at(base):
+        if up_left:
+            return int(lu[min(max(base + 2, 0), len(lu) - 1)])
+        return int(lc[min(max(base + 1, 0), len(lc) - 1)])
+
+    out = np.zeros((h, w), np.int32)
+    if p_angle < 90:
+        dx = int(DR_DERIVATIVE[p_angle])
+        max_base = (w + h - 1) << up_above
+        for i in range(h):
+            for j in range(w):
+                idx = (i + 1) * dx
+                base = (idx >> (6 - up_above)) + (j << up_above)
+                shift = ((idx << up_above) >> 1) & 0x1F
+                if base >= max_base:
+                    out[i, j] = a_at(max_base)
+                else:
+                    out[i, j] = round2(
+                        a_at(base) * (32 - shift) +
+                        a_at(base + 1) * shift, 5)
+        return out
+    if p_angle > 180:
+        dy = int(DR_DERIVATIVE[270 - p_angle])
+        max_base = (w + h - 1) << up_left
+        for i in range(h):
+            for j in range(w):
+                idx = (j + 1) * dy
+                base = (idx >> (6 - up_left)) + (i << up_left)
+                shift = ((idx << up_left) >> 1) & 0x1F
+                if base >= max_base:
+                    out[i, j] = l_at(max_base)
+                else:
+                    out[i, j] = round2(
+                        l_at(base) * (32 - shift) +
+                        l_at(base + 1) * shift, 5)
+        return out
+    dx = int(DR_DERIVATIVE[180 - p_angle])
+    dy = int(DR_DERIVATIVE[p_angle - 90])
+    for i in range(h):
+        for j in range(w):
+            idx = (j << 6) - (i + 1) * dx
+            base = idx >> (6 - up_above)
+            if base >= -(1 << up_above):
+                shift = ((idx << up_above) >> 1) & 0x1F
+                out[i, j] = round2(a_at(base) * (32 - shift) +
+                                   a_at(base + 1) * shift, 5)
+            else:
+                idx2 = (i << 6) - (j + 1) * dy
+                base2 = idx2 >> (6 - up_left)
+                shift = ((idx2 << up_left) >> 1) & 0x1F
+                out[i, j] = round2(l_at(base2) * (32 - shift) +
+                                   l_at(base2 + 1) * shift, 5)
+    return out
 
 
 def _predict_directional(above, left, corner, w, h, p_angle):

@@ -906,7 +906,9 @@ class TileDecoder:
             frame, x, y, tw, th, pred_mode, angle, self.bd,
             have_left, have_above, n_tr, n_bl,
             max_x=((self.mi_cols * 4) >> ssx) - 1,
-            max_y=((self.mi_rows * 4) >> ssy) - 1)
+            max_y=((self.mi_rows * 4) >> ssy) - 1,
+            edge_filter=bool(self.seq.enable_intra_edge_filter),
+            filt_type=self._filt_type(plane, mi_r, mi_c))
         if plane and mode == UV_CFL_PRED:
             pred = self._cfl_pred(plane, x, y, tw, th, pred)
         if skip:
@@ -930,6 +932,17 @@ class TileDecoder:
                                   self.bd, tw, th)
         out = recon.inv_txfm_add(dq, tx_type, pred, self.bd)
         frame[y:y + th, x:x + tw] = out.astype(frame.dtype)
+
+    def _filt_type(self, plane, mi_r, mi_c):
+        """spec get_filter_type: 1 when an above/left neighbour block
+        uses a SMOOTH-family mode (per plane's mode grid)."""
+        modes = self.y_modes if plane == 0 else self.uv_modes
+        sm = (SMOOTH_PRED, SMOOTH_V_PRED, SMOOTH_H_PRED)
+        above = self._avail(mi_r - 1, mi_c) and \
+            int(modes[mi_r - 1, mi_c]) in sm
+        left = self._avail(mi_r, mi_c - 1) and \
+            int(modes[mi_r, mi_c - 1]) in sm
+        return int(above or left)
 
     def _n_top_right(self, plane, x, y, tw, th, mi_r, mi_c, bsize):
         """Pixels available beyond the block's top-right corner: the
