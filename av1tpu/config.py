@@ -25,6 +25,9 @@ class TpuEncoderConfig:
     """TPU engine tuning (additive; no reference counterpart)."""
 
     keyint: int = 120          # GOP length in frames
+    # bitstream: "spec" emits standard AV1 (default; decodable by any
+    # player); "av1tpu" is the round-1 private profile (debug only)
+    bitstream: str = "spec"
     block_log2: int = 0        # 4=16px, 5=32px, 0=auto (32 at HD+)
     tile_rows_log2: int = 0    # extra tile rows (sharding raises this)
     num_chips: int = 0         # 0 = all visible devices

@@ -51,6 +51,44 @@ class DaemonConfig:
     job_state_dir: str
     max_size_ratio: float
     stability_wait_seconds: float = STABILITY_WAIT_SECONDS
+    # decode the output's first GOP with the independent system AV1
+    # decoder before atomically replacing the source (protects user
+    # media; disable only for fake-engine tests)
+    decode_verify: bool = True
+
+
+def verify_output_av1(path: str, max_packets: int = 8) -> tuple[bool, str]:
+    """Decode the leading video packets of the output MKV with the
+    independent system AV1 decoder (libaom).  Returns (ok, reason).
+
+    Soft-passes when no independent decoder is present — the gate must
+    never block on a missing oracle, only on a failing one."""
+    try:
+        from av1tpu.conformance import aomcodec
+        if not aomcodec.available():
+            log.warning("decode-verify: libaom unavailable; skipping")
+            return True, "no independent decoder"
+        from av1tpu.media import mkv
+        with open(path, "rb") as f:
+            m = mkv.parse(f)
+            video = [t for t in m.tracks if t.codec_id.startswith("V_")]
+            if not video or video[0].codec_id != "V_AV1":
+                return False, f"video track is not V_AV1"
+            num = video[0].number
+            dec = aomcodec.Decoder()
+            got = 0
+            for pkt in mkv.iter_packets(f, m):
+                if pkt.track_number != num:
+                    continue
+                dec.decode(bytes(pkt.data))
+                got += 1
+                if got >= max_packets:
+                    break
+        if got == 0:
+            return False, "no decodable video packets"
+        return True, f"decoded {got} packets"
+    except Exception as e:
+        return False, f"{type(e).__name__}: {e}"
 
 
 def check_size_gate(orig_bytes: int, new_bytes: int, max_ratio: float) -> bool:
@@ -187,6 +225,19 @@ def process_job(job: jobs.Job, engine: Transcoder, probe_result,
         os.remove(output_path)
         jobs.save_job(job, cfg.job_state_dir)
         return
+
+    # Decode-verify gate (beyond the reference: before irreversibly
+    # replacing the user's file, prove the output is standard AV1 by
+    # decoding its first GOP with the independent system decoder.
+    # The reference trusted its encoder; we verify the artifact.)
+    ok, why = (verify_output_av1(output_path) if cfg.decode_verify
+               else (True, "disabled"))
+    if not ok:
+        _fail(job, cfg, f"output failed AV1 decode verification: {why}")
+        sidecars.write_why_file(job.source_path, job.reason)
+        os.remove(output_path)
+        jobs.save_job(job, cfg.job_state_dir)
+        raise TranscodeError(job.reason)
 
     # Atomic replace (daemon.go:154-162)
     try:

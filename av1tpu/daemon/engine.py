@@ -27,10 +27,13 @@ def make_engine(cfg):
             f"unknown encoder '{cfg.encoder}' (this build provides 'tpu'); "
             "set \"encoder\": \"tpu\" in the config")
     try:
-        from av1tpu.engine_tpu import TpuEngine
+        if getattr(cfg.tpu, "bitstream", "spec") == "av1tpu":
+            from av1tpu.engine_tpu import TpuEngine
+            return TpuEngine(cfg.tpu)
+        from av1tpu.spec_engine import SpecTpuEngine
+        return SpecTpuEngine(cfg.tpu)
     except ImportError as e:
         raise EngineError(f"TPU engine unavailable: {e}") from e
-    return TpuEngine(cfg.tpu)
 
 
 def verify_engine(engine, size: str = "1280x720") -> float:

@@ -301,26 +301,52 @@ inline void sym(SpecTileWriter *w, int s, uint16_t *cdf, int nsyms) {
 
 // ---- partition ------------------------------------------------------------
 
+// P(bit==0) in Q15 for the edge-partition split bool (spec gather)
+int split_bool_f(const uint16_t *cdf, int nsyms, bool vertical) {
+  static const int kVert[6] = {1, 3, 4, 5, 6, 8};
+  static const int kHorz[6] = {2, 3, 4, 6, 7, 9};
+  const int *m = vertical ? kVert : kHorz;
+  int probs[10];
+  int prev = 32768;
+  for (int i = 0; i < nsyms; ++i) {
+    probs[i] = prev - cdf[i];
+    prev = cdf[i];
+  }
+  int psplit = 0;
+  for (int k = 0; k < 6; ++k)
+    if (m[k] < nsyms) psplit += probs[m[k]];
+  int f = 32768 - psplit;
+  return f < 1 ? 1 : (f > 32767 ? 32767 : f);
+}
+
 void write_partition(SpecTileWriter *w, int r, int c, int bsize, int part) {
   int w4 = kBlockSizes[bsize].w4;
   int bsl = log2i(w4);
   int half = w4 >> 1;
-  // grid is SB-padded: interior partitions only (writer.py edge path
-  // unreachable when mi dims are multiples of 16)
-  (void)half;
+  bool has_rows = (r + half) < w->mi_rows;
+  bool has_cols = (c + half) < w->mi_cols;
   int above = (r > 0) ? ((w->above_part[c] >> bsl) & 1) : 0;
   int left = (c > 0) ? ((w->left_part[(r - w->sb_row) & 15] >> bsl) & 1) : 0;
   int ctx = left * 2 + above;
   static const int kNsyms[6] = {0, 4, 10, 10, 10, 8};
-  sym(w, part, partition_cdf(w, bsl, ctx), kNsyms[bsl]);
+  uint16_t *cdf = partition_cdf(w, bsl, ctx);
+  if (!(has_rows && has_cols)) {
+    if (!(has_rows || has_cols)) return;  // implicit SPLIT, no bits
+    int f = split_bool_f(cdf, kNsyms[bsl], /*vertical=*/has_rows);
+    ec_enc_bool(w->enc, part == PARTITION_SPLIT ? 1 : 0, f);
+    return;
+  }
+  sym(w, part, cdf, kNsyms[bsl]);
 }
 
 void update_partition_ctx(SpecTileWriter *w, int r, int c, int bsize) {
   int w4 = kBlockSizes[bsize].w4, h4 = kBlockSizes[bsize].h4;
   int ac = part_ctx_byte(w4), lc = part_ctx_byte(h4);
-  for (int i = 0; i < w4; ++i) w->above_part[c + i] = ac;
+  int bw4 = imin(w4, w->mi_cols - c);
+  int bh4 = imin(h4, w->mi_rows - r);
+  for (int i = 0; i < bw4; ++i) w->above_part[c + i] = ac;
   int lr = (r - w->sb_row) & 15;
-  for (int i = 0; i < h4; ++i) w->left_part[lr + i] = lc;
+  for (int i = 0; i < bh4 && lr + i < w->sb4; ++i) w->left_part[lr + i] = lc;
 }
 
 // ---- block header ---------------------------------------------------------

@@ -591,6 +591,10 @@ class TpuEngine:
                                       "color_matrix_code", 0)
         return sh
 
+    def codec_private(self, sh) -> bytes:
+        """MKV CodecPrivate for the video track (av1C record)."""
+        return obu_mod.av1c_record(sh)
+
     def encode_smoke_frame(self, frame: Frame) -> bytes:
         """Startup self-test payload (VerifyFFmpeg analog)."""
         return self.encode_keyframe(frame, qindex=96)
@@ -830,7 +834,7 @@ class TpuEngine:
         sh = self.sequence_header(width, height,
                                   source_stream=plan.video_stream)
         tracks = output_tracks(plan, width, height, frame_dur_ns)
-        tracks[0].codec_private = obu_mod.av1c_record(sh)
+        tracks[0].codec_private = self.codec_private(sh)
         try:
             with open(output_path, "wb") as f:
                 mkv_writer = mkv_mux.MkvWriter(

@@ -76,9 +76,8 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
     return jax.vmap(one)(pos, mvs)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("qindex", "bit_depth", "refine"))
-def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex: int,
+@functools.partial(jax.jit, static_argnames=("bit_depth", "refine"))
+def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                   bit_depth: int, refine: bool = True):
     """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
     rec_y, rec_u, rec_v) for the SB-padded frame."""

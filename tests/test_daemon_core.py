@@ -35,7 +35,8 @@ def _mk_job(tmp_path, size=1000):
 def _cfg(tmp_path):
     return core.DaemonConfig(job_state_dir=str(tmp_path / "jobs"),
                              max_size_ratio=0.90,
-                             stability_wait_seconds=0.01)
+                             stability_wait_seconds=0.01,
+                             decode_verify=False)  # fake engine output
 
 
 def test_size_gate_math():
