@@ -401,6 +401,8 @@ int txb_skip_ctx(SpecTileWriter *w, int plane, int x, int y, int tw, int th,
   int r4 = (y >> 2) << ssy;
   int w4 = (tw >> 2) << ssx;
   int h4 = (th >> 2) << ssy;
+  w4 = imin(w4, w->mi_cols - c4);
+  h4 = imin(h4, w->mi_rows - r4);
   const int32_t *a = &w->above_levels[plane][c4];
   int lr = r4 % w->sb4;
   const int32_t *l = &w->left_levels[plane][lr];
@@ -438,6 +440,8 @@ int dc_sign_ctx(SpecTileWriter *w, int plane, int x, int y, int tw, int th,
   int r4 = (y >> 2) << ssy;
   int w4 = (tw >> 2) << ssx;
   int h4 = (th >> 2) << ssy;
+  w4 = imin(w4, w->mi_cols - c4);
+  h4 = imin(h4, w->mi_rows - r4);
   int s = 0;
   for (int i = 0; i < w4; ++i) s += w->above_dcsign[plane][c4 + i];
   int lr = r4 % w->sb4;
@@ -452,6 +456,8 @@ void set_coef_ctx(SpecTileWriter *w, int plane, int x, int y, int tw, int th,
   int r4 = (y >> 2) << ssy;
   int w4 = (tw >> 2) << ssx;
   int h4 = (th >> 2) << ssy;
+  w4 = imin(w4, w->mi_cols - c4);
+  h4 = imin(h4, w->mi_rows - r4);
   for (int i = 0; i < w4; ++i) {
     w->above_levels[plane][c4 + i] = cul;
     w->above_dcsign[plane][c4 + i] = dcsign;
@@ -788,13 +794,14 @@ void finish_block_common32(SpecTileWriter *w, int r, int c, int skip,
   w->g_mvr[gi] = mvr;
   w->g_mvc[gi] = mvc;
   w->g_newmv[gi] = (uint8_t)is_newmv;
-  for (int i = 0; i < 8; ++i)
-    for (int j = 0; j < 8; ++j) {
+  int bh4 = imin(8, w->mi_rows - r), bw4 = imin(8, w->mi_cols - c);
+  for (int i = 0; i < bh4; ++i)
+    for (int j = 0; j < bw4; ++j) {
       w->skips[(r + i) * w->mi_cols + c + j] = skip;
       w->y_modes[(r + i) * w->mi_cols + c + j] = store_mode;
       w->mi_size[(r + i) * w->mi_cols + c + j] = BLOCK_32X32;
     }
-  if (skip) reset_coef_ctx_block(w, r, c, 8, 8);
+  if (skip) reset_coef_ctx_block(w, r, c, bw4, bh4);
 }
 
 void write_skip_and_inter(SpecTileWriter *w, int r, int c, int skip,
@@ -886,8 +893,8 @@ SpecTileWriter *stw_create(int mi_cols, int mi_rows, int base_q_idx) {
   w->skips.assign(mi_rows * mi_cols, 0);
   w->y_modes.assign(mi_rows * mi_cols, 0);
   w->mi_size.assign(mi_rows * mi_cols, 0);
-  w->gw = mi_cols / 8;
-  w->gh = mi_rows / 8;
+  w->gw = (mi_cols + 7) / 8;
+  w->gh = (mi_rows + 7) / 8;
   w->g_ref.assign(w->gw * w->gh, -1);
   w->g_mvr.assign(w->gw * w->gh, 0);
   w->g_mvc.assign(w->gw * w->gh, 0);
@@ -944,6 +951,7 @@ int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
                                {sb_r + 8, sb_c + 8}};
       for (int k = 0; k < 4; ++k) {
         int br = child[k][0], bc = child[k][1];
+        if (br >= w->mi_rows || bc >= w->mi_cols) continue;
         int gi = (br / 8) * gw + (bc / 8);
         int skip = skips[gi];
         write_partition(w, br, bc, BLOCK_32X32, PARTITION_NONE);
@@ -995,6 +1003,7 @@ int64_t stw_encode_inter32(SpecTileWriter *w, const int32_t *modes,
                                {sb_r + 8, sb_c + 8}};
       for (int k = 0; k < 4; ++k) {
         int br = child[k][0], bc = child[k][1];
+        if (br >= w->mi_rows || bc >= w->mi_cols) continue;
         int gr = br / 8, gc = bc / 8;
         int gi = gr * gw + gc;
         int skip = skips[gi];

@@ -33,6 +33,16 @@ from av1tpu.specav1 import writer as W
 log = logging.getLogger("av1d")
 
 
+def _axis_true_dims_ok(px: int) -> bool:
+    """True when an axis can be coded at its true size on the fixed
+    32x32 grid: exact multiples, or a last-block overhang of at most
+    2 mi (rem > 16px).  Covers 1080/1920/3840/480/576; axes needing
+    16px edge strips (720, 2160) fall back to SB padding + render_size
+    until the 16x16 edge-block pass lands."""
+    rem = px % 32
+    return px % 2 == 0 and (rem == 0 or rem > 16)
+
+
 class SpecSequenceHeader:
     """Sequence parameters for the spec bitstream (av1C + seq OBU)."""
 
@@ -48,9 +58,11 @@ class SpecSequenceHeader:
 
     def seq_obu(self) -> bytes:
         cp = self.color_primaries or None
+        w, h = self.width, self.height
+        if not (_axis_true_dims_ok(w) and _axis_true_dims_ok(h)):
+            w, h = (w + 63) & ~63, (h + 63) & ~63
         return W.write_sequence_header(
-            (self.width + 63) & ~63, (self.height + 63) & ~63,
-            bit_depth=self.bit_depth,
+            w, h, bit_depth=self.bit_depth,
             color_primaries=cp,
             transfer=self.color_transfer if cp else None,
             matrix=self.color_matrix if cp else None)
@@ -96,36 +108,46 @@ class SpecTpuEngine(TpuEngine):
         bd = frame.bit_depth
         yp, up, vp = self._pad_planes(frame, 64)
         ph, pw = yp.shape
+        # true-dims coding: headers carry the real frame size and the
+        # last block row/col overhangs (like any conformant encoder);
+        # unsupported remainders fall back to render_size padding
+        true_ok = _axis_true_dims_ok(w) and _axis_true_dims_ok(h)
+        th, tw = (h, w) if true_ok else (ph, pw)
         oh = self._order_hint & 127
         self._order_hint += 1
         if is_key:
             out = jax_intra._encode_frame(
                 jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
                 jnp.int32(qindex), nbr=ph // 32, nbc=pw // 32,
-                bit_depth=bd)
+                bit_depth=bd, th=th, tw=tw)
             self._ref_dev = out[0:3]
             self._golden_dev = out[0:3]
-            return ("key", qindex, w, h, ph, pw, bd, oh, refresh, out)
+            return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
+                    refresh, out)
         out = jax_inter._encode_frame(
             jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
             self._ref_dev[0], self._ref_dev[1], self._ref_dev[2],
-            qindex, bd)
+            qindex, bd, th=th, tw=tw)
         if refresh:
             self._ref_dev = out[5:8]
-        return ("inter", qindex, w, h, ph, pw, bd, oh, refresh, out)
+        return ("inter", qindex, w, h, th, tw, ph, pw, bd, oh,
+                refresh, out)
 
     @staticmethod
     def _finalize(pending) -> tuple[bytes, bool]:
         import jax as _jax
-        kind, qindex, w, h, ph, pw, bd, oh, refresh, out = pending
-        rs = (w, h) if (ph, pw) != (h, w) else None
+        kind, qindex, w, h, th, tw, ph, pw, bd, oh, refresh, out = pending
+        # true dims: headers carry (tw, th); render_size only for the
+        # padded fallback where the coded frame exceeds the display area
+        rs = (w, h) if (tw, th) != (w, h) else None
+        mi_cols, mi_rows = 2 * ((tw + 7) >> 3), 2 * ((th + 7) >> 3)
         if kind == "key":
             got = _jax.device_get(out[3:9])
             lv_y, lv_u, lv_v, g_mode, g_uv, g_skip = got
             tile = native.encode_intra32_tile(
-                qindex, pw // 4, ph // 4, g_mode, g_uv, g_skip,
+                qindex, mi_cols, mi_rows, g_mode, g_uv, g_skip,
                 lv_y, lv_u, lv_v)
-            hdr = W.write_key_frame_header(pw, ph, qindex,
+            hdr = W.write_key_frame_header(tw, th, qindex,
                                            order_hint=oh, render_size=rs)
             hdr.byte_align()
             seq = SpecSequenceHeader(w, h, bd).seq_obu()
@@ -136,11 +158,11 @@ class SpecTpuEngine(TpuEngine):
         gh, gw = ph // 32, pw // 32
         modes = np.ones((gh, gw), np.int32)
         tile = native.encode_inter32_tile(
-            qindex, pw // 4, ph // 4, modes,
+            qindex, mi_cols, mi_rows, modes,
             np.asarray(mv8).reshape(gh, gw, 2),
             np.asarray(skip).reshape(gh, gw), ylv, ulv, vlv)
         hdr = W.write_inter_frame_header(
-            pw, ph, qindex, order_hint=oh,
+            tw, th, qindex, order_hint=oh,
             refresh_frame_flags=0x01 if refresh else 0x00,
             render_size=rs)
         hdr.byte_align()

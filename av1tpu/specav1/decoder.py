@@ -82,10 +82,14 @@ class Decoder:
         if _td_out is not None:
             _td_out["td"] = td
         full = self._finish_frame(td, hdr)
+        # reference slots hold the frame cropped to its coded dims: the
+        # spec clamps inter reads against FrameWidth/Height, not the
+        # decoder's internal SB padding
+        cropped = self._crop_dims(full, hdr.frame_width, hdr.frame_height)
         for i in range(8):
             if hdr.refresh_frame_flags & (1 << i):
-                self.ref_frames[i] = full
-                self.ref_slot_meta[i] = (full, hdr.frame_width,
+                self.ref_frames[i] = cropped
+                self.ref_slot_meta[i] = (cropped, hdr.frame_width,
                                          hdr.frame_height)
         if not hdr.show_frame:
             return []

@@ -76,11 +76,17 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
     return jax.vmap(one)(pos, mvs)
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth", "refine"))
+@functools.partial(jax.jit,
+                   static_argnames=("bit_depth", "refine", "th", "tw"))
 def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
-                  bit_depth: int, refine: bool = True):
+                  bit_depth: int, refine: bool = True,
+                  th: int = 0, tw: int = 0):
     """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
-    rec_y, rec_u, rec_v) for the SB-padded frame."""
+    rec_y, rec_u, rec_v) for the SB-padded frame.
+
+    th/tw: the true (coded) frame dims.  The spec clamps reference
+    reads to the coded frame, so the padded-recon reference is cropped
+    there and edge-replicated back out before MC (0 = padded dims)."""
     H, Wd = y.shape
     n = 32
     gh, gw = H // n, Wd // n
@@ -88,9 +94,17 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     pos = jnp.asarray(motion.block_positions(H, Wd, n))
     cpos = pos // 2
 
-    ref_pad_y = motion.pad_ref(ref_y)
-    ref_pad_u = jnp.pad(ref_u, PAD // 2, mode="edge")
-    ref_pad_v = jnp.pad(ref_v, PAD // 2, mode="edge")
+    th = th or H
+    tw = tw or Wd
+
+    def prep_ref(ref, t_h, t_w, pad):
+        r = ref[:t_h, :t_w]
+        return jnp.pad(r, ((pad, pad + ref.shape[0] - t_h),
+                           (pad, pad + ref.shape[1] - t_w)), mode="edge")
+
+    ref_pad_y = prep_ref(ref_y, th, tw, PAD)
+    ref_pad_u = prep_ref(ref_u, th // 2, tw // 2, PAD // 2)
+    ref_pad_v = prep_ref(ref_v, th // 2, tw // 2, PAD // 2)
 
     src_y = y.astype(jnp.int32)
     blocks = src_y.reshape(gh, n, gw, n).transpose(0, 2, 1, 3)
@@ -172,16 +186,17 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
 
 
 def encode_interframe_device(y, u, v, ref_planes, qindex: int,
-                             bit_depth: int = 8):
+                             bit_depth: int = 8, true_dims=None):
     """Host wrapper: returns (modes, mvs, skips, ylv, ulv, vlv) numpy
     arrays ready for native.encode_inter32_tile plus the device recon
     planes (y, u, v) for the next frame's reference."""
     H, Wd = y.shape
     assert H % 64 == 0 and Wd % 64 == 0
     gh, gw = H // 32, Wd // 32
+    th, tw = true_dims if true_dims else (H, Wd)
     out = _encode_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                         ref_planes[0], ref_planes[1], ref_planes[2],
-                        qindex, bit_depth)
+                        qindex, bit_depth, th=th, tw=tw)
     mv8, skip, ylv, ulv, vlv, ry, ru, rv = out
     mvs = np.asarray(mv8).reshape(gh, gw, 2)
     skips = np.asarray(skip).reshape(gh, gw)

@@ -287,11 +287,14 @@ def inv_dct2d_add(dq, pred, bit_depth: int):
 # predictors (batched; edges per spec availability rules)
 # ---------------------------------------------------------------------------
 
-def _gather_edges(rec, y0, x0, have_a, have_l, ntr, nbl, size, base):
+def _gather_edges(rec, y0, x0, have_a, have_l, ntr, nbl, size, base,
+                  fdims=None):
     """Returns (ar_full, lc_full, corner): length 2*size+1 vectors with
-    index 0 = corner, mirroring recon.predict_intra's edge assembly."""
+    index 0 = corner, mirroring recon.predict_intra's edge assembly.
+    fdims: the true (coded) plane dims when smaller than rec's padded
+    shape — edge reads clamp there exactly like the decoder's max_x/y."""
     n = 2 * size
-    fh, fw = rec.shape
+    fh, fw = fdims if fdims is not None else rec.shape
     y0c = jnp.maximum(y0 - 1, 0)
     x0c = jnp.maximum(x0 - 1, 0)
     na = jnp.maximum(1, jnp.minimum(jnp.minimum(size + ntr, fw - x0), n))
@@ -363,13 +366,17 @@ def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes):
 # the jitted frame encoder
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("nbr", "nbc", "bit_depth"))
-def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int):
+@functools.partial(jax.jit,
+                   static_argnames=("nbr", "nbc", "bit_depth", "th", "tw"))
+def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
+                  th: int = 0, tw: int = 0):
     """y: (H, W) uint8/16 SB-padded source; returns grids + levels +
     recon planes."""
     waves = plan_waves(nbr, nbc)
     wave_xs = {k: jnp.asarray(a) for k, a in waves.items()}
     H, Wd = nbr * 32, nbc * 32
+    th = th or H
+    tw = tw or Wd
     base = 1 << (bit_depth - 1)
     maxlvl = (1 << bit_depth) - 1
 
@@ -402,7 +409,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int):
         ha = have_a.astype(bool)
         hl = have_l.astype(bool)
         ar, lcv, corner = _gather_edges(rec_y, y0, x0, ha, hl, ntr, nbl,
-                                        32, base)
+                                        32, base, fdims=(th, tw))
         preds = _predict_all(ar, lcv, corner, ha, hl, 32, base,
                              list(_MODE_IDS))
         rows = y0 + jnp.arange(32)[:, None]
@@ -425,7 +432,8 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int):
         out_c = []
         for rec_p, src_p in ((rec_u, src_u), (rec_v, src_v)):
             arc, lcc, cornc = _gather_edges(
-                rec_p, cy0, cx0, ha, hl, ntr // 2, nbl // 2, 16, base)
+                rec_p, cy0, cx0, ha, hl, ntr // 2, nbl // 2, 16, base,
+                fdims=(th // 2, tw // 2))
             predc = _predict_all(arc, lcc, cornc, ha, hl, 16, base,
                                  [recon.DC_PRED])[0]
             sc = src_p[crows, ccols]

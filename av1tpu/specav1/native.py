@@ -111,8 +111,7 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
     The inter Y mode is derived from the MV stack in native code.
     """
     lib = _lib()
-    assert mi_cols % 16 == 0 and mi_rows % 16 == 0
-    gh, gw = mi_rows // 8, mi_cols // 8
+    gh, gw = (mi_rows + 7) // 8, (mi_cols + 7) // 8
     fc = FrameContext(qindex)
 
     def as32(a, shape):
@@ -123,9 +122,12 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
     modes = as32(modes, (gh, gw))
     mvs = as32(mvs, (gh, gw, 2))
     skips = as32(skips, (gh, gw))
-    ylv = as32(ylv, (mi_rows * 4, mi_cols * 4))
-    ulv = as32(ulv, (mi_rows * 2, mi_cols * 2))
-    vlv = as32(vlv, (mi_rows * 2, mi_cols * 2))
+    # level planes are SB-padded; mi dims are the true coded dims
+    ylv = np.ascontiguousarray(np.asarray(ylv, np.int32))
+    ulv = np.ascontiguousarray(np.asarray(ulv, np.int32))
+    vlv = np.ascontiguousarray(np.asarray(vlv, np.int32))
+    assert ylv.shape[0] >= mi_rows * 4 and ylv.shape[1] >= mi_cols * 4
+    ystride, cstride = ylv.shape[1], ulv.shape[1]
 
     w = lib.stw_create(mi_cols, mi_rows, qindex)
     try:
@@ -142,9 +144,9 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
             w, modes.ctypes.data_as(ctypes.c_void_p),
             mvs.ctypes.data_as(ctypes.c_void_p),
             skips.ctypes.data_as(ctypes.c_void_p),
-            ylv.ctypes.data_as(ctypes.c_void_p), mi_cols * 4,
+            ylv.ctypes.data_as(ctypes.c_void_p), ystride,
             ulv.ctypes.data_as(ctypes.c_void_p),
-            vlv.ctypes.data_as(ctypes.c_void_p), mi_cols * 2,
+            vlv.ctypes.data_as(ctypes.c_void_p), cstride,
             out, cap)
         if sz < 0:
             raise RuntimeError("tile buffer too small")
@@ -164,8 +166,7 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
     half resolution.  mi dims must be multiples of 16 (SB-padded).
     """
     lib = _lib()
-    assert mi_cols % 16 == 0 and mi_rows % 16 == 0
-    gh, gw = mi_rows // 8, mi_cols // 8
+    gh, gw = (mi_rows + 7) // 8, (mi_cols + 7) // 8
     fc = FrameContext(qindex)
 
     def as32(a, shape):
@@ -176,9 +177,11 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
     y_modes = as32(y_modes, (gh, gw))
     uv_modes = as32(uv_modes, (gh, gw))
     skips = as32(skips, (gh, gw))
-    ylv = as32(ylv, (mi_rows * 4, mi_cols * 4))
-    ulv = as32(ulv, (mi_rows * 2, mi_cols * 2))
-    vlv = as32(vlv, (mi_rows * 2, mi_cols * 2))
+    ylv = np.ascontiguousarray(np.asarray(ylv, np.int32))
+    ulv = np.ascontiguousarray(np.asarray(ulv, np.int32))
+    vlv = np.ascontiguousarray(np.asarray(vlv, np.int32))
+    assert ylv.shape[0] >= mi_rows * 4 and ylv.shape[1] >= mi_cols * 4
+    ystride, cstride = ylv.shape[1], ulv.shape[1]
 
     w = lib.stw_create(mi_cols, mi_rows, qindex)
     try:
@@ -195,9 +198,9 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
             w, y_modes.ctypes.data_as(ctypes.c_void_p),
             uv_modes.ctypes.data_as(ctypes.c_void_p),
             skips.ctypes.data_as(ctypes.c_void_p),
-            ylv.ctypes.data_as(ctypes.c_void_p), mi_cols * 4,
+            ylv.ctypes.data_as(ctypes.c_void_p), ystride,
             ulv.ctypes.data_as(ctypes.c_void_p),
-            vlv.ctypes.data_as(ctypes.c_void_p), mi_cols * 2,
+            vlv.ctypes.data_as(ctypes.c_void_p), cstride,
             out, cap)
         if sz < 0:
             raise RuntimeError("tile buffer too small")
