@@ -141,11 +141,16 @@ class SpecTpuEngine(TpuEngine):
         # padded fallback where the coded frame exceeds the display area
         rs = (w, h) if (tw, th) != (w, h) else None
         mi_cols, mi_rows = 2 * ((tw + 7) >> 3), 2 * ((th + 7) >> 3)
+        # the device computes the full padded grid; the coded grid may
+        # be smaller (e.g. a 96-tall frame pads to 128: 3 coded block
+        # rows of 4)
+        gh_t, gw_t = (mi_rows + 7) // 8, (mi_cols + 7) // 8
         if kind == "key":
             got = _jax.device_get(out[3:9])
             lv_y, lv_u, lv_v, g_mode, g_uv, g_skip = got
             tile = native.encode_intra32_tile(
-                qindex, mi_cols, mi_rows, g_mode, g_uv, g_skip,
+                qindex, mi_cols, mi_rows, g_mode[:gh_t, :gw_t],
+                g_uv[:gh_t, :gw_t], g_skip[:gh_t, :gw_t],
                 lv_y, lv_u, lv_v)
             hdr = W.write_key_frame_header(tw, th, qindex,
                                            order_hint=oh, render_size=rs)
@@ -156,11 +161,12 @@ class SpecTpuEngine(TpuEngine):
             return payload, True
         mv8, skip, ylv, ulv, vlv = _jax.device_get(out[0:5])
         gh, gw = ph // 32, pw // 32
-        modes = np.ones((gh, gw), np.int32)
+        modes = np.ones((gh_t, gw_t), np.int32)
         tile = native.encode_inter32_tile(
             qindex, mi_cols, mi_rows, modes,
-            np.asarray(mv8).reshape(gh, gw, 2),
-            np.asarray(skip).reshape(gh, gw), ylv, ulv, vlv)
+            np.asarray(mv8).reshape(gh, gw, 2)[:gh_t, :gw_t],
+            np.asarray(skip).reshape(gh, gw)[:gh_t, :gw_t],
+            ylv, ulv, vlv)
         hdr = W.write_inter_frame_header(
             tw, th, qindex, order_hint=oh,
             refresh_frame_flags=0x01 if refresh else 0x00,
