@@ -301,11 +301,13 @@ inline void sym(SpecTileWriter *w, int s, uint16_t *cdf, int nsyms) {
 
 // ---- partition ------------------------------------------------------------
 
-// P(bit==0) in Q15 for the edge-partition split bool (spec gather)
+// f15 (icdf of the not-split symbol = gathered SPLIT mass) for the
+// edge-partition bool, per libaom partition_gather_{vert,horz}_alongside.
+// vertical=false: bottom edge (HORZ vs SPLIT); true: right edge.
 int split_bool_f(const uint16_t *cdf, int nsyms, bool vertical) {
-  static const int kVert[6] = {1, 3, 4, 5, 6, 8};
-  static const int kHorz[6] = {2, 3, 4, 6, 7, 9};
-  const int *m = vertical ? kVert : kHorz;
+  static const int kBottom[6] = {2, 3, 4, 6, 7, 9};
+  static const int kRight[6] = {1, 3, 4, 5, 6, 8};
+  const int *m = vertical ? kRight : kBottom;
   int probs[10];
   int prev = 32768;
   for (int i = 0; i < nsyms; ++i) {
@@ -315,8 +317,7 @@ int split_bool_f(const uint16_t *cdf, int nsyms, bool vertical) {
   int psplit = 0;
   for (int k = 0; k < 6; ++k)
     if (m[k] < nsyms) psplit += probs[m[k]];
-  int f = 32768 - psplit;
-  return f < 1 ? 1 : (f > 32767 ? 32767 : f);
+  return psplit < 1 ? 1 : (psplit > 32767 ? 32767 : psplit);
 }
 
 void write_partition(SpecTileWriter *w, int r, int c, int bsize, int part) {
@@ -332,7 +333,8 @@ void write_partition(SpecTileWriter *w, int r, int c, int bsize, int part) {
   uint16_t *cdf = partition_cdf(w, bsl, ctx);
   if (!(has_rows && has_cols)) {
     if (!(has_rows || has_cols)) return;  // implicit SPLIT, no bits
-    int f = split_bool_f(cdf, kNsyms[bsl], /*vertical=*/has_rows);
+    // bottom edge (has_cols only) -> vertical=false; right edge -> true
+    int f = split_bool_f(cdf, kNsyms[bsl], /*vertical=*/!has_cols);
     ec_enc_bool(w->enc, part == PARTITION_SPLIT ? 1 : 0, f);
     return;
   }

@@ -372,11 +372,13 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
                   th: int = 0, tw: int = 0):
     """y: (H, W) uint8/16 SB-padded source; returns grids + levels +
     recon planes."""
-    waves = plan_waves(nbr, nbc)
-    wave_xs = {k: jnp.asarray(a) for k, a in waves.items()}
     H, Wd = nbr * 32, nbc * 32
     th = th or H
     tw = tw or Wd
+    # wavefront over the CODED grid only (ceil of the true dims): the
+    # decoder neither codes nor makes available any block beyond it
+    waves = plan_waves(-(-th // 32), -(-tw // 32))
+    wave_xs = {k: jnp.asarray(a) for k, a in waves.items()}
     base = 1 << (bit_depth - 1)
     maxlvl = (1 << bit_depth) - 1
 

@@ -145,10 +145,12 @@ def get_scan(tx: int, tx_type: int) -> np.ndarray:
         if cls == TX_CLASS_2D:
             sc = _zigzag(w, h)
         elif cls == TX_CLASS_VERT:
-            # column-class (V_*): scan rows sequentially (row-major)
+            # V_* (vertical 1-D transform) compacts energy into the top
+            # rows: row-major scan (behaviorally pinned vs libaom)
             sc = np.array([(r, c) for r in range(h) for c in range(w)],
                           np.int32)
         else:
+            # H_*: column-major scan
             sc = np.array([(r, c) for c in range(w) for r in range(h)],
                           np.int32)
         _scan_cache[key] = sc
@@ -249,7 +251,8 @@ class TileDecoder:
                 part = PARTITION_SPLIT
 
         sub = _partition_subsize(part, bsize)
-        split_sub = _partition_subsize(PARTITION_SPLIT, bsize)
+        split_sub = sub if bsize == BLOCK_4X4 \
+            else _partition_subsize(PARTITION_SPLIT, bsize)
         if part == PARTITION_NONE:
             self.decode_block(r, c, sub)
         elif part == PARTITION_HORZ:
@@ -1211,15 +1214,19 @@ def _base_ctx(levels, rr, cc, si, bwl, tx_class):
         if rr + cc < 4:
             return ctx + 6
         return ctx + 21
+    # 1-D classes share the right+below pair, then extend along the
+    # transform axis (libaom get_nz_mag)
+    mag = (min(int(levels[rr + 1, cc]), 3) +
+           min(int(levels[rr, cc + 1]), 3))
     if tx_class == TX_CLASS_HORIZ:
-        mag = (min(int(levels[rr, cc + 1]), 3) +
-               min(int(levels[rr, cc + 2]), 3) +
-               min(int(levels[rr, cc + 3]), 3))
+        mag += (min(int(levels[rr, cc + 2]), 3) +
+                min(int(levels[rr, cc + 3]), 3) +
+                min(int(levels[rr, cc + 4]), 3))
         pos = cc
     else:
-        mag = (min(int(levels[rr + 1, cc]), 3) +
-               min(int(levels[rr + 2, cc]), 3) +
-               min(int(levels[rr + 3, cc]), 3))
+        mag += (min(int(levels[rr + 2, cc]), 3) +
+                min(int(levels[rr + 3, cc]), 3) +
+                min(int(levels[rr + 4, cc]), 3))
         pos = rr
     ctx = min((mag + 1) >> 1, 4)
     # 1D bands: pos 0 -> +26, pos 1 -> +31, pos >= 2 -> +36
@@ -1237,10 +1244,11 @@ def _br_ctx(levels, rr, cc, si, tx_class):
                min(int(levels[rr + 1, cc + 1]), 15))
     elif tx_class == TX_CLASS_HORIZ:
         mag = (min(int(levels[rr, cc + 1]), 15) +
+               min(int(levels[rr + 1, cc]), 15) +
                min(int(levels[rr, cc + 2]), 15))
-        mag += min(int(levels[rr, cc + 1]), 15) * 0  # 2 neighbors only
     else:
-        mag = (min(int(levels[rr + 1, cc]), 15) +
+        mag = (min(int(levels[rr, cc + 1]), 15) +
+               min(int(levels[rr + 1, cc]), 15) +
                min(int(levels[rr + 2, cc]), 15))
     mag = min((mag + 1) >> 1, 6)
     if (rr | cc) == 0:
@@ -1324,14 +1332,17 @@ SPLIT_MEMBERS_VERT = [PARTITION_HORZ, PARTITION_SPLIT, PARTITION_HORZ_A,
 
 
 def split_bool_f(cdf, bsl: int, vertical: bool) -> int:
-    """P(bit==0) in Q15 for the edge-partition split bool: gathers the
-    probability mass of the partitions that imply a split in the needed
-    direction (spec partition gather)."""
+    """f15 (the icdf of the not-split symbol, i.e. the SPLIT mass) for
+    the edge-partition bool (libaom partition_gather_*_alongside).
+
+    vertical=False: bottom edge (HORZ vs SPLIT); vertical=True: right
+    edge (VERT vs SPLIT).  Bit 1 = SPLIT.  Behaviorally pinned against
+    libaom keyframes at edge geometries (64x32/128x96/192x120)."""
     nsyms = {1: 4, 2: 10, 3: 10, 4: 10, 5: 8}[bsl]
     probs = _icdf_to_probs(cdf, nsyms)
     members = SPLIT_MEMBERS_VERT if vertical else SPLIT_MEMBERS_HORZ
     psplit = sum(probs[m] for m in members if m < nsyms)
-    return min(max(32768 - psplit, 1), 32767)
+    return min(max(psplit, 1), 32767)
 
 
 def _icdf_to_probs(cdf, nsyms):
