@@ -29,7 +29,7 @@ from av1tpu.encoder.entropy import tile as tile_codec
 from av1tpu.encoder.kernels import motion
 from av1tpu.media import mkv, mkv_mux, mp4, obu as obu_mod
 from av1tpu.media.mkv import Packet, Track
-from av1tpu.media.streamcopy import interleave, output_tracks, plan_streams
+from av1tpu.media.streamcopy import output_tracks, plan_streams
 from av1tpu.utils import spool as spool_mod
 from av1tpu.utils.testsrc import Frame
 
@@ -731,8 +731,12 @@ class TpuEngine:
 
         plan = plan_streams(probe_result)
 
-        # source containers for stream copy
+        # source containers for stream copy + the video track's source
+        # PTS (carried through to the output, reference
+        # transcode.go:58-64,125-131: ffmpeg passes source timestamps;
+        # WebRip-like adds -start_at_zero/-avoid_negative_ts make_zero)
         src_packets = []
+        src_video_pts: list[int] = []
         chapters = tags = b""
         fmt = probe_result.format.format_name
         if "matroska" in fmt:
@@ -746,7 +750,13 @@ class TpuEngine:
                 number_map = {m.tracks[s.index].number:
                               plan.output_number[s.index]
                               for s in plan.copied if s.index < len(m.tracks)}
+                vtrack = None
+                if plan.video_stream is not None and \
+                        plan.video_stream.index < len(m.tracks):
+                    vtrack = m.tracks[plan.video_stream.index].number
                 for pkt in mkv.iter_packets(f, m):
+                    if pkt.track_number == vtrack:
+                        src_video_pts.append(pkt.timestamp_ns)
                     if pkt.track_number in keep:
                         pkt.track_number = number_map[pkt.track_number]
                         src_packets.append(pkt)
@@ -761,6 +771,11 @@ class TpuEngine:
                     for pkt in mp4.iter_packets(f, m4, track):
                         pkt.track_number = plan.output_number[s.index]
                         src_packets.append(pkt)
+                if plan.video_stream is not None and \
+                        plan.video_stream.index < len(m4.tracks):
+                    vt = m4.tracks[plan.video_stream.index]
+                    src_video_pts = [p.timestamp_ns
+                                     for p in mp4.iter_packets(f, m4, vt)]
             src_packets.sort(key=lambda p: p.timestamp_ns)
 
         # encode video (with GOP-granular checkpoint/resume, SURVEY §5c)
@@ -794,56 +809,107 @@ class TpuEngine:
                     continue  # decoded + discarded (cheap vs re-encoding)
                 yield frame
 
-        records = list(resumed)
+        # video timestamps: source PTS in display order (VFR preserved);
+        # frames beyond the container's packet list fall back to CFR
+        # steps.  WebRip-like sources are normalized to start at zero
+        # (reference transcode.go:58-64,125-131).
+        pts_plan = sorted(src_video_pts)
+        if is_webrip_like and pts_plan and pts_plan[0] != 0:
+            base = pts_plan[0]
+            pts_plan = [t - base for t in pts_plan]
+
+        def ts_of(i: int) -> tuple[int, int]:
+            if i < len(pts_plan):
+                t = pts_plan[i]
+                if i + 1 < len(pts_plan) and pts_plan[i + 1] > t:
+                    return t, pts_plan[i + 1] - t
+                return t, frame_dur_ns
+            extra = i - len(pts_plan) + 1
+            last = pts_plan[-1] if pts_plan else -frame_dur_ns
+            return last + extra * frame_dur_ns, frame_dur_ns
+
+        # streaming mux: packets are written as GOPs finish instead of
+        # buffering the whole encoded stream in RAM (the reference
+        # pipes through ffmpeg's muxer the same way)
+        sh = self.sequence_header(width, height,
+                                  source_stream=plan.video_stream)
+        tracks = output_tracks(plan, width, height, frame_dur_ns)
+        tracks[0].codec_private = self.codec_private(sh)
+        src_packets.sort(key=lambda p: p.timestamp_ns)
+
+        n = 0
         n_new = 0
+        total_bytes = 0
+        last_end_ns = 0
+        si = 0
         # compile this job's program shapes in parallel before frames
         # start flowing (cold-start latency divides by ~shape count)
         self._prewarm(width, height, first.bit_depth)
         self.start_stream()  # resume point opens a fresh GOP (keyframe)
+        out_f = open(output_path, "wb")
         try:
+            mkv_writer = mkv_mux.MkvWriter(
+                out_f, tracks, chapters_payload=chapters,
+                tags_payload=tags)
+
+            def emit(payload: bytes, is_key: bool, i: int):
+                nonlocal si, last_end_ns, total_bytes
+                t, dur = ts_of(i)
+                while si < len(src_packets) and \
+                        src_packets[si].timestamp_ns <= t:
+                    mkv_writer.write_packet(src_packets[si])
+                    si += 1
+                mkv_writer.write_packet(Packet(
+                    track_number=1, timestamp_ns=t, data=payload,
+                    keyframe=is_key, duration_ns=dur))
+                last_end_ns = t + dur
+                total_bytes += len(payload)
+
+            for i, (payload, is_key) in enumerate(resumed):
+                emit(payload, is_key, i)
+                n += 1
             for payload, is_key in self.encode_stream(
                     _to_encode(), rate if rate is not None else qindex):
                 writer.append(payload, is_key)
-                records.append((payload, is_key))
+                emit(payload, is_key, n)
+                n += 1
                 n_new += 1
                 if is_key:
                     writer.flush()  # durable at GOP boundaries
+            if n == 0:
+                raise TranscodeError("source decoded zero frames")
+            while si < len(src_packets):
+                mkv_writer.write_packet(src_packets[si])
+                si += 1
+            mkv_writer.finalize(last_end_ns / 1e9)
+        except BaseException:
+            # no partial output claims: the spool checkpoint survives,
+            # the half-written mkv must not (resume re-muxes from zero)
+            out_f.close()
+            try:
+                os.unlink(output_path)
+            except OSError:
+                pass
+            raise
         finally:
+            out_f.close()
             writer.flush()
             writer.close()
 
-        n = len(records)
         dt = time.monotonic() - t0
-        if n == 0:
-            raise TranscodeError("source decoded zero frames")
-        video_packets = [
-            Packet(track_number=1, timestamp_ns=i * frame_dur_ns,
-                   data=payload, keyframe=is_key, duration_ns=frame_dur_ns)
-            for i, (payload, is_key) in enumerate(records)]
+        if src_video_pts and len(src_video_pts) != n:
+            log.info("source video pts count %d != frames %d; tail "
+                     "timestamps synthesized as CFR",
+                     len(src_video_pts), n)
         self.stats.frames += n_new
         self.stats.encode_seconds += dt
-        self.stats.bytes += sum(len(p.data) for p in video_packets)
+        self.stats.bytes += total_bytes
         fps = n_new / dt if dt > 0 else 0.0
         self.last_job_stats = {"encoded_frames": n, "encode_fps": fps,
                                "resumed_frames": n_resume}
         log.info("encoded %d frames (%d resumed) %dx%d in %.2fs "
                  "(%.2f fps), %d bytes", n, n_resume, width, height, dt,
-                 fps, sum(len(p.data) for p in video_packets))
-
-        # mux
-        sh = self.sequence_header(width, height,
-                                  source_stream=plan.video_stream)
-        tracks = output_tracks(plan, width, height, frame_dur_ns)
-        tracks[0].codec_private = self.codec_private(sh)
-        try:
-            with open(output_path, "wb") as f:
-                mkv_writer = mkv_mux.MkvWriter(
-                    f, tracks, chapters_payload=chapters, tags_payload=tags)
-                for pkt in interleave(video_packets, src_packets):
-                    mkv_writer.write_packet(pkt)
-                mkv_writer.finalize(n * frame_dur_ns / 1e9)
-        except Exception as e:
-            raise TranscodeError(f"mux failed: {e}") from e
+                 fps, total_bytes)
         spool_mod.delete(spool_path)  # checkpoint no longer needed
 
 

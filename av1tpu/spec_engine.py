@@ -25,12 +25,67 @@ from typing import Optional
 
 import numpy as np
 
-from av1tpu.engine_tpu import TpuEngine, TpuEncoderConfig
+from av1tpu.engine_tpu import TpuEngine, TpuEncoderConfig, _unpack_planes
 from av1tpu.specav1 import native
 from av1tpu.specav1 import obu as obu_mod
 from av1tpu.specav1 import writer as W
 
 log = logging.getLogger("av1d")
+
+# sparse level transfer: nonzero-coefficient capacity as a fraction of
+# the total coefficient count.  Typical q96 frames code 1-3%; on
+# overflow _finalize falls back to materializing the full planes.
+SPARSE_CAP_FRACTION = 16
+
+
+def _pack_outputs_jit():
+    """The jitted device-side packer (lazy: jax import stays off the
+    scan-only daemon path)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("cap",))
+    def pack(lv_y, lv_u, lv_v, grids, cap: int):
+        flat = jnp.concatenate([lv_y.reshape(-1), lv_u.reshape(-1),
+                                lv_v.reshape(-1)])
+        mask = flat != 0
+        count = mask.sum(dtype=jnp.int32)
+        idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        vals = jnp.zeros((cap,), jnp.int16)
+        vals = vals.at[jnp.where(mask, idx, cap)].set(
+            jnp.clip(flat, -32768, 32767).astype(jnp.int16), mode="drop")
+        return jnp.packbits(mask), vals, count, grids.astype(jnp.int32)
+
+    return pack
+
+
+_pack = None
+
+
+def _pack_outputs(lv_y, lv_u, lv_v, grids, cap: int):
+    global _pack
+    if _pack is None:
+        _pack = _pack_outputs_jit()
+    return _pack(lv_y, lv_u, lv_v, grids, cap)
+
+
+def _unpack_levels(maskbytes, vals, count, shapes):
+    """Host inverse of _pack_outputs.  Returns the level planes or None
+    when the nonzero count overflowed the value capacity."""
+    total = sum(h * w for h, w in shapes)
+    if int(count) > vals.shape[0]:
+        return None
+    mask = np.unpackbits(np.asarray(maskbytes))[:total].astype(bool)
+    flat = np.zeros(total, np.int32)
+    flat[mask] = np.asarray(vals, np.int32)[:int(count)]
+    out = []
+    off = 0
+    for hh, ww in shapes:
+        out.append(flat[off:off + hh * ww].reshape(hh, ww))
+        off += hh * ww
+    return out
 
 
 def _axis_true_dims_ok(px: int) -> bool:
@@ -115,28 +170,40 @@ class SpecTpuEngine(TpuEngine):
         th, tw = (h, w) if true_ok else (ph, pw)
         oh = self._order_hint & 127
         self._order_hint += 1
+        # one packed H2D upload instead of three round trips
+        packed_src = np.concatenate([yp.ravel(), up.ravel(), vp.ravel()])
+        yj, uj, vj = _unpack_planes(jnp.asarray(packed_src), ph, pw)
+        total = ph * pw + 2 * (ph // 2) * (pw // 2)
+        cap = total // SPARSE_CAP_FRACTION
         if is_key:
             out = jax_intra._encode_frame(
-                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                jnp.int32(qindex), nbr=ph // 32, nbc=pw // 32,
-                bit_depth=bd, th=th, tw=tw)
+                yj, uj, vj, jnp.int32(qindex), nbr=ph // 32,
+                nbc=pw // 32, bit_depth=bd, th=th, tw=tw)
             self._ref_dev = out[0:3]
             self._golden_dev = out[0:3]
+            grids = jnp.concatenate([out[6].reshape(-1),
+                                     out[7].reshape(-1),
+                                     out[8].reshape(-1)])
+            pk = _pack_outputs(out[3], out[4], out[5], grids, cap)
             return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
-                    refresh, out)
+                    refresh, out, pk, cap)
         out = jax_inter._encode_frame(
-            jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+            yj, uj, vj,
             self._ref_dev[0], self._ref_dev[1], self._ref_dev[2],
             qindex, bd, th=th, tw=tw)
         if refresh:
             self._ref_dev = out[5:8]
+        grids = jnp.concatenate([out[0].reshape(-1),
+                                 out[1].reshape(-1)])
+        pk = _pack_outputs(out[2], out[3], out[4], grids, cap)
         return ("inter", qindex, w, h, th, tw, ph, pw, bd, oh,
-                refresh, out)
+                refresh, out, pk, cap)
 
     @staticmethod
     def _finalize(pending) -> tuple[bytes, bool]:
         import jax as _jax
-        kind, qindex, w, h, th, tw, ph, pw, bd, oh, refresh, out = pending
+        (kind, qindex, w, h, th, tw, ph, pw, bd, oh, refresh, out,
+         pk, cap) = pending
         # true dims: headers carry (tw, th); render_size only for the
         # padded fallback where the coded frame exceeds the display area
         rs = (w, h) if (tw, th) != (w, h) else None
@@ -145,9 +212,21 @@ class SpecTpuEngine(TpuEngine):
         # be smaller (e.g. a 96-tall frame pads to 128: 3 coded block
         # rows of 4)
         gh_t, gw_t = (mi_rows + 7) // 8, (mi_cols + 7) // 8
+        gh, gw = ph // 32, pw // 32
+        shapes = [(ph, pw), (ph // 2, pw // 2), (ph // 2, pw // 2)]
+        # sparse level transfer (one small D2H); full-plane fallback on
+        # capacity overflow
+        maskbytes, vals, count, grids = _jax.device_get(pk)
+        lvs = _unpack_levels(maskbytes, vals, count, shapes)
         if kind == "key":
-            got = _jax.device_get(out[3:9])
-            lv_y, lv_u, lv_v, g_mode, g_uv, g_skip = got
+            if lvs is None:
+                lv_y, lv_u, lv_v = _jax.device_get(out[3:6])
+            else:
+                lv_y, lv_u, lv_v = lvs
+            ng = gh * gw
+            g_mode = grids[:ng].reshape(gh, gw)
+            g_uv = grids[ng:2 * ng].reshape(gh, gw)
+            g_skip = grids[2 * ng:3 * ng].reshape(gh, gw)
             tile = native.encode_intra32_tile(
                 qindex, mi_cols, mi_rows, g_mode[:gh_t, :gw_t],
                 g_uv[:gh_t, :gw_t], g_skip[:gh_t, :gw_t],
@@ -159,8 +238,13 @@ class SpecTpuEngine(TpuEngine):
             payload = seq + obu_mod.make_obu(
                 obu_mod.OBU_FRAME, hdr.tobytes() + tile)
             return payload, True
-        mv8, skip, ylv, ulv, vlv = _jax.device_get(out[0:5])
-        gh, gw = ph // 32, pw // 32
+        if lvs is None:
+            ylv, ulv, vlv = _jax.device_get(out[2:5])
+        else:
+            ylv, ulv, vlv = lvs
+        B = gh * gw
+        mv8 = grids[:2 * B].reshape(B, 2)
+        skip = grids[2 * B:3 * B]
         modes = np.ones((gh_t, gw_t), np.int32)
         tile = native.encode_inter32_tile(
             qindex, mi_cols, mi_rows, modes,
@@ -194,16 +278,31 @@ class SpecTpuEngine(TpuEngine):
         return sh.av1c()
 
     def _prewarm(self, width: int, height: int, bit_depth: int = 8):
-        """Compile the two spec program shapes before frames flow."""
+        """Compile the two spec program shapes before frames flow, with
+        the same (th, tw) statics _submit will use (a mismatch would
+        recompile both 1080p programs inside the timed path)."""
         import jax.numpy as jnp
         from av1tpu.specav1 import jax_intra, jax_inter
         ph, pw = (height + 63) & ~63, (width + 63) & ~63
+        true_ok = _axis_true_dims_ok(width) and _axis_true_dims_ok(height)
+        th, tw = (height, width) if true_ok else (ph, pw)
         dt = np.uint8 if bit_depth == 8 else np.uint16
         y = jnp.zeros((ph, pw), dt)
         u = jnp.zeros((ph // 2, pw // 2), dt)
         v = jnp.zeros((ph // 2, pw // 2), dt)
         kout = jax_intra._encode_frame(y, u, v, jnp.int32(96),
                                        nbr=ph // 32, nbc=pw // 32,
-                                       bit_depth=bit_depth)
-        jax_inter._encode_frame(y, u, v, kout[0], kout[1], kout[2], 96,
-                                bit_depth)[0].block_until_ready()
+                                       bit_depth=bit_depth, th=th, tw=tw)
+        iout = jax_inter._encode_frame(y, u, v, kout[0], kout[1],
+                                       kout[2], 96, bit_depth, th=th,
+                                       tw=tw)
+        # compile the two packer shapes + absorb the tunnel's large
+        # first-D2H stall (minutes over axon) before timed encoding
+        total = ph * pw + 2 * (ph // 2) * (pw // 2)
+        cap = total // SPARSE_CAP_FRACTION
+        import jax as _jax
+        gk = jnp.concatenate([kout[6].reshape(-1), kout[7].reshape(-1),
+                              kout[8].reshape(-1)])
+        _jax.device_get(_pack_outputs(kout[3], kout[4], kout[5], gk, cap))
+        gi = jnp.concatenate([iout[0].reshape(-1), iout[1].reshape(-1)])
+        _jax.device_get(_pack_outputs(iout[2], iout[3], iout[4], gi, cap))

@@ -24,7 +24,7 @@ import time
 def main() -> int:
     import numpy as np
 
-    from av1tpu.engine_tpu import TpuEngine
+    from av1tpu.spec_engine import SpecTpuEngine
     from av1tpu.utils.testsrc import testsrc2
 
     width, height = 1920, 1080
@@ -32,7 +32,7 @@ def main() -> int:
 
     frames = [testsrc2(width, height, i) for i in range(warmup + timed)]
 
-    engine = TpuEngine()
+    engine = SpecTpuEngine()
     engine.cfg.keyint = 120
     engine.start_stream()
 
@@ -61,7 +61,8 @@ def main() -> int:
         "vs_baseline": round(fps / 400.0, 4),
         "detail": {"frames": timed, "seconds": round(dt, 3),
                    "bits_per_pixel": round(bpp, 4), "qindex": 96,
-                   "gop": "1 key + P-frames, keyint 120"},
+                   "gop": "1 key + P-frames, keyint 120",
+                   "bitstream": "spec-av1"},
     }))
     return 0
 

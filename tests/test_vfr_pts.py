@@ -1,0 +1,70 @@
+"""VFR/PTS carry-through: the transcode keeps the SOURCE video packet
+timestamps instead of synthesizing CFR (reference transcode.go:58-64,
+125-131 — ffmpeg timestamp passthrough, WebRip normalized to zero)."""
+import numpy as np
+import pytest
+
+from av1tpu.media import mkv, mkv_mux
+from av1tpu.media.probe import probe_file
+
+
+VFR_PTS_MS = [0, 41, 83, 150, 191, 233, 300, 341]  # irregular steps
+SHIFT_MS = 700  # webrip sources often start at a nonzero pts
+
+
+def _make_vfr_source(path: str, shift_ms: int = 0):
+    """An MKV with a video track whose packets carry irregular PTS.
+    The payload bytes are dummies — the engine's frame decode is
+    monkeypatched; only container timing matters here."""
+    track = mkv.Track(number=1, uid=1, track_type=mkv.TRACK_TYPE_VIDEO,
+                      codec_id="V_MPEG4/ISO/AVC", width=64, height=64,
+                      default_duration_ns=41_666_666)
+    with open(path, "wb") as f:
+        w = mkv_mux.MkvWriter(f, [track])
+        for i, t in enumerate(VFR_PTS_MS):
+            w.write_packet(mkv.Packet(
+                track_number=1,
+                timestamp_ns=(t + shift_ms) * 1_000_000,
+                data=b"\x00" * 16, keyframe=(i == 0),
+                duration_ns=41_666_666))
+        w.finalize((VFR_PTS_MS[-1] + shift_ms + 42) / 1000.0)
+
+
+def _fake_frames(n):
+    from av1tpu.engine_tpu import Frame
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+    for i in range(n):
+        yield Frame(y=np.roll(base, i, 1),
+                    u=np.full((32, 32), 128, np.uint8),
+                    v=np.full((32, 32), 128, np.uint8))
+
+
+@pytest.mark.parametrize("webrip,shift", [(False, 0), (True, SHIFT_MS)])
+def test_vfr_pts_carried(tmp_path, monkeypatch, webrip, shift):
+    from av1tpu.spec_engine import SpecTpuEngine
+    src = str(tmp_path / "vfr_src.mkv")
+    _make_vfr_source(src, shift_ms=shift)
+    pr = probe_file(src)
+    assert pr.video_stream is not None
+
+    eng = SpecTpuEngine()
+    eng.cfg.keyint = 8
+    monkeypatch.setattr(
+        SpecTpuEngine, "iter_source_frames",
+        staticmethod(lambda path: _fake_frames(len(VFR_PTS_MS))))
+    out = str(tmp_path / "out.mkv")
+    eng.transcode(src, out, pr, webrip)
+
+    with open(out, "rb") as f:
+        m = mkv.parse(f)
+        v = [t for t in m.tracks if t.codec_id == "V_AV1"][0]
+        got = [p.timestamp_ns for p in mkv.iter_packets(f, m)
+               if p.track_number == v.number]
+    # mkv timestamps quantize to the 1ms timestamp scale
+    got_ms = sorted(round(t / 1e6) for t in got)
+    if webrip:
+        # normalized to start at zero, spacing preserved
+        assert got_ms == VFR_PTS_MS
+    else:
+        assert got_ms == [t + shift for t in VFR_PTS_MS]
