@@ -32,7 +32,7 @@ class TpuEncoderConfig:
     tile_rows_log2: int = 0    # extra tile rows (sharding raises this)
     num_chips: int = 0         # 0 = all visible devices
     speed: int = 6             # 0 (slowest/best) .. 9 (fastest)
-    chunk: int = 4             # P-frames batched per device dispatch
+    chunk: int = 8             # P-frames batched per device dispatch
     lowres_decode: bool = False
     # startup self-test frame (VerifyFFmpeg analog is 1280x720;
     # binary.go:282-295). Smaller sizes cut first-compile cost on

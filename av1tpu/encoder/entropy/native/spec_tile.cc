@@ -233,6 +233,10 @@ struct SpecTileWriter {
   std::vector<int32_t> g_mvr, g_mvc;
   std::vector<uint8_t> g_newmv;
   int sb_row = 0;
+  // tile-row placement: this writer's first mi row within the frame,
+  // and the FRAME's total mi rows (spec MV clamping is frame-relative
+  // while availability/contexts are tile-local)
+  int row0 = 0, frame_mi_rows = 0;
   // scans
   std::vector<int> scan32_r, scan32_c, scan16_r, scan16_c;
   // per-txb scratch (hoisted: a fresh vector per txb dominated profile)
@@ -699,13 +703,14 @@ void find_mv_stack32(SpecTileWriter *w, int gr, int gc, MvStack *s) {
       stack_add(s, w->g_mvr[cell(gr, gc - 1)],
                 w->g_mvc[cell(gr, gc - 1)], 2);
   }
-  // clamp to the frame-relative MV bounds
-  int mi_row = gr * 8, mi_col = gc * 8;
+  // clamp to the frame-relative MV bounds (mi position is global:
+  // this writer may be a tile row starting at w->row0)
+  int mi_row = w->row0 + gr * 8, mi_col = gc * 8;
   int bw8 = 8 * 32, bh8 = 8 * 32;  // block dims in 1/8 pel
   int lo_c = -(mi_col * 32) - bw8 - 128;
   int hi_c = (w->mi_cols - 8 - mi_col) * 32 + bw8 + 128;
   int lo_r = -(mi_row * 32) - bh8 - 128;
-  int hi_r = (w->mi_rows - 8 - mi_row) * 32 + bh8 + 128;
+  int hi_r = (w->frame_mi_rows - 8 - mi_row) * 32 + bh8 + 128;
   for (int i = 0; i < s->n; ++i) {
     s->mv[i][0] = imin(imax(s->mv[i][0], lo_r), hi_r);
     s->mv[i][1] = imin(imax(s->mv[i][1], lo_c), hi_c);
@@ -881,6 +886,7 @@ SpecTileWriter *stw_create(int mi_cols, int mi_rows, int base_q_idx) {
   auto *w = new SpecTileWriter();
   w->mi_cols = mi_cols;
   w->mi_rows = mi_rows;
+  w->frame_mi_rows = mi_rows;
   w->base_q_idx = base_q_idx;
   for (int i = 0; i < TBL_COUNT; ++i)
     w->tables[i].assign(kTableSize[i], 0);
@@ -904,6 +910,12 @@ SpecTileWriter *stw_create(int mi_cols, int mi_rows, int base_q_idx) {
   build_zigzag(32, 32, &w->scan32_r, &w->scan32_c);
   build_zigzag(16, 16, &w->scan16_r, &w->scan16_c);
   return w;
+}
+
+// Place this writer as one tile row of a taller frame.
+void stw_set_tile_row(SpecTileWriter *w, int row0_mi, int frame_mi_rows) {
+  w->row0 = row0_mi;
+  w->frame_mi_rows = frame_mi_rows;
 }
 
 void stw_destroy(SpecTileWriter *w) {

@@ -35,7 +35,7 @@ log = logging.getLogger("av1d")
 # sparse level transfer: nonzero-coefficient capacity as a fraction of
 # the total coefficient count.  Typical q96 frames code 1-3%; on
 # overflow _finalize falls back to materializing the full planes.
-SPARSE_CAP_FRACTION = 16
+SPARSE_CAP_FRACTION = 32
 
 
 def _pack_outputs_jit():
@@ -69,6 +69,62 @@ def _pack_outputs(lv_y, lv_u, lv_v, grids, cap: int):
     if _pack is None:
         _pack = _pack_outputs_jit()
     return _pack(lv_y, lv_u, lv_v, grids, cap)
+
+
+def _encode_chunk_jit():
+    """K consecutive P frames as one lax.scan dispatch: one packed
+    upload, one device program, one sparse D2H for the whole chunk
+    (per-dispatch tunnel RTT amortizes over K frames)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from av1tpu.engine_tpu import _unpack_planes_chunk
+    from av1tpu.specav1 import jax_inter
+
+    @functools.partial(jax.jit,
+                       static_argnames=("k", "ph", "pw", "bit_depth",
+                                        "th", "tw", "cap"))
+    def go(packed, ry, ru, rv, qindexes, k: int, ph: int, pw: int,
+           bit_depth: int, th: int, tw: int, cap: int):
+        ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
+
+        def step(carry, xs):
+            y, u, v, q = xs
+            out = jax_inter._encode_frame(y, u, v, *carry, q, bit_depth,
+                                          th=th, tw=tw)
+            return out[5:8], out[0:5]
+
+        carry, outs = jax.lax.scan(step, (ry, ru, rv),
+                                   (ys, us, vs, qindexes))
+        mv8s, skips, ylvs, ulvs, vlvs = outs
+        # frame-major y|u|v flattening so per-frame slices are
+        # byte-aligned contiguous runs on the host
+        flat = jnp.concatenate([ylvs.reshape(k, -1),
+                                ulvs.reshape(k, -1),
+                                vlvs.reshape(k, -1)], axis=1).reshape(-1)
+        mask = flat != 0
+        count = mask.sum(dtype=jnp.int32)
+        idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        vals = jnp.zeros((cap,), jnp.int16)
+        vals = vals.at[jnp.where(mask, idx, cap)].set(
+            jnp.clip(flat, -32768, 32767).astype(jnp.int16), mode="drop")
+        grids = jnp.concatenate([mv8s.reshape(-1), skips.reshape(-1)])
+        return carry, (jnp.packbits(mask), vals, count,
+                       grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)
+
+    return go
+
+
+_chunk_go = None
+
+
+def _encode_chunk(*a, **k):
+    global _chunk_go
+    if _chunk_go is None:
+        _chunk_go = _encode_chunk_jit()
+    return _chunk_go(*a, **k)
 
 
 def _unpack_levels(maskbytes, vals, count, shapes):
@@ -130,22 +186,77 @@ class SpecSequenceHeader:
         return bytes([0x81, b1, b2, 0x00]) + self.seq_obu()
 
 
+def _tile_plan(th: int):
+    """(tile_rows_log2, spans, block_row_starts) for a coded height."""
+    from av1tpu.specav1 import writer as _W
+    mi_rows = 2 * ((th + 7) >> 3)
+    sbr = (mi_rows + 15) >> 4
+    trl2 = 2 if sbr >= 8 else 0
+    spans = _W.tile_row_spans(th, trl2)
+    brs = tuple(mi0 // 8 for mi0, _ in spans[1:])
+    return trl2, spans, brs
+
+
 class SpecTpuEngine(TpuEngine):
     """Standard-AV1 engine (see module docstring)."""
 
     def __init__(self, cfg: Optional[TpuEncoderConfig] = None):
         super().__init__(cfg)
         self._order_hint = 0
+        self._dispatch = None  # ordered upload+dispatch worker (lazy)
+        self._mesh = None      # multi-chip stripe mesh (lazy)
+
+    def _stripe_mesh(self, ph: int, th: int):
+        """The ("stripe",) device mesh when multi-chip striping is on
+        (tpu.num_chips; 0 = all visible devices) and the geometry
+        shards; None -> single-device path."""
+        import jax
+        from av1tpu.specav1 import jax_sharded
+        devs = jax.devices()
+        n = int(getattr(self.cfg, "num_chips", 0))
+        if n == 0:
+            # 0 = all real chips; the virtual CPU mesh (tests) stripes
+            # only when num_chips is set explicitly
+            n = len(devs) if devs[0].platform != "cpu" else 1
+        n = min(n, len(devs))
+        if n < 2 or not jax_sharded.sharding_ok(ph, th, n):
+            return None
+        if self._mesh is None or self._mesh.shape["stripe"] != n:
+            self._mesh = jax_sharded.make_mesh(n)
+        return self._mesh
 
     def start_stream(self) -> None:
         super().start_stream()
         self._order_hint = 0
 
-    # chunked lax.scan dispatch is a custom-profile optimization; the
-    # spec path pipelines single frames (chunking port later)
-    @staticmethod
-    def _chunk_cap(width: int, height: int, bit_depth: int) -> int:
-        return 1
+    def _dispatch_pool(self):
+        if self._dispatch is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._dispatch = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="av1spec-dispatch")
+        return self._dispatch
+
+    def _resolve_refs(self):
+        """The reference chain may be a thunk onto an in-flight chunk
+        dispatch; resolve to device arrays."""
+        r = self._ref_dev
+        if callable(r):
+            r = r()
+            self._ref_dev = r
+        return r
+
+    def _chunk_cap(self, width: int, height: int,
+                   bit_depth: int) -> int:
+        """K P-frames per lax.scan dispatch, capped so the scan program
+        stays inside the validated compile envelope (8 x 1080p).
+        Multi-chip striping uses single-frame dispatches (chunk+stripe
+        composition is future work)."""
+        ph = (height + 63) & ~63
+        if self._stripe_mesh(ph, height) is not None:
+            return 1
+        budget = 8 * 1920 * 1088
+        px = width * height * (2 if bit_depth > 8 else 1)
+        return max(1, budget // max(1, px))
 
     def _block_for(self, frame) -> int:
         return 32  # spec grid is fixed 32x32
@@ -176,9 +287,11 @@ class SpecTpuEngine(TpuEngine):
         total = ph * pw + 2 * (ph // 2) * (pw // 2)
         cap = total // SPARSE_CAP_FRACTION
         if is_key:
+            _, _, brs = _tile_plan(th)
             out = jax_intra._encode_frame(
                 yj, uj, vj, jnp.int32(qindex), nbr=ph // 32,
-                nbc=pw // 32, bit_depth=bd, th=th, tw=tw)
+                nbc=pw // 32, bit_depth=bd, th=th, tw=tw,
+                tile_row_starts=brs)
             self._ref_dev = out[0:3]
             self._golden_dev = out[0:3]
             grids = jnp.concatenate([out[6].reshape(-1),
@@ -187,10 +300,34 @@ class SpecTpuEngine(TpuEngine):
             pk = _pack_outputs(out[3], out[4], out[5], grids, cap)
             return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
                     refresh, out, pk, cap)
-        out = jax_inter._encode_frame(
-            yj, uj, vj,
-            self._ref_dev[0], self._ref_dev[1], self._ref_dev[2],
-            qindex, bd, th=th, tw=tw)
+        refs = self._resolve_refs()
+        mesh = self._stripe_mesh(ph, th)
+        if mesh is not None:
+            from av1tpu.specav1 import jax_sharded
+            n = mesh.shape["stripe"]
+            ph_s = jax_sharded.stripe_pad(ph, n)
+            if ph_s != ph:
+                yp2 = np.pad(yp, ((0, ph_s - ph), (0, 0)), mode="edge")
+                up2 = np.pad(up, ((0, (ph_s - ph) // 2), (0, 0)),
+                             mode="edge")
+                vp2 = np.pad(vp, ((0, (ph_s - ph) // 2), (0, 0)),
+                             mode="edge")
+            else:
+                yp2, up2, vp2 = yp, up, vp
+            ys = jax_sharded.shard_rows(mesh, yp2)
+            us = jax_sharded.shard_rows(mesh, up2)
+            vs = jax_sharded.shard_rows(mesh, vp2)
+            out = jax_sharded.encode_inter_sharded(
+                mesh, ys, us, vs, refs[0], refs[1], refs[2], qindex,
+                bit_depth=bd, th=th, tw=tw)
+            # recon/levels beyond the coded padded height are garbage
+            # rows of the stripe pad; the ref slots keep them (cropped
+            # at true dims by the next frame's prep_ref)
+            ph = ph_s
+        else:
+            out = jax_inter._encode_frame(
+                yj, uj, vj, refs[0], refs[1], refs[2],
+                qindex, bd, th=th, tw=tw)
         if refresh:
             self._ref_dev = out[5:8]
         grids = jnp.concatenate([out[0].reshape(-1),
@@ -198,6 +335,90 @@ class SpecTpuEngine(TpuEngine):
         pk = _pack_outputs(out[2], out[3], out[4], grids, cap)
         return ("inter", qindex, w, h, th, tw, ph, pw, bd, oh,
                 refresh, out, pk, cap)
+
+    def _submit_chunk(self, frames, qindexes):
+        """Upload + dispatch run on an ordered worker thread: the 25MB
+        packed H2D of chunk N+1 overlaps chunk N's host entropy coding
+        (the blocking host->device copy is the tunnel's long pole)."""
+        import jax.numpy as jnp
+        f0 = frames[0]
+        w, h, bd = f0.width, f0.height, f0.bit_depth
+        planes = [self._pad_planes(fr, 64) for fr in frames]
+        ph, pw = planes[0][0].shape
+        true_ok = _axis_true_dims_ok(w) and _axis_true_dims_ok(h)
+        th, tw = (h, w) if true_ok else (ph, pw)
+        k = len(frames)
+        ohs = [(self._order_hint + i) & 127 for i in range(k)]
+        self._order_hint += k
+        total = ph * pw + 2 * (ph // 2) * (pw // 2)
+        cap = k * (total // SPARSE_CAP_FRACTION)
+        ref_prev = self._ref_dev
+        qi = list(qindexes)
+
+        def worker():
+            refs = ref_prev() if callable(ref_prev) else ref_prev
+            packed = np.concatenate(
+                [np.stack([p[0] for p in planes]).ravel(),
+                 np.stack([p[1] for p in planes]).ravel(),
+                 np.stack([p[2] for p in planes]).ravel()])
+            return _encode_chunk(
+                jnp.asarray(packed), *refs,
+                jnp.asarray(qi, jnp.int32), k=k, ph=ph, pw=pw,
+                bit_depth=bd, th=th, tw=tw, cap=cap)
+
+        fut = self._dispatch_pool().submit(worker)
+        self._ref_dev = lambda: fut.result()[0]
+        return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut)
+
+    @staticmethod
+    def _finalize_chunk(pending) -> list:
+        import jax as _jax
+        (qindexes, w, h, th, tw, ph, pw, bd, ohs, k, fut) = pending
+        _, pk, full = fut.result()
+        rs = (w, h) if (tw, th) != (w, h) else None
+        mi_cols, mi_rows = 2 * ((tw + 7) >> 3), 2 * ((th + 7) >> 3)
+        gh_t, gw_t = (mi_rows + 7) // 8, (mi_cols + 7) // 8
+        gh, gw = ph // 32, pw // 32
+        B = gh * gw
+        ntot = ph * pw + 2 * (ph // 2) * (pw // 2)
+        trl2, spans, _ = _tile_plan(th)
+        maskbytes, vals, count, grids = _jax.device_get(pk)
+        mask = np.unpackbits(np.asarray(maskbytes))[:k * ntot]
+        overflow = int(count) > vals.shape[0]
+        if not overflow:
+            flat = np.zeros(k * ntot, np.int32)
+            flat[mask.astype(bool)] = \
+                np.asarray(vals, np.int32)[:int(count)]
+        grids = np.asarray(grids)
+        mv8s = grids[:k * 2 * B].reshape(k, B, 2)
+        skips = grids[k * 2 * B:k * 3 * B].reshape(k, B)
+        modes = np.ones((gh_t, gw_t), np.int32)
+
+        def one(i):
+            if overflow:
+                ylv, ulv, vlv = (np.asarray(a) for a in _jax.device_get(
+                    (full[0][i], full[1][i], full[2][i])))
+            else:
+                fl = flat[i * ntot:(i + 1) * ntot]
+                ylv = fl[:ph * pw].reshape(ph, pw)
+                ulv = fl[ph * pw:ph * pw + (ph // 2) * (pw // 2)] \
+                    .reshape(ph // 2, pw // 2)
+                vlv = fl[ph * pw + (ph // 2) * (pw // 2):] \
+                    .reshape(ph // 2, pw // 2)
+            tiles = native.encode_tile_rows(
+                "inter", qindexes[i], mi_cols, mi_rows, spans,
+                (modes, mv8s[i].reshape(gh, gw, 2)[:gh_t, :gw_t],
+                 skips[i].reshape(gh, gw)[:gh_t, :gw_t]),
+                ylv, ulv, vlv)
+            hdr = W.write_inter_frame_header(
+                tw, th, qindexes[i], order_hint=ohs[i],
+                render_size=rs, tile_rows_log2=trl2)
+            hdr.byte_align()
+            return obu_mod.make_obu(
+                obu_mod.OBU_FRAME,
+                hdr.tobytes() + W.assemble_tile_group(tiles)), False
+
+        return [one(i) for i in range(k)]
 
     @staticmethod
     def _finalize(pending) -> tuple[bytes, bool]:
@@ -214,50 +435,58 @@ class SpecTpuEngine(TpuEngine):
         gh_t, gw_t = (mi_rows + 7) // 8, (mi_cols + 7) // 8
         gh, gw = ph // 32, pw // 32
         shapes = [(ph, pw), (ph // 2, pw // 2), (ph // 2, pw // 2)]
+        # multi-tile rows: parallel native entropy coding, and the unit
+        # of multi-chip sharding (one chip's stripe = N tile rows)
+        trl2, spans, _ = _tile_plan(th)
         # sparse level transfer (one small D2H); full-plane fallback on
         # capacity overflow
         maskbytes, vals, count, grids = _jax.device_get(pk)
         lvs = _unpack_levels(maskbytes, vals, count, shapes)
         if kind == "key":
             if lvs is None:
-                lv_y, lv_u, lv_v = _jax.device_get(out[3:6])
+                lv_y, lv_u, lv_v = (np.asarray(a)
+                                    for a in _jax.device_get(out[3:6]))
             else:
                 lv_y, lv_u, lv_v = lvs
             ng = gh * gw
             g_mode = grids[:ng].reshape(gh, gw)
             g_uv = grids[ng:2 * ng].reshape(gh, gw)
             g_skip = grids[2 * ng:3 * ng].reshape(gh, gw)
-            tile = native.encode_intra32_tile(
-                qindex, mi_cols, mi_rows, g_mode[:gh_t, :gw_t],
-                g_uv[:gh_t, :gw_t], g_skip[:gh_t, :gw_t],
-                lv_y, lv_u, lv_v)
+            tiles = native.encode_tile_rows(
+                "key", qindex, mi_cols, mi_rows, spans,
+                (g_mode[:gh_t, :gw_t], g_uv[:gh_t, :gw_t],
+                 g_skip[:gh_t, :gw_t]), lv_y, lv_u, lv_v)
             hdr = W.write_key_frame_header(tw, th, qindex,
-                                           order_hint=oh, render_size=rs)
+                                           order_hint=oh, render_size=rs,
+                                           tile_rows_log2=trl2)
             hdr.byte_align()
             seq = SpecSequenceHeader(w, h, bd).seq_obu()
             payload = seq + obu_mod.make_obu(
-                obu_mod.OBU_FRAME, hdr.tobytes() + tile)
+                obu_mod.OBU_FRAME,
+                hdr.tobytes() + W.assemble_tile_group(tiles))
             return payload, True
         if lvs is None:
-            ylv, ulv, vlv = _jax.device_get(out[2:5])
+            ylv, ulv, vlv = (np.asarray(a)
+                             for a in _jax.device_get(out[2:5]))
         else:
             ylv, ulv, vlv = lvs
         B = gh * gw
         mv8 = grids[:2 * B].reshape(B, 2)
         skip = grids[2 * B:3 * B]
         modes = np.ones((gh_t, gw_t), np.int32)
-        tile = native.encode_inter32_tile(
-            qindex, mi_cols, mi_rows, modes,
-            np.asarray(mv8).reshape(gh, gw, 2)[:gh_t, :gw_t],
-            np.asarray(skip).reshape(gh, gw)[:gh_t, :gw_t],
+        tiles = native.encode_tile_rows(
+            "inter", qindex, mi_cols, mi_rows, spans,
+            (modes, np.asarray(mv8).reshape(gh, gw, 2)[:gh_t, :gw_t],
+             np.asarray(skip).reshape(gh, gw)[:gh_t, :gw_t]),
             ylv, ulv, vlv)
         hdr = W.write_inter_frame_header(
             tw, th, qindex, order_hint=oh,
             refresh_frame_flags=0x01 if refresh else 0x00,
-            render_size=rs)
+            render_size=rs, tile_rows_log2=trl2)
         hdr.byte_align()
-        payload = obu_mod.make_obu(obu_mod.OBU_FRAME,
-                                   hdr.tobytes() + tile)
+        payload = obu_mod.make_obu(
+            obu_mod.OBU_FRAME,
+            hdr.tobytes() + W.assemble_tile_group(tiles))
         return payload, False
 
     # ---- daemon surface -------------------------------------------------
@@ -290,9 +519,11 @@ class SpecTpuEngine(TpuEngine):
         y = jnp.zeros((ph, pw), dt)
         u = jnp.zeros((ph // 2, pw // 2), dt)
         v = jnp.zeros((ph // 2, pw // 2), dt)
+        _, _, brs = _tile_plan(th)
         kout = jax_intra._encode_frame(y, u, v, jnp.int32(96),
                                        nbr=ph // 32, nbc=pw // 32,
-                                       bit_depth=bit_depth, th=th, tw=tw)
+                                       bit_depth=bit_depth, th=th, tw=tw,
+                                       tile_row_starts=brs)
         iout = jax_inter._encode_frame(y, u, v, kout[0], kout[1],
                                        kout[2], 96, bit_depth, th=th,
                                        tw=tw)
@@ -306,3 +537,12 @@ class SpecTpuEngine(TpuEngine):
         _jax.device_get(_pack_outputs(kout[3], kout[4], kout[5], gk, cap))
         gi = jnp.concatenate([iout[0].reshape(-1), iout[1].reshape(-1)])
         _jax.device_get(_pack_outputs(iout[2], iout[3], iout[4], gi, cap))
+        # chunk program shape (K P-frames per dispatch)
+        k = min(max(1, int(getattr(self.cfg, "chunk", 1))),
+                self._chunk_cap(width, height, bit_depth))
+        if k > 1:
+            packed = jnp.zeros((k * total,), dt)
+            _encode_chunk(packed, kout[0], kout[1], kout[2],
+                          jnp.full((k,), 96, jnp.int32), k=k, ph=ph,
+                          pw=pw, bit_depth=bit_depth, th=th, tw=tw,
+                          cap=k * cap)[1][0].block_until_ready()

@@ -77,21 +77,32 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bit_depth", "refine", "th", "tw"))
+                   static_argnames=("bit_depth", "refine", "th", "tw",
+                                    "stripe"))
 def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                   bit_depth: int, refine: bool = True,
-                  th: int = 0, tw: int = 0):
+                  th: int = 0, tw: int = 0, stripe: bool = False,
+                  row0=0):
     """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
     rec_y, rec_u, rec_v) for the SB-padded frame.
 
     th/tw: the true (coded) frame dims.  The spec clamps reference
     reads to the coded frame, so the padded-recon reference is cropped
-    there and edge-replicated back out before MC (0 = padded dims)."""
+    there and edge-replicated back out before MC (0 = padded dims).
+
+    stripe=True: y/u/v are a ROW STRIPE of a taller frame starting at
+    (traced) mi-independent pixel row ``row0``; ref planes carry the
+    FULL frame (multi-chip tile-row sharding: each chip encodes its
+    stripe against the replicated previous recon).  th/tw then are the
+    FRAME true dims."""
     H, Wd = y.shape
     n = 32
     gh, gw = H // n, Wd // n
     B = gh * gw
     pos = jnp.asarray(motion.block_positions(H, Wd, n))
+    if stripe:
+        pos = pos + jnp.stack([jnp.full((B,), row0, jnp.int32),
+                               jnp.zeros((B,), jnp.int32)], axis=1)
     cpos = pos // 2
 
     th = th or H
@@ -110,7 +121,13 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     blocks = src_y.reshape(gh, n, gw, n).transpose(0, 2, 1, 3)
     blocks = blocks.reshape(B, n, n)
 
-    mv_fp = motion.search_v3(src_y, ref_pad_y, n)
+    if stripe:
+        # full-pel search sees the stripe-aligned reference window
+        ref_search = jax.lax.dynamic_slice(
+            ref_pad_y, (row0, 0), (H + 2 * PAD, ref_pad_y.shape[1]))
+    else:
+        ref_search = ref_pad_y
+    mv_fp = motion.search_v3(src_y, ref_search, n)
     mv_fp = jnp.clip(mv_fp, -_MAX_FP, _MAX_FP)
     mv8 = mv_fp * 8
 

@@ -53,16 +53,25 @@ _DIRECTIONAL = np.array([0, 1, 1, 0, 0, 1, 1, 1, 1], bool)  # V/H count too
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def plan_waves(nbr: int, nbc: int):
+def plan_waves(nbr: int, nbc: int, tile_row_starts: tuple = ()):
     """Wavefront levels + availability for an nbr x nbc grid of 32x32
     blocks, by simulating the decoder's raster-SB/z-order walk.
+
+    tile_row_starts: block rows (beyond 0) where a new tile row begins —
+    tiles are fully independent, so prediction availability resets
+    there (spec tile boundary = frame boundary for intra).
 
     Returns dict of (nwaves, maxb) int32 arrays: r, c, have_a, have_l,
     ntr, nbl, valid.
     """
+    starts = sorted(set([0] + list(tile_row_starts)))
+    tile_of = np.zeros(nbr, np.int32)
+    for t, s0 in enumerate(starts):
+        tile_of[s0:] = t
     level = np.zeros((nbr, nbc), np.int64)
     ntr = np.zeros((nbr, nbc), np.int32)
     nbl = np.zeros((nbr, nbc), np.int32)
+    have_a = np.zeros((nbr, nbc), np.int32)
     decoded = np.zeros((nbr, nbc), bool)
     # decode order: raster over 2x2-block superblocks, z-order within
     order = []
@@ -74,14 +83,17 @@ def plan_waves(nbr: int, nbc: int):
                     order.append((r, c))
     for r, c in order:
         deps = []
-        if r > 0:
+        up = r > 0 and tile_of[r - 1] == tile_of[r]
+        have_a[r, c] = int(up)
+        if up:
             deps.append((r - 1, c))
         if c > 0:
             deps.append((r, c - 1))
-        if r > 0 and c + 1 < nbc and decoded[r - 1, c + 1]:
+        if up and c + 1 < nbc and decoded[r - 1, c + 1]:
             ntr[r, c] = 32
             deps.append((r - 1, c + 1))
-        if c > 0 and r + 1 < nbr and decoded[r + 1, c - 1]:
+        if c > 0 and r + 1 < nbr and tile_of[r + 1] == tile_of[r] \
+                and decoded[r + 1, c - 1]:
             nbl[r, c] = 32
             deps.append((r + 1, c - 1))
         level[r, c] = 1 + max((level[d] for d in deps), default=-1)
@@ -97,7 +109,7 @@ def plan_waves(nbr: int, nbc: int):
         for j, (r, c) in enumerate(wv):
             out["r"][i, j] = r
             out["c"][i, j] = c
-            out["have_a"][i, j] = int(r > 0)
+            out["have_a"][i, j] = have_a[r, c]
             out["have_l"][i, j] = int(c > 0)
             out["ntr"][i, j] = ntr[r, c]
             out["nbl"][i, j] = nbl[r, c]
@@ -367,9 +379,10 @@ def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("nbr", "nbc", "bit_depth", "th", "tw"))
+                   static_argnames=("nbr", "nbc", "bit_depth", "th", "tw",
+                                    "tile_row_starts"))
 def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
-                  th: int = 0, tw: int = 0):
+                  th: int = 0, tw: int = 0, tile_row_starts: tuple = ()):
     """y: (H, W) uint8/16 SB-padded source; returns grids + levels +
     recon planes."""
     H, Wd = nbr * 32, nbc * 32
@@ -377,7 +390,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     tw = tw or Wd
     # wavefront over the CODED grid only (ceil of the true dims): the
     # decoder neither codes nor makes available any block beyond it
-    waves = plan_waves(-(-th // 32), -(-tw // 32))
+    waves = plan_waves(-(-th // 32), -(-tw // 32), tile_row_starts)
     wave_xs = {k: jnp.asarray(a) for k, a in waves.items()}
     base = 1 << (bit_depth - 1)
     maxlvl = (1 << bit_depth) - 1

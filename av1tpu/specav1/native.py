@@ -56,6 +56,8 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int64]
         lib.stw_encode_inter32.restype = ctypes.c_int64
+        lib.stw_set_tile_row.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                         ctypes.c_int]
         _configured = True
     return lib
 
@@ -100,16 +102,52 @@ def _fc_tables(fc: FrameContext) -> list[tuple[int, np.ndarray]]:
     ]
 
 
+_tile_pool = None
+
+
+def _pool():
+    global _tile_pool
+    if _tile_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _tile_pool = ThreadPoolExecutor(max_workers=8,
+                                        thread_name_prefix="av1tpu-tile")
+    return _tile_pool
+
+
+def encode_tile_rows(kind: str, qindex: int, mi_cols: int, mi_rows: int,
+                     spans: list, grid_args: tuple, ylv, ulv, vlv) -> list:
+    """Encode one spec tile per (mi_row0, mi_row1) span, in parallel
+    (the C++ walker releases the GIL).  grid_args: the per-frame grid
+    arrays of encode_intra32_tile / encode_inter32_tile; each tile gets
+    the matching row slice.  Returns the list of per-tile bytes."""
+    enc = encode_intra32_tile if kind == "key" else encode_inter32_tile
+
+    def one(span):
+        mi0, mi1 = span
+        g0, g1 = mi0 // 8, (mi1 + 7) // 8
+        sliced = tuple(g[g0:g1] for g in grid_args)
+        return enc(qindex, mi_cols, mi1 - mi0, *sliced,
+                   ylv[mi0 * 4:], ulv[mi0 * 2:], vlv[mi0 * 2:],
+                   tile_row0=mi0, frame_mi_rows=mi_rows)
+
+    if len(spans) == 1:
+        return [one(spans[0])]
+    return list(_pool().map(one, spans))
+
+
 def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
                         modes: np.ndarray, mvs: np.ndarray,
                         skips: np.ndarray, ylv: np.ndarray,
-                        ulv: np.ndarray, vlv: np.ndarray) -> bytes:
+                        ulv: np.ndarray, vlv: np.ndarray,
+                        tile_row0: int = 0,
+                        frame_mi_rows: int = 0) -> bytes:
     """Emit one spec tile for a fixed-32x32-grid single-ref inter frame.
 
     modes: (gh, gw) int32, 0 = intra-DC fallback, 1 = inter.
     mvs: (gh, gw, 2) int32 final MVs in (row, col) 1/8-pel (even).
     The inter Y mode is derived from the MV stack in native code.
-    """
+    tile_row0/frame_mi_rows place this tile as one row of a taller
+    frame (MV clamping is frame-relative)."""
     lib = _lib()
     gh, gw = (mi_rows + 7) // 8, (mi_cols + 7) // 8
     fc = FrameContext(qindex)
@@ -131,6 +169,9 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
 
     w = lib.stw_create(mi_cols, mi_rows, qindex)
     try:
+        if tile_row0 or frame_mi_rows:
+            lib.stw_set_tile_row(w, tile_row0,
+                                 frame_mi_rows or mi_rows)
         for tid, arr in _fc_tables(fc):
             a = np.ascontiguousarray(arr.astype(np.uint16))
             ok = lib.stw_set_cdf(w, tid, a.ctypes.data_as(ctypes.c_void_p),
@@ -158,7 +199,9 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
 def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
                         y_modes: np.ndarray, uv_modes: np.ndarray,
                         skips: np.ndarray, ylv: np.ndarray,
-                        ulv: np.ndarray, vlv: np.ndarray) -> bytes:
+                        ulv: np.ndarray, vlv: np.ndarray,
+                        tile_row0: int = 0,
+                        frame_mi_rows: int = 0) -> bytes:
     """Emit one spec tile for a fixed-32x32-grid intra frame.
 
     y_modes/uv_modes/skips: (gh, gw) int32 with gw = mi_cols//8.

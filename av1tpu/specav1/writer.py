@@ -87,6 +87,7 @@ def write_key_frame_header(w: int, h: int, qidx: int, *,
                            disable_cdf_update: int = 0,
                            reduced_tx_set: int = 0,
                            tx_mode_select: int = 0,
+                           tile_rows_log2: int = 0,
                            render_size: tuple | None = None) -> BitWriter:
     """Uncompressed header for a shown KEY frame matching
     write_sequence_header's feature gates (no superres/cdef/lr,
@@ -107,16 +108,7 @@ def write_key_frame_header(w: int, h: int, qidx: int, *,
         b.f(0, 1)
     if not disable_cdf_update:
         b.f(1, 1)      # disable_frame_end_update_cdf
-    # tile_info: single tile (uniform, no increments beyond minimum)
-    b.f(1, 1)          # uniform_tile_spacing
-    mi_cols = 2 * ((w + 7) >> 3)
-    mi_rows = 2 * ((h + 7) >> 3)
-    sbc = (mi_cols + 15) >> 4
-    sbr = (mi_rows + 15) >> 4
-    if _tl2(1, min(sbc, 64)) > _tl2(64, sbc):
-        b.f(0, 1)      # stop at minimum tile_cols_log2
-    if _tl2(1, min(sbr, 64)) > 0:
-        b.f(0, 1)
+    _write_tile_info(b, w, h, tile_rows_log2)
     b.f(qidx, 8)
     b.f(0, 1)          # delta_q_y_dc
     b.f(0, 1)          # delta_q_u_dc
@@ -140,17 +132,63 @@ def _tl2(blk: int, target: int) -> int:
     return k
 
 
-def _write_tile_info(b: BitWriter, w: int, h: int) -> None:
-    """Single uniform tile (minimal log2s)."""
+def _write_tile_info(b: BitWriter, w: int, h: int,
+                     tile_rows_log2: int = 0) -> None:
+    """Uniform tile spacing: single tile column, 2**tile_rows_log2 tile
+    rows (spec 5.9.15 tile_info; mirrors headers.parse)."""
     b.f(1, 1)          # uniform_tile_spacing
     mi_cols = 2 * ((w + 7) >> 3)
     mi_rows = 2 * ((h + 7) >> 3)
     sbc = (mi_cols + 15) >> 4
     sbr = (mi_rows + 15) >> 4
-    if _tl2(1, min(sbc, 64)) > _tl2(64, sbc):
+    min_log2_cols = _tl2(64, sbc)
+    max_log2_cols = _tl2(1, min(sbc, 64))
+    min_log2_tiles = max(min_log2_cols, _tl2(4096, sbr * sbc))
+    if max_log2_cols > min_log2_cols:
         b.f(0, 1)      # stop at minimum tile_cols_log2
-    if _tl2(1, min(sbr, 64)) > 0:
+    tile_cols_log2 = min_log2_cols
+    assert tile_cols_log2 == 0, "tile columns not emitted yet"
+    min_log2_rows = max(min_log2_tiles - tile_cols_log2, 0)
+    max_log2_rows = _tl2(1, min(sbr, 64))
+    k = max(tile_rows_log2, min_log2_rows)
+    for _ in range(min_log2_rows, min(k, max_log2_rows)):
+        b.f(1, 1)      # increment_tile_rows_log2
+    if k < max_log2_rows:
         b.f(0, 1)
+    if tile_cols_log2 > 0 or min(k, max_log2_rows) > 0:
+        b.f(0, tile_cols_log2 + min(k, max_log2_rows))  # context_update_tile_id
+        b.f(3, 2)      # tile_size_bytes_minus_1 = 3 (4-byte sizes)
+
+
+def tile_row_spans(h: int, tile_rows_log2: int) -> list:
+    """[(mi_row0, mi_row1)] per tile row, uniform spacing (mirrors
+    headers.parse: ceil(sbr / 2**log2) superblocks per tile)."""
+    mi_rows = 2 * ((h + 7) >> 3)
+    sbr = (mi_rows + 15) >> 4
+    max_log2_rows = _tl2(1, min(sbr, 64))
+    k = min(tile_rows_log2, max_log2_rows)
+    ths = (sbr + (1 << k) - 1) >> k
+    spans = []
+    i = 0
+    while i * ths < sbr:
+        spans.append((i * ths * 16, min((i + 1) * ths * 16, mi_rows)))
+        i += 1
+    return spans
+
+
+def assemble_tile_group(tiles: list) -> bytes:
+    """Tile payload for an OBU_FRAME: size fields (4-byte le, minus 1)
+    for every tile but the last.  Single tile: raw bytes."""
+    if len(tiles) == 1:
+        return bytes(tiles[0])
+    # tile_start_and_end_present_flag = 0 (required inside OBU_FRAME)
+    # + byte alignment
+    out = bytearray(b"\x00")
+    for t in tiles[:-1]:
+        out += (len(t) - 1).to_bytes(4, "little")
+        out += t
+    out += tiles[-1]
+    return bytes(out)
 
 
 def write_inter_frame_header(w: int, h: int, qidx: int, *,
@@ -159,7 +197,8 @@ def write_inter_frame_header(w: int, h: int, qidx: int, *,
                              ref_slots: tuple = (0,) * 7,
                              render_size: tuple | None = None,
                              tx_mode_select: int = 0,
-                             reduced_tx_set: int = 0) -> BitWriter:
+                             reduced_tx_set: int = 0,
+                             tile_rows_log2: int = 0) -> BitWriter:
     """Uncompressed header for a shown INTER frame matching
     write_sequence_header's gates: primary_ref_frame NONE (default CDFs
     per frame), single-reference (reference_select 0), regular filter,
@@ -189,7 +228,7 @@ def write_inter_frame_header(w: int, h: int, qidx: int, *,
     b.f(0, 2)              # interpolation_filter = EIGHTTAP_REGULAR
     b.f(0, 1)              # is_motion_mode_switchable
     b.f(1, 1)              # disable_frame_end_update_cdf
-    _write_tile_info(b, w, h)
+    _write_tile_info(b, w, h, tile_rows_log2)
     b.f(qidx, 8)
     b.f(0, 1)              # delta_q_y_dc
     b.f(0, 1)              # delta_q_u_dc (diff_uv_delta absent: sep=0)

@@ -67,3 +67,36 @@ def test_spec_engine_smoke_frame():
     out = dec.decode(bytes(payload))
     assert len(out) == 1
     assert np.asarray(out[0][0]).shape == (96, 128)
+
+
+def test_spec_engine_multitile_bitexact():
+    """512x512 (4 tile rows): libaom recon must equal the device recon
+    bit-exactly — validates per-tile context resets, tile size fields,
+    and frame-relative MV clamping in tile rows."""
+    import jax
+    from av1tpu.spec_engine import SpecTpuEngine
+    from av1tpu.utils.testsrc import testsrc2
+
+    eng = SpecTpuEngine()
+    eng.cfg.keyint = 8
+    eng.start_stream()
+    frames = [testsrc2(512, 512, i) for i in range(4)]
+    payloads = []
+    recons = []
+    for fr in frames:
+        pend = eng._submit(fr, 96)
+        recons.append(tuple(np.asarray(p)
+                            for p in jax.device_get(eng._ref_dev)))
+        payloads.append(eng._finalize(pend))
+
+    dec = aomcodec.Decoder()
+    idx = 0
+    for p, k in payloads:
+        for f in dec.decode(bytes(p)):
+            for pl in range(3):
+                assert np.array_equal(np.asarray(f[pl], np.int64),
+                                      np.asarray(recons[idx][pl],
+                                                 np.int64)), \
+                    f"frame {idx} plane {pl}"
+            idx += 1
+    assert idx == 4
