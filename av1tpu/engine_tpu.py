@@ -702,6 +702,18 @@ class TpuEngine:
         vs = probe_result.video_stream
         if vs is None:
             raise TranscodeError("no video stream found in probe result")
+        # HDR gate: the cv2 source-decode path is 8-bit SDR; transcoding
+        # PQ/HLG or >8-bit masters through it would silently destroy
+        # the grade (the reference squeezed these through 8-bit nv12 —
+        # SURVEY §2 flags that as a defect, not a feature).  Fail the
+        # job with a clear reason and leave the source untouched.
+        transfer = getattr(vs, "color_transfer_code", 0)
+        src_bits = int(getattr(vs, "bit_depth", 0) or 0)
+        if transfer in (16, 18) or src_bits > 8:
+            raise TranscodeError(
+                f"HDR/high-bit-depth source (transfer code {transfer}, "
+                f"{src_bits or '?'}-bit): the 8-bit decode path would "
+                "mangle it; skipping until a 10-bit source decoder lands")
         quality = ratectrl.determine_quality(vs.height)
         qindex = ratectrl.quality_to_qindex(quality)
         fps_num, fps_den = _parse_rate(vs.avg_frame_rate

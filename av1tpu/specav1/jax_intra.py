@@ -394,6 +394,11 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     wave_xs = {k: jnp.asarray(a) for k, a in waves.items()}
     base = 1 << (bit_depth - 1)
     maxlvl = (1 << bit_depth) - 1
+    # spec edge clamp is MI-grid-based: MiRows/MiCols round the frame
+    # to 8px granularity (MiRows = 2*((h+7)>>3)), so a 540-tall frame
+    # clamps edge reads at row 543, not 539
+    fh8 = ((th + 7) >> 3) << 3
+    fw8 = ((tw + 7) >> 3) << 3
 
     fm32 = jnp.asarray(_fwd_mat(32))
     fm16 = jnp.asarray(_fwd_mat(16))
@@ -424,7 +429,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         ha = have_a.astype(bool)
         hl = have_l.astype(bool)
         ar, lcv, corner = _gather_edges(rec_y, y0, x0, ha, hl, ntr, nbl,
-                                        32, base, fdims=(th, tw))
+                                        32, base, fdims=(fh8, fw8))
         preds = _predict_all(ar, lcv, corner, ha, hl, 32, base,
                              list(_MODE_IDS))
         rows = y0 + jnp.arange(32)[:, None]
@@ -448,7 +453,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         for rec_p, src_p in ((rec_u, src_u), (rec_v, src_v)):
             arc, lcc, cornc = _gather_edges(
                 rec_p, cy0, cx0, ha, hl, ntr // 2, nbl // 2, 16, base,
-                fdims=(th // 2, tw // 2))
+                fdims=(fh8 // 2, fw8 // 2))
             predc = _predict_all(arc, lcc, cornc, ha, hl, 16, base,
                                  [recon.DC_PRED])[0]
             sc = src_p[crows, ccols]

@@ -1,0 +1,58 @@
+"""1080p-at-scale conformance (VERDICT round-2 item 8): a multi-GOP
+SpecTpuEngine stream must decode bit-exactly in libaom at full HD.
+
+The full-size run takes minutes on the CPU mesh, so it is gated behind
+AV1TPU_SLOW=1 (it runs routinely on the TPU via scripts; see the
+round-2 log in .claude/skills/verify).  A 960x540 quarter-size variant
+covers the same code paths (true-dims 1080p-class geometry: 540 % 32 =
+28 overhang) on every run.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from av1tpu.conformance import aomcodec
+
+pytestmark = pytest.mark.skipif(not aomcodec.available(),
+                                reason="libaom unavailable")
+
+
+def _conformance_gop(width, height, n, keyint=8, chunk=4):
+    import jax
+    from av1tpu.spec_engine import SpecTpuEngine
+    from av1tpu.utils.testsrc import testsrc2
+
+    eng = SpecTpuEngine()
+    eng.cfg.keyint = keyint
+    eng.cfg.chunk = chunk
+    eng.start_stream()
+    frames = [testsrc2(width, height, i) for i in range(n)]
+    payloads, recons = [], []
+    for fr in frames:
+        pend = eng._submit(fr, 96)
+        recons.append(tuple(np.asarray(p) for p in
+                            jax.device_get(eng._resolve_refs())))
+        payloads.append(eng._finalize(pend))
+    dec = aomcodec.Decoder()
+    idx = 0
+    for p, k in payloads:
+        for f in dec.decode(bytes(p)):
+            for pl, ss in ((0, 0), (1, 1), (2, 1)):
+                a = np.asarray(f[pl], np.int64)
+                b = np.asarray(recons[idx][pl],
+                               np.int64)[:height >> ss, :width >> ss]
+                assert np.array_equal(a, b), f"frame {idx} plane {pl}"
+            idx += 1
+    assert idx == n
+
+
+def test_conformance_540p_class():
+    _conformance_gop(960, 540, 6, keyint=4)
+
+
+@pytest.mark.skipif(os.environ.get("AV1TPU_SLOW") != "1",
+                    reason="full-HD conformance is slow off-TPU; "
+                           "set AV1TPU_SLOW=1")
+def test_conformance_1080p_multigop():
+    _conformance_gop(1920, 1080, 25, keyint=12, chunk=8)

@@ -68,3 +68,28 @@ def test_vfr_pts_carried(tmp_path, monkeypatch, webrip, shift):
         assert got_ms == VFR_PTS_MS
     else:
         assert got_ms == [t + shift for t in VFR_PTS_MS]
+
+
+def test_hdr_source_refused(tmp_path):
+    """PQ/HLG or >8-bit sources must fail cleanly (the 8-bit cv2 decode
+    path would silently destroy the grade), leaving the source alone."""
+    from av1tpu.daemon.core import TranscodeError
+    from av1tpu.media import probe as probe_mod
+    from av1tpu.spec_engine import SpecTpuEngine
+
+    vs = probe_mod.StreamInfo(index=0, codec_type="video",
+                              codec_name="hevc", width=64, height=64)
+    vs.color_transfer_code = 16  # SMPTE 2084 (PQ)
+    pr = probe_mod.ProbeResult(
+        format=probe_mod.FormatInfo(format_name="matroska"),
+        streams=[vs], has_video=True, video_stream=vs)
+    eng = SpecTpuEngine()
+    with pytest.raises(TranscodeError, match="HDR"):
+        eng.transcode(str(tmp_path / "in.mkv"),
+                      str(tmp_path / "out.mkv"), pr, False)
+
+    vs.color_transfer_code = 0
+    vs.bit_depth = 10
+    with pytest.raises(TranscodeError, match="bit"):
+        eng.transcode(str(tmp_path / "in.mkv"),
+                      str(tmp_path / "out.mkv"), pr, False)
