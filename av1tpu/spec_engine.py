@@ -85,19 +85,21 @@ def _encode_chunk_jit():
 
     @functools.partial(jax.jit,
                        static_argnames=("k", "ph", "pw", "bit_depth",
-                                        "th", "tw", "cap"))
-    def go(packed, ry, ru, rv, qindexes, k: int, ph: int, pw: int,
-           bit_depth: int, th: int, tw: int, cap: int):
+                                        "th", "tw", "cap", "deblock"))
+    def go(packed, ry, ru, rv, qindexes, lfys, lfuvs, k: int, ph: int,
+           pw: int, bit_depth: int, th: int, tw: int, cap: int,
+           deblock: bool = False):
         ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
 
         def step(carry, xs):
-            y, u, v, q = xs
+            y, u, v, q, lfy, lfuv = xs
             out = jax_inter._encode_frame(y, u, v, *carry, q, bit_depth,
-                                          th=th, tw=tw)
+                                          th=th, tw=tw, lf_y=lfy,
+                                          lf_uv=lfuv, deblock=deblock)
             return out[5:8], out[0:5]
 
         carry, outs = jax.lax.scan(step, (ry, ru, rv),
-                                   (ys, us, vs, qindexes))
+                                   (ys, us, vs, qindexes, lfys, lfuvs))
         mv8s, skips, ylvs, ulvs, vlvs = outs
         # frame-major y|u|v flattening so per-frame slices are
         # byte-aligned contiguous runs on the host
@@ -186,6 +188,30 @@ class SpecSequenceHeader:
         return bytes([0x81, b1, b2, 0x00]) + self.seq_obu()
 
 
+def noise_floor(y) -> float:
+    """Median |horizontal second difference| on a row-subsampled grid:
+    a dense-noise floor estimate that ignores sparse edges.  Grainy
+    sources measure >= 2; smooth/blocky content <= 1."""
+    s = np.asarray(y[::8], np.int32)
+    d2 = s[:, 2:] - 2 * s[:, 1:-1] + s[:, :-2]
+    return float(np.median(np.abs(d2)))
+
+
+def lf_levels(qindex: int, bit_depth: int = 8) -> tuple:
+    """Deblocking filter level from qindex (libaom's q-based guess:
+    av1_pick_filter_level's filt_guess regression, per bit depth)."""
+    from av1tpu.specav1 import recon
+    q = int(recon.AC_Q[bit_depth][int(qindex)])
+    if bit_depth == 8:
+        lvl = (q * 20723 + 1015158) >> 18
+    elif bit_depth == 10:
+        lvl = (q * 20723 + 4060632) >> 20
+    else:
+        lvl = (q * 20723 + 16242526) >> 22
+    lvl = max(0, min(63, lvl))
+    return lvl, lvl
+
+
 def _tile_plan(th: int):
     """(tile_rows_log2, spans, block_row_starts) for a coded height."""
     from av1tpu.specav1 import writer as _W
@@ -205,6 +231,7 @@ class SpecTpuEngine(TpuEngine):
         self._order_hint = 0
         self._dispatch = None  # ordered upload+dispatch worker (lazy)
         self._mesh = None      # multi-chip stripe mesh (lazy)
+        self._gop_deblock = False
 
     def _stripe_mesh(self, ph: int, th: int):
         """The ("stripe",) device mesh when multi-chip striping is on
@@ -228,6 +255,7 @@ class SpecTpuEngine(TpuEngine):
     def start_stream(self) -> None:
         super().start_stream()
         self._order_hint = 0
+        self._gop_deblock = False
 
     def _dispatch_pool(self):
         if self._dispatch is None:
@@ -287,11 +315,18 @@ class SpecTpuEngine(TpuEngine):
         total = ph * pw + 2 * (ph // 2) * (pw // 2)
         cap = total // SPARSE_CAP_FRACTION
         if is_key:
+            # deblocking is RD-decided per GOP: it helps smooth/blocky
+            # content and hurts grainy sources (smoothing the noise the
+            # next frame must re-code)
+            self._gop_deblock = noise_floor(frame.y) <= 1.0
+        lfy, lfuv = lf_levels(qindex, bd) if self._gop_deblock else (0, 0)
+        if is_key:
             _, _, brs = _tile_plan(th)
             out = jax_intra._encode_frame(
                 yj, uj, vj, jnp.int32(qindex), nbr=ph // 32,
                 nbc=pw // 32, bit_depth=bd, th=th, tw=tw,
-                tile_row_starts=brs)
+                tile_row_starts=brs, lf_y=jnp.int32(lfy),
+                lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock)
             self._ref_dev = out[0:3]
             self._golden_dev = out[0:3]
             grids = jnp.concatenate([out[6].reshape(-1),
@@ -299,7 +334,7 @@ class SpecTpuEngine(TpuEngine):
                                      out[8].reshape(-1)])
             pk = _pack_outputs(out[3], out[4], out[5], grids, cap)
             return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
-                    refresh, out, pk, cap)
+                    refresh, out, pk, cap, lfy, lfuv)
         refs = self._resolve_refs()
         mesh = self._stripe_mesh(ph, th)
         if mesh is not None:
@@ -319,7 +354,8 @@ class SpecTpuEngine(TpuEngine):
             vs = jax_sharded.shard_rows(mesh, vp2)
             out = jax_sharded.encode_inter_sharded(
                 mesh, ys, us, vs, refs[0], refs[1], refs[2], qindex,
-                bit_depth=bd, th=th, tw=tw)
+                bit_depth=bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
+                lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock)
             # recon/levels beyond the coded padded height are garbage
             # rows of the stripe pad; the ref slots keep them (cropped
             # at true dims by the next frame's prep_ref)
@@ -327,14 +363,15 @@ class SpecTpuEngine(TpuEngine):
         else:
             out = jax_inter._encode_frame(
                 yj, uj, vj, refs[0], refs[1], refs[2],
-                qindex, bd, th=th, tw=tw)
+                qindex, bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
+                lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock)
         if refresh:
             self._ref_dev = out[5:8]
         grids = jnp.concatenate([out[0].reshape(-1),
                                  out[1].reshape(-1)])
         pk = _pack_outputs(out[2], out[3], out[4], grids, cap)
         return ("inter", qindex, w, h, th, tw, ph, pw, bd, oh,
-                refresh, out, pk, cap)
+                refresh, out, pk, cap, lfy, lfuv)
 
     def _submit_chunk(self, frames, qindexes):
         """Upload + dispatch run on an ordered worker thread: the 25MB
@@ -355,6 +392,9 @@ class SpecTpuEngine(TpuEngine):
         ref_prev = self._ref_dev
         qi = list(qindexes)
 
+        dbl = self._gop_deblock
+        lf = [lf_levels(q, bd) if dbl else (0, 0) for q in qi]
+
         def worker():
             refs = ref_prev() if callable(ref_prev) else ref_prev
             packed = np.concatenate(
@@ -363,17 +403,20 @@ class SpecTpuEngine(TpuEngine):
                  np.stack([p[2] for p in planes]).ravel()])
             return _encode_chunk(
                 jnp.asarray(packed), *refs,
-                jnp.asarray(qi, jnp.int32), k=k, ph=ph, pw=pw,
-                bit_depth=bd, th=th, tw=tw, cap=cap)
+                jnp.asarray(qi, jnp.int32),
+                jnp.asarray([a for a, _ in lf], jnp.int32),
+                jnp.asarray([b for _, b in lf], jnp.int32),
+                k=k, ph=ph, pw=pw,
+                bit_depth=bd, th=th, tw=tw, cap=cap, deblock=dbl)
 
         fut = self._dispatch_pool().submit(worker)
         self._ref_dev = lambda: fut.result()[0]
-        return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut)
+        return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut, lf)
 
     @staticmethod
     def _finalize_chunk(pending) -> list:
         import jax as _jax
-        (qindexes, w, h, th, tw, ph, pw, bd, ohs, k, fut) = pending
+        (qindexes, w, h, th, tw, ph, pw, bd, ohs, k, fut, lfs) = pending
         _, pk, full = fut.result()
         rs = (w, h) if (tw, th) != (w, h) else None
         mi_cols, mi_rows = 2 * ((tw + 7) >> 3), 2 * ((th + 7) >> 3)
@@ -412,7 +455,8 @@ class SpecTpuEngine(TpuEngine):
                 ylv, ulv, vlv)
             hdr = W.write_inter_frame_header(
                 tw, th, qindexes[i], order_hint=ohs[i],
-                render_size=rs, tile_rows_log2=trl2)
+                render_size=rs, tile_rows_log2=trl2,
+                lf_level=lfs[i][0], lf_level_uv=lfs[i][1])
             hdr.byte_align()
             return obu_mod.make_obu(
                 obu_mod.OBU_FRAME,
@@ -424,7 +468,7 @@ class SpecTpuEngine(TpuEngine):
     def _finalize(pending) -> tuple[bytes, bool]:
         import jax as _jax
         (kind, qindex, w, h, th, tw, ph, pw, bd, oh, refresh, out,
-         pk, cap) = pending
+         pk, cap, lfy, lfuv) = pending
         # true dims: headers carry (tw, th); render_size only for the
         # padded fallback where the coded frame exceeds the display area
         rs = (w, h) if (tw, th) != (w, h) else None
@@ -458,7 +502,8 @@ class SpecTpuEngine(TpuEngine):
                  g_skip[:gh_t, :gw_t]), lv_y, lv_u, lv_v)
             hdr = W.write_key_frame_header(tw, th, qindex,
                                            order_hint=oh, render_size=rs,
-                                           tile_rows_log2=trl2)
+                                           tile_rows_log2=trl2,
+                                           lf_level=lfy, lf_level_uv=lfuv)
             hdr.byte_align()
             seq = SpecSequenceHeader(w, h, bd).seq_obu()
             payload = seq + obu_mod.make_obu(
@@ -482,7 +527,8 @@ class SpecTpuEngine(TpuEngine):
         hdr = W.write_inter_frame_header(
             tw, th, qindex, order_hint=oh,
             refresh_frame_flags=0x01 if refresh else 0x00,
-            render_size=rs, tile_rows_log2=trl2)
+            render_size=rs, tile_rows_log2=trl2,
+            lf_level=lfy, lf_level_uv=lfuv)
         hdr.byte_align()
         payload = obu_mod.make_obu(
             obu_mod.OBU_FRAME,
@@ -523,10 +569,13 @@ class SpecTpuEngine(TpuEngine):
         kout = jax_intra._encode_frame(y, u, v, jnp.int32(96),
                                        nbr=ph // 32, nbc=pw // 32,
                                        bit_depth=bit_depth, th=th, tw=tw,
-                                       tile_row_starts=brs)
+                                       tile_row_starts=brs,
+                                       lf_y=jnp.int32(0),
+                                       lf_uv=jnp.int32(0))
         iout = jax_inter._encode_frame(y, u, v, kout[0], kout[1],
                                        kout[2], 96, bit_depth, th=th,
-                                       tw=tw)
+                                       tw=tw, lf_y=jnp.int32(0),
+                                       lf_uv=jnp.int32(0))
         # compile the two packer shapes + absorb the tunnel's large
         # first-D2H stall (minutes over axon) before timed encoding
         total = ph * pw + 2 * (ph // 2) * (pw // 2)
@@ -543,6 +592,8 @@ class SpecTpuEngine(TpuEngine):
         if k > 1:
             packed = jnp.zeros((k * total,), dt)
             _encode_chunk(packed, kout[0], kout[1], kout[2],
-                          jnp.full((k,), 96, jnp.int32), k=k, ph=ph,
+                          jnp.full((k,), 96, jnp.int32),
+                          jnp.full((k,), 10, jnp.int32),
+                          jnp.full((k,), 10, jnp.int32), k=k, ph=ph,
                           pw=pw, bit_depth=bit_depth, th=th, tw=tw,
                           cap=k * cap)[1][0].block_until_ready()

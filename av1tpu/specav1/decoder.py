@@ -99,9 +99,25 @@ class Decoder:
         """Returns the FULL coded-size planes (reference slots keep the
         SB-padded area: inter prediction clamps against coded dims)."""
         if any(hdr.lf.level) and not self.ignore_loop_filter:
-            # spec deblocking: required for exact output when enabled
-            raise NotImplementedError(
-                f"loop filter enabled (levels {hdr.lf.level})")
+            # spec deblocking (7.14).  The vectorized filter assumes the
+            # uniform 32x32-luma tx grid our encoder emits; foreign
+            # streams with mixed tx sizes or split y levels still raise.
+            uniform = (np.all(td.tx_w4 == 8) and np.all(td.tx_h4 == 8)
+                       and hdr.lf.level[0] == hdr.lf.level[1])
+            if not uniform:
+                raise NotImplementedError(
+                    f"loop filter on a non-uniform grid "
+                    f"(levels {hdr.lf.level})")
+            from av1tpu.specav1 import loopfilter as LF
+            import jax.numpy as jnp
+            fy, fu, fv = LF.deblock_frame(
+                jnp.asarray(td.planes[0].astype(np.int32)),
+                jnp.asarray(td.planes[1].astype(np.int32)),
+                jnp.asarray(td.planes[2].astype(np.int32)),
+                jnp.int32(hdr.lf.level[0]), jnp.int32(hdr.lf.level[2]),
+                jnp.int32(hdr.lf.level[3]), self.seq.bit_depth,
+                hdr.frame_height, hdr.frame_width)
+            return (np.asarray(fy), np.asarray(fu), np.asarray(fv))
         if hdr.cdef.bits or any(hdr.cdef.y_pri) or any(hdr.cdef.y_sec[i]
                                                        for i in range(8)):
             raise NotImplementedError("CDEF enabled")

@@ -78,11 +78,11 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("bit_depth", "refine", "th", "tw",
-                                    "stripe"))
+                                    "stripe", "deblock"))
 def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                   bit_depth: int, refine: bool = True,
                   th: int = 0, tw: int = 0, stripe: bool = False,
-                  row0=0):
+                  row0=0, lf_y=0, lf_uv=0, deblock: bool = False):
     """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
     rec_y, rec_u, rec_v) for the SB-padded frame.
 
@@ -157,7 +157,9 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     fm16 = jnp.asarray(_fwd_mat(16))
     dcq = jnp.asarray(recon.DC_Q[bit_depth], jnp.int32)[qindex]
     acq = jnp.asarray(recon.AC_Q[bit_depth], jnp.int32)[qindex]
-    deadzone = jnp.float32(1.0 - 0.62)
+    import os as _os
+    deadzone = jnp.float32(
+        1.0 - float(_os.environ.get("AV1TPU_QROUND", "0.62")))
 
     def quant(coef, nn, shift):
         dq = jnp.full((nn, nn), acq, jnp.float32)
@@ -193,13 +195,21 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         return b.reshape(gh, gw, nn, nn).transpose(0, 2, 1, 3).reshape(
             ph, pw)
 
+    rec_y_p = to_plane(rec_y_b, 32, H, Wd)
+    rec_u_p = to_plane(rec_u_b, 16, H // 2, Wd // 2)
+    rec_v_p = to_plane(rec_v_b, 16, H // 2, Wd // 2)
+    if deblock and not stripe:
+        # in-loop deblocking (stripe mode filters after the gather on
+        # the full frame — tile-row edges need both sides)
+        from av1tpu.specav1 import loopfilter as _LF
+        rec_y_p, rec_u_p, rec_v_p = _LF.deblock_frame(
+            rec_y_p, rec_u_p, rec_v_p, lf_y, lf_uv, lf_uv,
+            bit_depth, th, tw)
     return (mv8, skip,
             to_plane(lv_y, 32, H, Wd),
             to_plane(lv_u, 16, H // 2, Wd // 2),
             to_plane(lv_v, 16, H // 2, Wd // 2),
-            to_plane(rec_y_b, 32, H, Wd),
-            to_plane(rec_u_b, 16, H // 2, Wd // 2),
-            to_plane(rec_v_b, 16, H // 2, Wd // 2))
+            rec_y_p, rec_u_p, rec_v_p)
 
 
 def encode_interframe_device(y, u, v, ref_planes, qindex: int,

@@ -380,9 +380,10 @@ def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes):
 
 @functools.partial(jax.jit,
                    static_argnames=("nbr", "nbc", "bit_depth", "th", "tw",
-                                    "tile_row_starts"))
+                                    "tile_row_starts", "deblock"))
 def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
-                  th: int = 0, tw: int = 0, tile_row_starts: tuple = ()):
+                  th: int = 0, tw: int = 0, tile_row_starts: tuple = (),
+                  lf_y=0, lf_uv=0, deblock: bool = False):
     """y: (H, W) uint8/16 SB-padded source; returns grids + levels +
     recon planes."""
     H, Wd = nbr * 32, nbc * 32
@@ -404,7 +405,9 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     fm16 = jnp.asarray(_fwd_mat(16))
     dcq = jnp.asarray(recon.DC_Q[bit_depth], jnp.int32)[qindex]
     acq = jnp.asarray(recon.AC_Q[bit_depth], jnp.int32)[qindex]
-    deadzone = jnp.float32(1.0 - 0.62)
+    import os as _os
+    deadzone = jnp.float32(
+        1.0 - float(_os.environ.get("AV1TPU_QROUND", "0.62")))
 
     def quant(coef, n, shift):
         dq = jnp.full((n, n), acq, jnp.float32)
@@ -504,7 +507,15 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
             jnp.zeros((nbr, nbc), jnp.int32),
             jnp.zeros((nbr, nbc), jnp.int32))
     carry, _ = jax.lax.scan(wave_step, init, wave_xs)
-    return carry
+    # in-loop deblocking on the completed recon (spec placement: the
+    # wavefront's in-frame intra prediction used the unfiltered planes;
+    # the filtered frame is the display output and inter reference)
+    if not deblock:
+        return carry
+    from av1tpu.specav1 import loopfilter as _LF
+    fy, fu, fv = _LF.deblock_frame(carry[0], carry[1], carry[2],
+                                   lf_y, lf_uv, lf_uv, bit_depth, th, tw)
+    return (fy, fu, fv) + tuple(carry[3:])
 
 
 def encode_keyframe_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,

@@ -63,9 +63,11 @@ def shard_rows(mesh: Mesh, arr):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "bit_depth", "th", "tw"))
+                   static_argnames=("mesh", "bit_depth", "th", "tw",
+                                    "deblock"))
 def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
-                         bit_depth: int, th: int, tw: int):
+                         bit_depth: int, th: int, tw: int,
+                         lf_y=0, lf_uv=0, deblock: bool = False):
     """y/u/v: (ph, pw) planes sharded P("stripe"); refs: full-frame
     recon planes (replicated).  Returns jax_inter._encode_frame's
     tuple, planes laid out full-frame (stripe outputs concatenated).
@@ -84,10 +86,19 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
     out_specs = (P("stripe"), P("stripe"), P("stripe", None),
                  P("stripe", None), P("stripe", None),
                  P("stripe", None), P("stripe", None), P("stripe", None))
-    return shard_map(
+    out = shard_map(
         body, mesh=mesh,
         in_specs=(P("stripe", None), P("stripe", None), P("stripe", None),
                   P(None, None), P(None, None), P(None, None), P(None)),
         out_specs=out_specs, check_rep=False)(
             y, u, v, ref_y, ref_u, ref_v,
             jnp.reshape(jnp.asarray(qindex, jnp.int32), (1,)))
+    # deblock the gathered full-frame recon (AV1 filters across tile
+    # boundaries, so stripe edges need both sides; XLA inserts the ICI
+    # halo exchange the boundary taps imply)
+    if not deblock:
+        return out
+    from av1tpu.specav1 import loopfilter as _LF
+    fy, fu, fv = _LF.deblock_frame(out[5], out[6], out[7], lf_y, lf_uv,
+                                   lf_uv, bit_depth, th, tw)
+    return out[0:5] + (fy, fu, fv)

@@ -88,6 +88,7 @@ def write_key_frame_header(w: int, h: int, qidx: int, *,
                            reduced_tx_set: int = 0,
                            tx_mode_select: int = 0,
                            tile_rows_log2: int = 0,
+                           lf_level: int = 0, lf_level_uv: int = 0,
                            render_size: tuple | None = None) -> BitWriter:
     """Uncompressed header for a shown KEY frame matching
     write_sequence_header's feature gates (no superres/cdef/lr,
@@ -116,8 +117,11 @@ def write_key_frame_header(w: int, h: int, qidx: int, *,
     b.f(0, 1)          # using_qmatrix
     b.f(0, 1)          # segmentation_enabled
     b.f(0, 1)          # delta_q_present
-    b.f(0, 6)          # loop_filter_level[0]
-    b.f(0, 6)          # loop_filter_level[1]
+    b.f(lf_level, 6)   # loop_filter_level[0]
+    b.f(lf_level, 6)   # loop_filter_level[1]
+    if lf_level:
+        b.f(lf_level_uv, 6)
+        b.f(lf_level_uv, 6)
     b.f(0, 3)          # sharpness
     b.f(0, 1)          # delta_enabled
     b.f(tx_mode_select, 1)
@@ -198,7 +202,9 @@ def write_inter_frame_header(w: int, h: int, qidx: int, *,
                              render_size: tuple | None = None,
                              tx_mode_select: int = 0,
                              reduced_tx_set: int = 0,
-                             tile_rows_log2: int = 0) -> BitWriter:
+                             tile_rows_log2: int = 0,
+                             lf_level: int = 0,
+                             lf_level_uv: int = 0) -> BitWriter:
     """Uncompressed header for a shown INTER frame matching
     write_sequence_header's gates: primary_ref_frame NONE (default CDFs
     per frame), single-reference (reference_select 0), regular filter,
@@ -236,8 +242,11 @@ def write_inter_frame_header(w: int, h: int, qidx: int, *,
     b.f(0, 1)              # using_qmatrix
     b.f(0, 1)              # segmentation_enabled
     b.f(0, 1)              # delta_q_present
-    b.f(0, 6)              # loop_filter_level[0]
-    b.f(0, 6)              # loop_filter_level[1]
+    b.f(lf_level, 6)       # loop_filter_level[0]
+    b.f(lf_level, 6)       # loop_filter_level[1]
+    if lf_level:
+        b.f(lf_level_uv, 6)
+        b.f(lf_level_uv, 6)
     b.f(0, 3)              # sharpness
     b.f(0, 1)              # mode_ref_delta_enabled
     b.f(tx_mode_select, 1)
