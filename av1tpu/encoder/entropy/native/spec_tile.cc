@@ -28,6 +28,7 @@ const BlkDim kBlockSizes[22] = {
     {8, 4},  {8, 8},  {8, 16}, {16, 8}, {16, 16}, {16, 32}, {32, 16},
     {32, 32}, {1, 4},  {4, 1},  {2, 8},  {8, 2},  {4, 16}, {16, 4}};
 constexpr int BLOCK_8X8 = 3;
+constexpr int BLOCK_16X16 = 6;
 constexpr int BLOCK_32X32 = 9;
 constexpr int BLOCK_64X64 = 12;
 
@@ -40,6 +41,7 @@ const TxDim kTxSizes[19] = {
     {4, 4},  {8, 8},  {16, 16}, {32, 32}, {64, 64}, {4, 8},  {8, 4},
     {8, 16}, {16, 8}, {16, 32}, {32, 16}, {32, 64}, {64, 32}, {4, 16},
     {16, 4}, {8, 32}, {32, 8},  {16, 64}, {64, 16}};
+constexpr int TX_8X8 = 1;
 constexpr int TX_16X16 = 2;
 constexpr int TX_32X32 = 3;
 
@@ -239,6 +241,7 @@ struct SpecTileWriter {
   int row0 = 0, frame_mi_rows = 0;
   // scans
   std::vector<int> scan32_r, scan32_c, scan16_r, scan16_c;
+  std::vector<int> scan8_r, scan8_c;
   // per-txb scratch (hoisted: a fresh vector per txb dominated profile)
   std::vector<int32_t> lvl_scratch;
 
@@ -491,7 +494,7 @@ void write_golomb(SpecTileWriter *w, int value) {
 // emitting 16x16 luma must pass intra_ext_tx support — not yet needed).
 void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
                   const int32_t *vals, int stride, int ssx, int ssy,
-                  int is_inter = 0) {
+                  int is_inter = 0, int intra_dir = 0) {
   TxDim td = kTxSizes[tx];
   int tw = td.w, th = td.h;
   int cw = imin(tw, 32), ch = imin(th, 32);
@@ -499,8 +502,10 @@ void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
   int txs = txsize_entropy_ctx(tx);
   int ctx_skip = txb_skip_ctx(w, plane, x, y, tw, th, ssx, ssy);
   // eob in scan order
-  const std::vector<int> &sr = (cw == 32) ? w->scan32_r : w->scan16_r;
-  const std::vector<int> &sc = (cw == 32) ? w->scan32_c : w->scan16_c;
+  const std::vector<int> &sr =
+      (cw == 32) ? w->scan32_r : (cw == 16 ? w->scan16_r : w->scan8_r);
+  const std::vector<int> &sc =
+      (cw == 32) ? w->scan32_c : (cw == 16 ? w->scan16_c : w->scan8_c);
   int n = cw * ch;
   int eob = 0;
   for (int si = n - 1; si >= 0; --si)
@@ -519,6 +524,11 @@ void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
   if (plane == 0 && is_inter && tx_size_sqr_up(tx) == 3) {
     int sqr = tx_size_sqr(tx);
     sym(w, 1, w->tbl(TBL_INTER_EXT_TX, (3 * 4 + sqr) * 17), 2);
+  } else if (plane == 0 && !is_inter && tx_size_sqr_up(tx) == 2) {
+    // intra 16x16: TX_SET_DTT4_IDTX (5 syms), DCT_DCT = index 1
+    int sqr = tx_size_sqr(tx);
+    sym(w, 1, w->tbl(TBL_INTRA_EXT_TX,
+                     ((2 * 4 + sqr) * 13 + intra_dir) * 17), 5);
   }
   // eob_pt
   int nsyms;
@@ -867,6 +877,67 @@ void write_block_intra_if32(SpecTileWriter *w, int r, int c, int skip,
   finish_block_common32(w, r, c, skip, y_mode, 0, 0, 0, 0);
 }
 
+void start_sb_row(SpecTileWriter *w, int mi_row);
+
+// ---- 16px bottom strip (true dims for height % 32 == 16) ------------------
+// The last 4 mi rows code as edge-SPLIT 16x16 blocks: luma V_PRED with
+// a coded 16x16 DCT residual, chroma V_PRED prediction-only (all_zero
+// chroma txbs keep every transform square/2-D).  Strip blocks are
+// intra in every frame type (spec decoder parity: 5.11.x edge
+// partitions; cost is ~2% of one block row).
+
+void write_strip_block(SpecTileWriter *w, int r, int c, int skip,
+                       int key_frame, const int32_t *ylv, int ystride,
+                       const int32_t *ulv, const int32_t *vlv,
+                       int cstride) {
+  const int V = 1;  // V_PRED
+  write_partition(w, r, c, BLOCK_16X16, PARTITION_NONE);
+  if (key_frame) {
+    write_block_intra(w, r, c, BLOCK_16X16, skip, V, V);
+  } else {
+    // intra block in an inter frame
+    int ctx = 0;
+    if (r > 0) ctx += w->skips[(r - 1) * w->mi_cols + c];
+    if (c > 0) ctx += w->skips[r * w->mi_cols + c - 1];
+    sym(w, skip, skip_cdf(w, ctx), 2);
+    int gr = r / 8, gc = c / 8;
+    bool has_a = r > 0, has_l = c > 0;
+    // left neighbor is always a strip block (intra); above from grid
+    bool ai = has_a && w->g_ref[(gr - 1) * w->gw + gc] == 0;
+    bool li = has_l;  // strip blocks are all intra
+    int ii;
+    if (has_a && has_l) ii = (ai && li) ? 3 : (int)(ai || li);
+    else if (has_a || has_l) ii = 2 * (int)(has_a ? ai : li);
+    else ii = 0;
+    sym(w, 0, w->tbl(TBL_INTRA_INTER, ii * 3), 2);
+    // SIZE_GROUP[BLOCK_16X16] = 2
+    sym(w, V, w->tbl(TBL_IF_Y_MODE, 2 * 14), 13);
+    sym(w, 3, angle_delta_cdf(w, V - V_PRED), 7);
+    sym(w, V, uv_mode_cdf(w, 1, V), 14);
+    sym(w, 3, angle_delta_cdf(w, V - V_PRED), 7);
+    int gi = gr * w->gw + gc;
+    w->g_ref[gi] = 0;  // intra
+    for (int i = 0; i < 4; ++i)
+      for (int j = 0; j < 4; ++j) {
+        w->skips[(r + i) * w->mi_cols + c + j] = skip;
+        w->y_modes[(r + i) * w->mi_cols + c + j] = V;
+        w->mi_size[(r + i) * w->mi_cols + c + j] = BLOCK_16X16;
+      }
+    if (skip) reset_coef_ctx_block(w, r, c, 4, 4);
+  }
+  if (!skip) {
+    int x0 = c * 4, y0 = r * 4;
+    write_coeffs(w, 0, x0, y0, TX_16X16, &ylv[y0 * ystride + x0],
+                 ystride, 1, 1, /*is_inter=*/0, /*intra_dir=*/V);
+    int cx = x0 >> 1, cy = y0 >> 1;
+    write_coeffs(w, 1, cx, cy, TX_8X8, &ulv[cy * cstride + cx],
+                 cstride, 1, 1);
+    write_coeffs(w, 2, cx, cy, TX_8X8, &vlv[cy * cstride + cx],
+                 cstride, 1, 1);
+  }
+  update_partition_ctx(w, r, c, BLOCK_16X16);
+}
+
 void start_sb_row(SpecTileWriter *w, int mi_row) {
   w->sb_row = mi_row;
   std::fill(w->left_part.begin(), w->left_part.end(), 0);
@@ -909,6 +980,7 @@ SpecTileWriter *stw_create(int mi_cols, int mi_rows, int base_q_idx) {
   w->g_newmv.assign(w->gw * w->gh, 0);
   build_zigzag(32, 32, &w->scan32_r, &w->scan32_c);
   build_zigzag(16, 16, &w->scan16_r, &w->scan16_c);
+  build_zigzag(8, 8, &w->scan8_r, &w->scan8_c);
   return w;
 }
 
@@ -948,6 +1020,7 @@ int stw_get_cdf(SpecTileWriter *w, int table_id, uint16_t *out, int n_u16) {
 // Returns tile byte count written to out, or -1 if cap is too small.
 int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
                            const int32_t *uv_modes, const int32_t *skips,
+                           const int32_t *strip_skip,
                            const int32_t *ylv, int ystride,
                            const int32_t *ulv, const int32_t *vlv,
                            int cstride, uint8_t *out, int64_t cap) {
@@ -966,6 +1039,18 @@ int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
       for (int k = 0; k < 4; ++k) {
         int br = child[k][0], bc = child[k][1];
         if (br >= w->mi_rows || bc >= w->mi_cols) continue;
+        if (w->mi_rows - br == 4 && strip_skip) {
+          // 16px bottom strip: edge-SPLIT into two 16x16 blocks
+          write_partition(w, br, bc, BLOCK_32X32, PARTITION_SPLIT);
+          for (int j = 0; j < 2; ++j) {
+            int c16 = bc + j * 4;
+            if (c16 >= w->mi_cols) continue;
+            write_strip_block(w, br, c16, strip_skip[c16 / 4],
+                              /*key_frame=*/1, ylv, ystride, ulv, vlv,
+                              cstride);
+          }
+          continue;
+        }
         int gi = (br / 8) * gw + (bc / 8);
         int skip = skips[gi];
         write_partition(w, br, bc, BLOCK_32X32, PARTITION_NONE);
@@ -1000,6 +1085,7 @@ int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
 // head, GLOBALMV when (0,0), else NEWMV (residual vs the stack head).
 int64_t stw_encode_inter32(SpecTileWriter *w, const int32_t *modes,
                            const int32_t *mvs, const int32_t *skips,
+                           const int32_t *strip_skip,
                            const int32_t *ylv, int ystride,
                            const int32_t *ulv, const int32_t *vlv,
                            int cstride, uint8_t *out, int64_t cap) {
@@ -1018,6 +1104,17 @@ int64_t stw_encode_inter32(SpecTileWriter *w, const int32_t *modes,
       for (int k = 0; k < 4; ++k) {
         int br = child[k][0], bc = child[k][1];
         if (br >= w->mi_rows || bc >= w->mi_cols) continue;
+        if (w->mi_rows - br == 4 && strip_skip) {
+          write_partition(w, br, bc, BLOCK_32X32, PARTITION_SPLIT);
+          for (int j = 0; j < 2; ++j) {
+            int c16 = bc + j * 4;
+            if (c16 >= w->mi_cols) continue;
+            write_strip_block(w, br, c16, strip_skip[c16 / 4],
+                              /*key_frame=*/0, ylv, ystride, ulv, vlv,
+                              cstride);
+          }
+          continue;
+        }
         int gr = br / 8, gc = bc / 8;
         int gi = gr * gw + gc;
         int skip = skips[gi];

@@ -96,11 +96,11 @@ def _encode_chunk_jit():
             out = jax_inter._encode_frame(y, u, v, *carry, q, bit_depth,
                                           th=th, tw=tw, lf_y=lfy,
                                           lf_uv=lfuv, deblock=deblock)
-            return out[5:8], out[0:5]
+            return out[5:8], out[0:5] + (out[8],)
 
         carry, outs = jax.lax.scan(step, (ry, ru, rv),
                                    (ys, us, vs, qindexes, lfys, lfuvs))
-        mv8s, skips, ylvs, ulvs, vlvs = outs
+        mv8s, skips, ylvs, ulvs, vlvs, strips = outs
         # frame-major y|u|v flattening so per-frame slices are
         # byte-aligned contiguous runs on the host
         flat = jnp.concatenate([ylvs.reshape(k, -1),
@@ -112,7 +112,8 @@ def _encode_chunk_jit():
         vals = jnp.zeros((cap,), jnp.int16)
         vals = vals.at[jnp.where(mask, idx, cap)].set(
             jnp.clip(flat, -32768, 32767).astype(jnp.int16), mode="drop")
-        grids = jnp.concatenate([mv8s.reshape(-1), skips.reshape(-1)])
+        grids = jnp.concatenate([mv8s.reshape(-1), skips.reshape(-1),
+                                 strips.reshape(-1)])
         return carry, (jnp.packbits(mask), vals, count,
                        grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)
 
@@ -146,14 +147,18 @@ def _unpack_levels(maskbytes, vals, count, shapes):
     return out
 
 
-def _axis_true_dims_ok(px: int) -> bool:
+def _axis_true_dims_ok(px: int, is_height: bool = False) -> bool:
     """True when an axis can be coded at its true size on the fixed
-    32x32 grid: exact multiples, or a last-block overhang of at most
-    2 mi (rem > 16px).  Covers 1080/1920/3840/480/576; axes needing
-    16px edge strips (720, 2160) fall back to SB padding + render_size
-    until the 16x16 edge-block pass lands."""
+    32x32 grid: exact multiples, a last-block overhang (rem > 16px),
+    or — for the HEIGHT axis — a 16px remainder coded as an edge-SPLIT
+    16x16 block strip (720/2160).  Odd or small remainders fall back
+    to SB padding + render_size."""
     rem = px % 32
-    return px % 2 == 0 and (rem == 0 or rem > 16)
+    if px % 2:
+        return False
+    if rem == 0 or rem > 16:
+        return True
+    return is_height and rem == 16
 
 
 class SpecSequenceHeader:
@@ -172,7 +177,7 @@ class SpecSequenceHeader:
     def seq_obu(self) -> bytes:
         cp = self.color_primaries or None
         w, h = self.width, self.height
-        if not (_axis_true_dims_ok(w) and _axis_true_dims_ok(h)):
+        if not (_axis_true_dims_ok(w) and _axis_true_dims_ok(h, True)):
             w, h = (w + 63) & ~63, (h + 63) & ~63
         return W.write_sequence_header(
             w, h, bit_depth=self.bit_depth,
@@ -246,7 +251,9 @@ class SpecTpuEngine(TpuEngine):
             # only when num_chips is set explicitly
             n = len(devs) if devs[0].platform != "cpu" else 1
         n = min(n, len(devs))
-        if n < 2 or not jax_sharded.sharding_ok(ph, th, n):
+        # strip geometries (th%32==16) keep the single-device inter path
+        # (the stripe bodies don't compute the bottom strip)
+        if n < 2 or th % 32 == 16 or not jax_sharded.sharding_ok(ph, th, n):
             return None
         if self._mesh is None or self._mesh.shape["stripe"] != n:
             self._mesh = jax_sharded.make_mesh(n)
@@ -305,7 +312,7 @@ class SpecTpuEngine(TpuEngine):
         # true-dims coding: headers carry the real frame size and the
         # last block row/col overhangs (like any conformant encoder);
         # unsupported remainders fall back to render_size padding
-        true_ok = _axis_true_dims_ok(w) and _axis_true_dims_ok(h)
+        true_ok = _axis_true_dims_ok(w) and _axis_true_dims_ok(h, True)
         th, tw = (h, w) if true_ok else (ph, pw)
         oh = self._order_hint & 127
         self._order_hint += 1
@@ -317,8 +324,11 @@ class SpecTpuEngine(TpuEngine):
         if is_key:
             # deblocking is RD-decided per GOP: it helps smooth/blocky
             # content and hurts grainy sources (smoothing the noise the
-            # next frame must re-code)
-            self._gop_deblock = noise_floor(frame.y) <= 1.0
+            # next frame must re-code).  Strip geometries (th%32==16)
+            # are excluded: strip rows add 16px tx edges the uniform
+            # filter doesn't cover yet.
+            self._gop_deblock = (noise_floor(frame.y) <= 1.0
+                                 and th % 32 == 0)
         lfy, lfuv = lf_levels(qindex, bd) if self._gop_deblock else (0, 0)
         if is_key:
             _, _, brs = _tile_plan(th)
@@ -331,7 +341,8 @@ class SpecTpuEngine(TpuEngine):
             self._golden_dev = out[0:3]
             grids = jnp.concatenate([out[6].reshape(-1),
                                      out[7].reshape(-1),
-                                     out[8].reshape(-1)])
+                                     out[8].reshape(-1),
+                                     out[9].reshape(-1)])
             pk = _pack_outputs(out[3], out[4], out[5], grids, cap)
             return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
                     refresh, out, pk, cap, lfy, lfuv)
@@ -368,7 +379,8 @@ class SpecTpuEngine(TpuEngine):
         if refresh:
             self._ref_dev = out[5:8]
         grids = jnp.concatenate([out[0].reshape(-1),
-                                 out[1].reshape(-1)])
+                                 out[1].reshape(-1),
+                                 out[8].reshape(-1)])
         pk = _pack_outputs(out[2], out[3], out[4], grids, cap)
         return ("inter", qindex, w, h, th, tw, ph, pw, bd, oh,
                 refresh, out, pk, cap, lfy, lfuv)
@@ -382,7 +394,7 @@ class SpecTpuEngine(TpuEngine):
         w, h, bd = f0.width, f0.height, f0.bit_depth
         planes = [self._pad_planes(fr, 64) for fr in frames]
         ph, pw = planes[0][0].shape
-        true_ok = _axis_true_dims_ok(w) and _axis_true_dims_ok(h)
+        true_ok = _axis_true_dims_ok(w) and _axis_true_dims_ok(h, True)
         th, tw = (h, w) if true_ok else (ph, pw)
         k = len(frames)
         ohs = [(self._order_hint + i) & 127 for i in range(k)]
@@ -432,9 +444,12 @@ class SpecTpuEngine(TpuEngine):
             flat = np.zeros(k * ntot, np.int32)
             flat[mask.astype(bool)] = \
                 np.asarray(vals, np.int32)[:int(count)]
+        strip = (th % 32) == 16
+        nsc = 2 * gw
         grids = np.asarray(grids)
         mv8s = grids[:k * 2 * B].reshape(k, B, 2)
         skips = grids[k * 2 * B:k * 3 * B].reshape(k, B)
+        stripss = grids[k * 3 * B:k * (3 * B + nsc)].reshape(k, nsc)
         modes = np.ones((gh_t, gw_t), np.int32)
 
         def one(i):
@@ -452,7 +467,8 @@ class SpecTpuEngine(TpuEngine):
                 "inter", qindexes[i], mi_cols, mi_rows, spans,
                 (modes, mv8s[i].reshape(gh, gw, 2)[:gh_t, :gw_t],
                  skips[i].reshape(gh, gw)[:gh_t, :gw_t]),
-                ylv, ulv, vlv)
+                ylv, ulv, vlv,
+                strip_skip=stripss[i] if strip else None)
             hdr = W.write_inter_frame_header(
                 tw, th, qindexes[i], order_hint=ohs[i],
                 render_size=rs, tile_rows_log2=trl2,
@@ -486,6 +502,8 @@ class SpecTpuEngine(TpuEngine):
         # capacity overflow
         maskbytes, vals, count, grids = _jax.device_get(pk)
         lvs = _unpack_levels(maskbytes, vals, count, shapes)
+        strip = (th % 32) == 16
+        nsc = 2 * gw
         if kind == "key":
             if lvs is None:
                 lv_y, lv_u, lv_v = (np.asarray(a)
@@ -496,10 +514,12 @@ class SpecTpuEngine(TpuEngine):
             g_mode = grids[:ng].reshape(gh, gw)
             g_uv = grids[ng:2 * ng].reshape(gh, gw)
             g_skip = grids[2 * ng:3 * ng].reshape(gh, gw)
+            strip_skip = grids[3 * ng:3 * ng + nsc] if strip else None
             tiles = native.encode_tile_rows(
                 "key", qindex, mi_cols, mi_rows, spans,
                 (g_mode[:gh_t, :gw_t], g_uv[:gh_t, :gw_t],
-                 g_skip[:gh_t, :gw_t]), lv_y, lv_u, lv_v)
+                 g_skip[:gh_t, :gw_t]), lv_y, lv_u, lv_v,
+                strip_skip=strip_skip)
             hdr = W.write_key_frame_header(tw, th, qindex,
                                            order_hint=oh, render_size=rs,
                                            tile_rows_log2=trl2,
@@ -518,12 +538,13 @@ class SpecTpuEngine(TpuEngine):
         B = gh * gw
         mv8 = grids[:2 * B].reshape(B, 2)
         skip = grids[2 * B:3 * B]
+        strip_skip = grids[3 * B:3 * B + nsc] if strip else None
         modes = np.ones((gh_t, gw_t), np.int32)
         tiles = native.encode_tile_rows(
             "inter", qindex, mi_cols, mi_rows, spans,
             (modes, np.asarray(mv8).reshape(gh, gw, 2)[:gh_t, :gw_t],
              np.asarray(skip).reshape(gh, gw)[:gh_t, :gw_t]),
-            ylv, ulv, vlv)
+            ylv, ulv, vlv, strip_skip=strip_skip)
         hdr = W.write_inter_frame_header(
             tw, th, qindex, order_hint=oh,
             refresh_frame_flags=0x01 if refresh else 0x00,

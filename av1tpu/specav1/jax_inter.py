@@ -198,6 +198,44 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     rec_y_p = to_plane(rec_y_b, 32, H, Wd)
     rec_u_p = to_plane(rec_u_b, 16, H // 2, Wd // 2)
     rec_v_p = to_plane(rec_v_b, 16, H // 2, Wd // 2)
+    lv_y_p = to_plane(lv_y, 32, H, Wd)
+    lv_u_p = to_plane(lv_u, 16, H // 2, Wd // 2)
+    lv_v_p = to_plane(lv_v, 16, H // 2, Wd // 2)
+    # 16px bottom strip (height % 32 == 16): intra V_PRED 16x16 blocks
+    # with coded luma residual, chroma prediction-only — identical to
+    # the keyframe strip (strip blocks are intra in every frame)
+    nsc = 2 * (Wd // 32)
+    if (not stripe) and th % 32 == 16:
+        from av1tpu.specav1.jax_intra import _fwd_mat as _fm
+        fm16i = jnp.asarray(_fm(16))
+        y0 = (th // 32) * 32
+        pred = jnp.broadcast_to(rec_y_p[y0 - 1][None, :], (16, Wd))
+        srows = src_y[y0:y0 + 16, :]
+        resid = (srows - pred).astype(jnp.float32)
+        rblk = resid.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
+        coef = jnp.einsum("ij,bjk,lk->bil", fm16i, rblk, fm16i)
+        lvs = quant(coef, 16, 0)
+        dqs = dequant(lvs, 16, 0)
+        pblk = pred.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
+        rec_blk = inv_dct2d_add(dqs, pblk.astype(jnp.int32), bit_depth)
+        rec_rows = rec_blk.transpose(1, 0, 2).reshape(16, Wd)
+        lv_rows = lvs.transpose(1, 0, 2).reshape(16, Wd)
+        rec_y_p = jax.lax.dynamic_update_slice(rec_y_p, rec_rows, (y0, 0))
+        lv_y_p = jax.lax.dynamic_update_slice(lv_y_p, lv_rows, (y0, 0))
+        strip_skip = (lvs == 0).all(axis=(1, 2))[:nsc].astype(jnp.int32)
+        cy0 = y0 // 2
+        cpred = jnp.broadcast_to(rec_u_p[cy0 - 1][None, :], (8, Wd // 2))
+        rec_u_p = jax.lax.dynamic_update_slice(
+            rec_u_p, cpred.astype(rec_u_p.dtype), (cy0, 0))
+        cpredv = jnp.broadcast_to(rec_v_p[cy0 - 1][None, :], (8, Wd // 2))
+        rec_v_p = jax.lax.dynamic_update_slice(
+            rec_v_p, cpredv.astype(rec_v_p.dtype), (cy0, 0))
+        lv_u_p = jax.lax.dynamic_update_slice(
+            lv_u_p, jnp.zeros((8, Wd // 2), lv_u_p.dtype), (cy0, 0))
+        lv_v_p = jax.lax.dynamic_update_slice(
+            lv_v_p, jnp.zeros((8, Wd // 2), lv_v_p.dtype), (cy0, 0))
+    else:
+        strip_skip = jnp.zeros((nsc,), jnp.int32)
     if deblock and not stripe:
         # in-loop deblocking (stripe mode filters after the gather on
         # the full frame — tile-row edges need both sides)
@@ -205,11 +243,8 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         rec_y_p, rec_u_p, rec_v_p = _LF.deblock_frame(
             rec_y_p, rec_u_p, rec_v_p, lf_y, lf_uv, lf_uv,
             bit_depth, th, tw)
-    return (mv8, skip,
-            to_plane(lv_y, 32, H, Wd),
-            to_plane(lv_u, 16, H // 2, Wd // 2),
-            to_plane(lv_v, 16, H // 2, Wd // 2),
-            rec_y_p, rec_u_p, rec_v_p)
+    return (mv8, skip, lv_y_p, lv_u_p, lv_v_p,
+            rec_y_p, rec_u_p, rec_v_p, strip_skip)
 
 
 def encode_interframe_device(y, u, v, ref_planes, qindex: int,
@@ -224,7 +259,7 @@ def encode_interframe_device(y, u, v, ref_planes, qindex: int,
     out = _encode_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                         ref_planes[0], ref_planes[1], ref_planes[2],
                         qindex, bit_depth, th=th, tw=tw)
-    mv8, skip, ylv, ulv, vlv, ry, ru, rv = out
+    mv8, skip, ylv, ulv, vlv, ry, ru, rv = out[0:8]
     mvs = np.asarray(mv8).reshape(gh, gw, 2)
     skips = np.asarray(skip).reshape(gh, gw)
     modes = np.ones((gh, gw), np.int32)

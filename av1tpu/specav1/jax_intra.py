@@ -389,9 +389,14 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     H, Wd = nbr * 32, nbc * 32
     th = th or H
     tw = tw or Wd
+    # 16px bottom strip (height % 32 == 16): the last 4 mi rows code as
+    # edge-SPLIT 16x16 V_PRED blocks after the main wavefront
+    strip = (th % 32) == 16
+    nbr_main = th // 32
     # wavefront over the CODED grid only (ceil of the true dims): the
     # decoder neither codes nor makes available any block beyond it
-    waves = plan_waves(-(-th // 32), -(-tw // 32), tile_row_starts)
+    waves = plan_waves(nbr_main if strip else -(-th // 32),
+                       -(-tw // 32), tile_row_starts)
     wave_xs = {k: jnp.asarray(a) for k, a in waves.items()}
     base = 1 << (bit_depth - 1)
     maxlvl = (1 << bit_depth) - 1
@@ -507,15 +512,46 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
             jnp.zeros((nbr, nbc), jnp.int32),
             jnp.zeros((nbr, nbc), jnp.int32))
     carry, _ = jax.lax.scan(wave_step, init, wave_xs)
+    nsc = 2 * nbc  # strip columns (16px each)
+    if strip:
+        rec_y, rec_u, rec_v, lv_y, lv_u, lv_v = carry[0:6]
+        y0 = nbr_main * 32
+        # luma: V_PRED from the row above, coded 16x16 DCT residual
+        pred = jnp.broadcast_to(rec_y[y0 - 1][None, :], (16, Wd))
+        srows = src_y[y0:y0 + 16, :]
+        resid = (srows - pred).astype(jnp.float32)
+        rblk = resid.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
+        coef = jnp.einsum("ij,bjk,lk->bil", fm16, rblk, fm16)
+        lvs = quant(coef, 16, 0)
+        dq = dequant(lvs, 16, 0)
+        pblk = pred.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
+        rec_blk = inv_dct2d_add(dq, pblk.astype(jnp.int32), bit_depth)
+        rec_rows = rec_blk.transpose(1, 0, 2).reshape(16, Wd)
+        lv_rows = lvs.transpose(1, 0, 2).reshape(16, Wd)
+        rec_y = jax.lax.dynamic_update_slice(rec_y, rec_rows, (y0, 0))
+        lv_y = jax.lax.dynamic_update_slice(lv_y, lv_rows, (y0, 0))
+        strip_skip = (lvs == 0).all(axis=(1, 2))[:nsc].astype(jnp.int32)
+        # chroma: V_PRED prediction only (all-zero txbs keep every
+        # transform square); levels stay zero
+        cy0 = y0 // 2
+        cpred = jnp.broadcast_to(rec_u[cy0 - 1][None, :], (8, Wd // 2))
+        rec_u = jax.lax.dynamic_update_slice(
+            rec_u, cpred.astype(rec_u.dtype), (cy0, 0))
+        cpredv = jnp.broadcast_to(rec_v[cy0 - 1][None, :], (8, Wd // 2))
+        rec_v = jax.lax.dynamic_update_slice(
+            rec_v, cpredv.astype(rec_v.dtype), (cy0, 0))
+        carry = (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v) + tuple(carry[6:])
+    else:
+        strip_skip = jnp.zeros((nsc,), jnp.int32)
     # in-loop deblocking on the completed recon (spec placement: the
     # wavefront's in-frame intra prediction used the unfiltered planes;
     # the filtered frame is the display output and inter reference)
     if not deblock:
-        return carry
+        return carry + (strip_skip,)
     from av1tpu.specav1 import loopfilter as _LF
     fy, fu, fv = _LF.deblock_frame(carry[0], carry[1], carry[2],
                                    lf_y, lf_uv, lf_uv, bit_depth, th, tw)
-    return (fy, fu, fv) + tuple(carry[3:])
+    return (fy, fu, fv) + tuple(carry[3:]) + (strip_skip,)
 
 
 def encode_keyframe_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -535,7 +571,7 @@ def encode_keyframe_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                         jnp.int32(qindex), nbr=nbr, nbc=nbc,
                         bit_depth=bit_depth)
     (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v,
-     g_mode, g_uv, g_skip) = jax.device_get(out)
+     g_mode, g_uv, g_skip) = jax.device_get(out[0:9])
     tile = native.encode_intra32_tile(qindex, pw // 4, ph // 4, g_mode,
                                       g_uv, g_skip, lv_y, lv_u, lv_v)
     tu = W.assemble_keyframe(pw, ph, qindex, tile,

@@ -85,7 +85,8 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
 
     out_specs = (P("stripe"), P("stripe"), P("stripe", None),
                  P("stripe", None), P("stripe", None),
-                 P("stripe", None), P("stripe", None), P("stripe", None))
+                 P("stripe", None), P("stripe", None), P("stripe", None),
+                 P(None))
     out = shard_map(
         body, mesh=mesh,
         in_specs=(P("stripe", None), P("stripe", None), P("stripe", None),
@@ -101,4 +102,4 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
     from av1tpu.specav1 import loopfilter as _LF
     fy, fu, fv = _LF.deblock_frame(out[5], out[6], out[7], lf_y, lf_uv,
                                    lf_uv, bit_depth, th, tw)
-    return out[0:5] + (fy, fu, fv)
+    return out[0:5] + (fy, fu, fv) + out[8:]

@@ -45,6 +45,7 @@ def _lib() -> ctypes.CDLL:
         lib.stw_encode_intra32.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int64]
@@ -52,6 +53,7 @@ def _lib() -> ctypes.CDLL:
         lib.stw_encode_inter32.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int64]
@@ -115,20 +117,23 @@ def _pool():
 
 
 def encode_tile_rows(kind: str, qindex: int, mi_cols: int, mi_rows: int,
-                     spans: list, grid_args: tuple, ylv, ulv, vlv) -> list:
+                     spans: list, grid_args: tuple, ylv, ulv, vlv,
+                     strip_skip=None) -> list:
     """Encode one spec tile per (mi_row0, mi_row1) span, in parallel
     (the C++ walker releases the GIL).  grid_args: the per-frame grid
     arrays of encode_intra32_tile / encode_inter32_tile; each tile gets
-    the matching row slice.  Returns the list of per-tile bytes."""
+    the matching row slice.  strip_skip goes to the LAST tile (the 16px
+    bottom strip lives there).  Returns the list of per-tile bytes."""
     enc = encode_intra32_tile if kind == "key" else encode_inter32_tile
 
     def one(span):
         mi0, mi1 = span
         g0, g1 = mi0 // 8, (mi1 + 7) // 8
         sliced = tuple(g[g0:g1] for g in grid_args)
+        ss = strip_skip if mi1 == spans[-1][1] else None
         return enc(qindex, mi_cols, mi1 - mi0, *sliced,
                    ylv[mi0 * 4:], ulv[mi0 * 2:], vlv[mi0 * 2:],
-                   tile_row0=mi0, frame_mi_rows=mi_rows)
+                   tile_row0=mi0, frame_mi_rows=mi_rows, strip_skip=ss)
 
     if len(spans) == 1:
         return [one(spans[0])]
@@ -140,7 +145,8 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
                         skips: np.ndarray, ylv: np.ndarray,
                         ulv: np.ndarray, vlv: np.ndarray,
                         tile_row0: int = 0,
-                        frame_mi_rows: int = 0) -> bytes:
+                        frame_mi_rows: int = 0,
+                        strip_skip: np.ndarray | None = None) -> bytes:
     """Emit one spec tile for a fixed-32x32-grid single-ref inter frame.
 
     modes: (gh, gw) int32, 0 = intra-DC fallback, 1 = inter.
@@ -181,10 +187,16 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
                                    f"({a.size} u16)")
         cap = ylv.size * 4 + ulv.size * 8 + (1 << 16)
         out = ctypes.create_string_buffer(cap)
+        sstrip = None
+        if strip_skip is not None:
+            sstrip = np.ascontiguousarray(np.asarray(strip_skip, np.int32))
+            assert sstrip.size >= (mi_cols + 3) // 4
         sz = lib.stw_encode_inter32(
             w, modes.ctypes.data_as(ctypes.c_void_p),
             mvs.ctypes.data_as(ctypes.c_void_p),
             skips.ctypes.data_as(ctypes.c_void_p),
+            sstrip.ctypes.data_as(ctypes.c_void_p)
+            if sstrip is not None else None,
             ylv.ctypes.data_as(ctypes.c_void_p), ystride,
             ulv.ctypes.data_as(ctypes.c_void_p),
             vlv.ctypes.data_as(ctypes.c_void_p), cstride,
@@ -201,7 +213,8 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
                         skips: np.ndarray, ylv: np.ndarray,
                         ulv: np.ndarray, vlv: np.ndarray,
                         tile_row0: int = 0,
-                        frame_mi_rows: int = 0) -> bytes:
+                        frame_mi_rows: int = 0,
+                        strip_skip: np.ndarray | None = None) -> bytes:
     """Emit one spec tile for a fixed-32x32-grid intra frame.
 
     y_modes/uv_modes/skips: (gh, gw) int32 with gw = mi_cols//8.
@@ -237,10 +250,16 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
                                    f"({a.size} u16)")
         cap = ylv.size * 4 + ulv.size * 8 + (1 << 16)
         out = ctypes.create_string_buffer(cap)
+        sstrip = None
+        if strip_skip is not None:
+            sstrip = np.ascontiguousarray(np.asarray(strip_skip, np.int32))
+            assert sstrip.size >= (mi_cols + 3) // 4
         sz = lib.stw_encode_intra32(
             w, y_modes.ctypes.data_as(ctypes.c_void_p),
             uv_modes.ctypes.data_as(ctypes.c_void_p),
             skips.ctypes.data_as(ctypes.c_void_p),
+            sstrip.ctypes.data_as(ctypes.c_void_p)
+            if sstrip is not None else None,
             ylv.ctypes.data_as(ctypes.c_void_p), ystride,
             ulv.ctypes.data_as(ctypes.c_void_p),
             vlv.ctypes.data_as(ctypes.c_void_p), cstride,

@@ -100,3 +100,39 @@ def test_spec_engine_multitile_bitexact():
                     f"frame {idx} plane {pl}"
             idx += 1
     assert idx == 4
+
+
+@pytest.mark.parametrize("wh", [(192, 112), (192, 144)])
+def test_spec_engine_strip_bitexact(wh):
+    """16px bottom strip (height % 32 == 16, the 720p/2160p geometry):
+    true-dims streams with edge-SPLIT 16x16 V_PRED strip blocks must
+    decode bit-exactly in libaom.  112 puts the strip inside the last
+    SB (12 mi remainder); 144 gives it its own SB row (4 mi)."""
+    import jax
+    from av1tpu.spec_engine import SpecTpuEngine
+    from av1tpu.utils.testsrc import testsrc2
+
+    W, H = wh
+    eng = SpecTpuEngine()
+    eng.cfg.keyint = 4
+    eng.cfg.chunk = 4
+    eng.start_stream()
+    frames = [testsrc2(W, H, i) for i in range(5)]
+    payloads, recons = [], []
+    for fr in frames:
+        pend = eng._submit(fr, 96)
+        recons.append(tuple(np.asarray(p) for p in
+                            jax.device_get(eng._resolve_refs())))
+        payloads.append(eng._finalize(pend))
+    dec = aomcodec.Decoder()
+    idx = 0
+    for p, k in payloads:
+        for f in dec.decode(bytes(p)):
+            for pl, ss in ((0, 0), (1, 1), (2, 1)):
+                a = np.asarray(f[pl], np.int64)
+                b = np.asarray(recons[idx][pl],
+                               np.int64)[:H >> ss, :W >> ss]
+                assert a.shape == b.shape
+                assert np.array_equal(a, b), f"frame {idx} plane {pl}"
+            idx += 1
+    assert idx == 5
