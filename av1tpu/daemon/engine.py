@@ -21,6 +21,11 @@ class EngineError(Exception):
 
 
 def make_engine(cfg):
+    # multi-host (DCN) init is env-driven and a no-op on single hosts;
+    # must run before the first device touch so jax.devices() spans the
+    # whole job (encoder/mesh/distributed.py)
+    from av1tpu.encoder.mesh import distributed
+    distributed.maybe_initialize()
     """Construct the configured engine ("tpu" is the only real engine)."""
     if cfg.encoder != "tpu":
         raise EngineError(

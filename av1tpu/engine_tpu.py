@@ -673,6 +673,20 @@ class TpuEngine:
 
     @staticmethod
     def iter_source_frames(path: str) -> Iterator[Frame]:
+        # uncompressed y4m: native 8/10-bit planes (the test vehicle
+        # for the high-bit-depth path; cv2 decodes everything at 8-bit)
+        with open(path, "rb") as probe_f:
+            if probe_f.read(9) == b"YUV4MPEG2":
+                from av1tpu.media import y4m
+                f = open(path, "rb")
+                try:
+                    hdr, frames = y4m.read_frames(f)
+                    for y, u, v in frames:
+                        yield Frame(y=y, u=u, v=v,
+                                    bit_depth=hdr.bit_depth)
+                finally:
+                    f.close()
+                return
         import cv2
         cap = cv2.VideoCapture(path)
         if not cap.isOpened():
@@ -709,7 +723,8 @@ class TpuEngine:
         # job with a clear reason and leave the source untouched.
         transfer = getattr(vs, "color_transfer_code", 0)
         src_bits = int(getattr(vs, "bit_depth", 0) or 0)
-        if transfer in (16, 18) or src_bits > 8:
+        native_decode = probe_result.format.format_name == "yuv4mpegpipe"
+        if not native_decode and (transfer in (16, 18) or src_bits > 8):
             raise TranscodeError(
                 f"HDR/high-bit-depth source (transfer code {transfer}, "
                 f"{src_bits or '?'}-bit): the 8-bit decode path would "

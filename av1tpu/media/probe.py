@@ -121,6 +121,18 @@ class ProbeError(Exception):
     pass
 
 
+def _probe_y4m(file_path: str) -> ProbeResult:
+    from av1tpu.media import y4m
+    with open(file_path, "rb") as f:
+        hdr = y4m.parse_header(f.readline(256))
+    vs = StreamInfo(index=0, codec_type="video", codec_name="rawvideo",
+                    width=hdr.width, height=hdr.height,
+                    bit_depth=hdr.bit_depth,
+                    avg_frame_rate=f"{hdr.fps_num}/{hdr.fps_den}")
+    return ProbeResult(format=FormatInfo(format_name="yuv4mpegpipe"),
+                       streams=[vs])
+
+
 def probe_file(file_path: str) -> ProbeResult:
     """Probe a media file with our own demuxers (the ProbeFile analog).
 
@@ -144,6 +156,8 @@ def probe_file(file_path: str) -> ProbeResult:
         elif head[:4] == b"DKIF":  # IVF (raw AV1/VPx test container)
             from av1tpu.media import ivf
             result = ivf.probe(file_path)
+        elif head[:9] == b"YUV4MPEG2":  # uncompressed 8/10-bit source
+            result = _probe_y4m(file_path)
         else:
             raise ProbeError("unrecognized container (not EBML/ISOBMFF/IVF)")
     except ProbeError:

@@ -110,3 +110,9 @@ def test_spec_engine_sharded_e2e():
                     f"frame {idx} plane {pl}"
             idx += 1
     assert idx == len(frames)
+
+
+def test_distributed_noop_without_env(monkeypatch):
+    from av1tpu.encoder.mesh import distributed
+    monkeypatch.delenv("AV1TPU_COORDINATOR", raising=False)
+    assert distributed.maybe_initialize() is False

@@ -97,3 +97,52 @@ def test_spec_engine_10bit_frames():
             n += 1
     n += len(dec.flush()) if hasattr(dec, "flush") else 0
     assert n == 5
+
+
+def test_y4m_10bit_source_end_to_end(tmp_path):
+    """A 10-bit y4m source transcodes through the daemon-shaped engine
+    into a high_bitdepth AV1 stream that libaom decodes at 10 bits
+    (BASELINE config #4: the 10-bit path done natively, not through the
+    reference's 8-bit nv12 squeeze)."""
+    from av1tpu.media import y4m
+    from av1tpu.media import mkv
+    from av1tpu.media.probe import probe_file
+    from av1tpu.spec_engine import SpecTpuEngine
+
+    rng = np.random.default_rng(3)
+    frames = []
+    base = rng.integers(80, 940, (96 * 2, 128 * 2)).astype(np.uint16)
+    for i in range(6):
+        frames.append((base[2 * i:2 * i + 96, 3 * i:3 * i + 128],
+                       np.full((48, 64), 512, np.uint16),
+                       np.full((48, 64), 480, np.uint16)))
+    src = str(tmp_path / "clip10.y4m")
+    y4m.write(src, frames, fps=(24, 1), bit_depth=10)
+
+    pr = probe_file(src)
+    assert pr.video_stream.bit_depth == 10
+    out = str(tmp_path / "out10.mkv")
+    eng = SpecTpuEngine()
+    eng.cfg.keyint = 4
+    eng.transcode(src, out, pr, False)
+
+    with open(out, "rb") as f:
+        m = mkv.parse(f)
+        v = [t for t in m.tracks if t.codec_id == "V_AV1"][0]
+        pkts = [p for p in mkv.iter_packets(f, m)
+                if p.track_number == v.number]
+    assert len(pkts) == 6
+    dec = aomcodec.Decoder()
+    n = 0
+    se = 0.0
+    for i, p in enumerate(pkts):
+        for y, u, v_, bd in dec.decode(bytes(p.data)):
+            assert bd == 10
+            assert y.shape == (96, 128)
+            assert y.max() > 255  # real 10-bit range survived
+            d = y.astype(np.float64) - frames[n][0].astype(np.float64)
+            se += (d ** 2).mean()
+            n += 1
+    assert n == 6
+    psnr = 10 * np.log10(1023.0 ** 2 / (se / n))
+    assert psnr > 34, psnr

@@ -229,7 +229,22 @@ OFFSETS: dict[str, int] = {
     "palette_y_size": 95104,   # remaining rows of the same 22-row block
     "palette_uv_size": 95216,  # (y/uv order provisional until palette
                                # is exercised behaviorally)
+    # inter-mode cluster (round 2, resolved by cross-binary rodata
+    # analysis + dense behavioral replay against libaom; ICF note
+    # below): section offsets within the mode-defaults region
+    "comp_inter": 95744,       # (5940,8733,20737,22128,29867)
+    "single_ref": 95776,       # 18 rows [ctx][tree]
+    "newmv": 96080,            # (8733,16138,17429,24382,20546,28092)
+    "refmv": 96112,            # (8794,8580,14920,4146,8456,12845)
+    "drl": 96144,              # (19664,8208,13823)
 }
+
+# NOTE on zeromv: the linker's identical-code-folding (ICF) dedupes the
+# zeromv rows against byte-identical rows of other tables, so it has no
+# standalone rodata copy in any system binary.  Its values (30593,
+# 31714) were pinned behaviorally: a 64-GLOBALMV dense-adaptation
+# stream disambiguates the >>6 range-coder quantization window
+# [30592..30655] (see av1tpu/encoder/entropy/av1_default_cdfs.npz).
 
 # Tables in the packed mode-defaults region: rows are the standard
 # [value(s), 0-terminator, counter] layout at the usual stride, but the
