@@ -478,7 +478,11 @@ class SpecTpuEngine(TpuEngine):
                 obu_mod.OBU_FRAME,
                 hdr.tobytes() + W.assemble_tile_group(tiles)), False
 
-        return [one(i) for i in range(k)]
+        # frames in parallel on the entropy pool; each frame's tiles
+        # fan out further on the native tile pool (distinct pools, so
+        # no nested-submit deadlock)
+        from av1tpu.engine_tpu import _entropy_pool
+        return list(_entropy_pool().map(one, range(k)))
 
     @staticmethod
     def _finalize(pending) -> tuple[bytes, bool]:

@@ -157,9 +157,12 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     fm16 = jnp.asarray(_fwd_mat(16))
     dcq = jnp.asarray(recon.DC_Q[bit_depth], jnp.int32)[qindex]
     acq = jnp.asarray(recon.AC_Q[bit_depth], jnp.int32)[qindex]
+    # quantizer rounding offset: floor(|c|/q + 1 - AV1TPU_QROUND).
+    # 0.70 sits on the RD knee for this deadzone quantizer (sweep in
+    # BASELINE.md round-2 notes); override via env for experiments.
     import os as _os
     deadzone = jnp.float32(
-        1.0 - float(_os.environ.get("AV1TPU_QROUND", "0.62")))
+        1.0 - float(_os.environ.get("AV1TPU_QROUND", "0.70")))
 
     def quant(coef, nn, shift):
         dq = jnp.full((nn, nn), acq, jnp.float32)
@@ -187,6 +190,32 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     lv_y, rec_y_b = plane_pipe(y, pred_y, 32, 1, fm32)
     lv_u, rec_u_b = plane_pipe(u, pred_u, 16, 0, fm16)
     lv_v, rec_v_b = plane_pipe(v, pred_v, 16, 0, fm16)
+
+    # per-block skip RDO: zero a block's residual when the distortion
+    # saved by coding it doesn't pay for its coefficient bits
+    # (cost = D + lambda*R with R ~ 3 bits/nonzero, lambda ~ q^2 scaled)
+    def sblk(src, nn):
+        return src.astype(jnp.int32).reshape(
+            gh, nn, gw, nn).transpose(0, 2, 1, 3).reshape(B, nn, nn)
+
+    yb, ub, vb = sblk(y, 32), sblk(u, 16), sblk(v, 16)
+    d_skip = (((yb - pred_y) ** 2).sum((1, 2)) +
+              ((ub - pred_u) ** 2).sum((1, 2)) +
+              ((vb - pred_v) ** 2).sum((1, 2)))
+    d_code = (((yb - rec_y_b) ** 2).sum((1, 2)) +
+              ((ub - rec_u_b) ** 2).sum((1, 2)) +
+              ((vb - rec_v_b) ** 2).sum((1, 2)))
+    nnz = ((lv_y != 0).sum((1, 2)) + (lv_u != 0).sum((1, 2)) +
+           (lv_v != 0).sum((1, 2)))
+    lam = (acq.astype(jnp.int64) * acq.astype(jnp.int64)) >> 7
+    force = d_skip.astype(jnp.int64) <         d_code.astype(jnp.int64) + lam * (3 * nnz.astype(jnp.int64))
+    fm = force[:, None, None]
+    lv_y = jnp.where(fm, 0, lv_y)
+    lv_u = jnp.where(fm, 0, lv_u)
+    lv_v = jnp.where(fm, 0, lv_v)
+    rec_y_b = jnp.where(fm, pred_y, rec_y_b)
+    rec_u_b = jnp.where(fm, pred_u, rec_u_b)
+    rec_v_b = jnp.where(fm, pred_v, rec_v_b)
 
     skip = ((lv_y == 0).all(axis=(1, 2)) & (lv_u == 0).all(axis=(1, 2)) &
             (lv_v == 0).all(axis=(1, 2))).astype(jnp.int32)

@@ -410,9 +410,12 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     fm16 = jnp.asarray(_fwd_mat(16))
     dcq = jnp.asarray(recon.DC_Q[bit_depth], jnp.int32)[qindex]
     acq = jnp.asarray(recon.AC_Q[bit_depth], jnp.int32)[qindex]
+    # quantizer rounding offset: floor(|c|/q + 1 - AV1TPU_QROUND).
+    # 0.70 sits on the RD knee for this deadzone quantizer (sweep in
+    # BASELINE.md round-2 notes); override via env for experiments.
     import os as _os
     deadzone = jnp.float32(
-        1.0 - float(_os.environ.get("AV1TPU_QROUND", "0.62")))
+        1.0 - float(_os.environ.get("AV1TPU_QROUND", "0.70")))
 
     def quant(coef, n, shift):
         dq = jnp.full((n, n), acq, jnp.float32)

@@ -104,6 +104,24 @@ def _fc_tables(fc: FrameContext) -> list[tuple[int, np.ndarray]]:
     ]
 
 
+_fc_buf_cache: dict = {}
+
+
+def _fc_buffers(qindex: int) -> list:
+    """(table_id, contiguous uint16 array) list for a qindex, cached —
+    FrameContext construction + dtype conversion cost ~8ms and was
+    being paid once PER TILE (4 tiles x 8 frames per chunk)."""
+    got = _fc_buf_cache.get(qindex)
+    if got is None:
+        fc = FrameContext(qindex)
+        got = [(tid, np.ascontiguousarray(arr.astype(np.uint16)))
+               for tid, arr in _fc_tables(fc)]
+        if len(_fc_buf_cache) > 64:
+            _fc_buf_cache.clear()
+        _fc_buf_cache[qindex] = got
+    return got
+
+
 _tile_pool = None
 
 
@@ -156,7 +174,6 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
     frame (MV clamping is frame-relative)."""
     lib = _lib()
     gh, gw = (mi_rows + 7) // 8, (mi_cols + 7) // 8
-    fc = FrameContext(qindex)
 
     def as32(a, shape):
         a = np.ascontiguousarray(np.asarray(a, np.int32))
@@ -178,15 +195,17 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
         if tile_row0 or frame_mi_rows:
             lib.stw_set_tile_row(w, tile_row0,
                                  frame_mi_rows or mi_rows)
-        for tid, arr in _fc_tables(fc):
-            a = np.ascontiguousarray(arr.astype(np.uint16))
+        for tid, a in _fc_buffers(qindex):
             ok = lib.stw_set_cdf(w, tid, a.ctypes.data_as(ctypes.c_void_p),
                                  a.size)
             if not ok:
                 raise RuntimeError(f"cdf table {tid} shape mismatch "
                                    f"({a.size} u16)")
-        cap = ylv.size * 4 + ulv.size * 8 + (1 << 16)
-        out = ctypes.create_string_buffer(cap)
+        # worst-case tile bytes ~ 2 B/px at near-lossless; np.empty
+        # avoids create_string_buffer's zeroing of multi-MB caps (the
+        # level planes passed in may span the whole frame)
+        cap = mi_rows * 4 * mi_cols * 4 * 2 + (1 << 16)
+        out = np.empty(cap, np.uint8)
         sstrip = None
         if strip_skip is not None:
             sstrip = np.ascontiguousarray(np.asarray(strip_skip, np.int32))
@@ -200,10 +219,10 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
             ylv.ctypes.data_as(ctypes.c_void_p), ystride,
             ulv.ctypes.data_as(ctypes.c_void_p),
             vlv.ctypes.data_as(ctypes.c_void_p), cstride,
-            out, cap)
+            out.ctypes.data_as(ctypes.c_void_p), cap)
         if sz < 0:
             raise RuntimeError("tile buffer too small")
-        return out.raw[:sz]
+        return out[:sz].tobytes()
     finally:
         lib.stw_destroy(w)
 
@@ -223,7 +242,6 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
     """
     lib = _lib()
     gh, gw = (mi_rows + 7) // 8, (mi_cols + 7) // 8
-    fc = FrameContext(qindex)
 
     def as32(a, shape):
         a = np.ascontiguousarray(np.asarray(a, np.int32))
@@ -241,15 +259,20 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
 
     w = lib.stw_create(mi_cols, mi_rows, qindex)
     try:
-        for tid, arr in _fc_tables(fc):
-            a = np.ascontiguousarray(arr.astype(np.uint16))
+        if tile_row0 or frame_mi_rows:
+            lib.stw_set_tile_row(w, tile_row0,
+                                 frame_mi_rows or mi_rows)
+        for tid, a in _fc_buffers(qindex):
             ok = lib.stw_set_cdf(w, tid, a.ctypes.data_as(ctypes.c_void_p),
                                  a.size)
             if not ok:
                 raise RuntimeError(f"cdf table {tid} shape mismatch "
                                    f"({a.size} u16)")
-        cap = ylv.size * 4 + ulv.size * 8 + (1 << 16)
-        out = ctypes.create_string_buffer(cap)
+        # worst-case tile bytes ~ 2 B/px at near-lossless; np.empty
+        # avoids create_string_buffer's zeroing of multi-MB caps (the
+        # level planes passed in may span the whole frame)
+        cap = mi_rows * 4 * mi_cols * 4 * 2 + (1 << 16)
+        out = np.empty(cap, np.uint8)
         sstrip = None
         if strip_skip is not None:
             sstrip = np.ascontiguousarray(np.asarray(strip_skip, np.int32))
@@ -263,9 +286,9 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
             ylv.ctypes.data_as(ctypes.c_void_p), ystride,
             ulv.ctypes.data_as(ctypes.c_void_p),
             vlv.ctypes.data_as(ctypes.c_void_p), cstride,
-            out, cap)
+            out.ctypes.data_as(ctypes.c_void_p), cap)
         if sz < 0:
             raise RuntimeError("tile buffer too small")
-        return out.raw[:sz]
+        return out[:sz].tobytes()
     finally:
         lib.stw_destroy(w)

@@ -28,7 +28,10 @@ def main() -> int:
     from av1tpu.utils.testsrc import testsrc2
 
     width, height = 1920, 1080
-    warmup, timed = 5, 24  # warmup: key compile + one P-frame chunk compile
+    # warmup must cover BOTH dispatch shapes incl. one full P-frame
+    # chunk (key + 12 P = one 8-chunk + remainder singles); otherwise
+    # the timed region pays one-time chunk costs
+    warmup, timed = 13, 24
 
     # the axon tunnel's first D2H transfer can stall for minutes:
     # absorb it on a side thread while source frames generate
