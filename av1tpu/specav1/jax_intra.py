@@ -435,6 +435,15 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     src_u = u.astype(jnp.int32)
     src_v = v.astype(jnp.int32)
 
+    # when the 16px strip shares its SB with the last main block row
+    # (th % 64 == 48), the DECODER sees bottom-left pixels for that
+    # row's SB-aligned blocks (the previous SB's strip decodes first in
+    # z-order) that this planner does not model — ban the one mode that
+    # reads them (D203) on that row so encoder and decoder predictions
+    # agree
+    strip_same_sb = strip and (nbr_main * 32) % 64 == 32
+    d203_lane = jnp.asarray(_MODE_IDS == recon.D203_PRED)
+
     def block_fn(rec_y, rec_u, rec_v, r, c, have_a, have_l, ntr, nbl):
         y0, x0 = r * 32, c * 32
         ha = have_a.astype(bool)
@@ -449,6 +458,10 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         sse = ((sy[None] - preds) ** 2).sum(axis=(1, 2))  # < 2^27, int32-safe
         penalty = jnp.where(jnp.asarray(_DIRECTIONAL) & ~(ha | hl),
                             jnp.int32(1 << 30), jnp.int32(0))
+        if strip_same_sb:
+            penalty = penalty + jnp.where(
+                d203_lane & (r == nbr_main - 1), jnp.int32(1 << 30),
+                jnp.int32(0))
         mi = jnp.argmin(sse + penalty)
         mode = jnp.asarray(_MODE_IDS)[mi]
         pred = preds[mi]

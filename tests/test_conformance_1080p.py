@@ -56,3 +56,19 @@ def test_conformance_540p_class():
                            "set AV1TPU_SLOW=1")
 def test_conformance_1080p_multigop():
     _conformance_gop(1920, 1080, 25, keyint=12, chunk=8)
+
+
+@pytest.mark.skipif(os.environ.get("AV1TPU_SLOW") != "1",
+                    reason="4K conformance is slow off-TPU; "
+                           "set AV1TPU_SLOW=1")
+def test_conformance_4k():
+    """3840x2160 true dimensions (strip inside a 12-mi last SB, 4 tile
+    rows): verified bit-exact on the TPU in round 2."""
+    _conformance_gop(3840, 2160, 3, keyint=8, chunk=1)
+
+
+def test_conformance_strip_shares_sb():
+    """height % 64 == 48: the strip shares its SB with the last main
+    block row — the decoder sees bottom-left strip pixels there, which
+    the encoder's mode planner must respect (4K-class geometry)."""
+    _conformance_gop(192, 240, 4, keyint=4)
