@@ -33,6 +33,10 @@ class TpuEncoderConfig:
     num_chips: int = 0         # 0 = all visible devices
     speed: int = 6             # 0 (slowest/best) .. 9 (fastest)
     chunk: int = 8             # P-frames batched per device dispatch
+    # quantizer rounding offset (deadzone: floor(|c|/q + 1 - qround)).
+    # Normative for the emitted bits, so it lives in config and is
+    # recorded per job; 0.70 is the measured RD knee (BASELINE.md).
+    qround: float = 0.70
     lowres_decode: bool = False
     # startup self-test frame (VerifyFFmpeg analog is 1280x720;
     # binary.go:282-295). Smaller sizes cut first-compile cost on

@@ -198,6 +198,7 @@ def process_job(job: jobs.Job, engine: Transcoder, probe_result,
         job.encoded_frames = int(stats.get("encoded_frames", 0))
         job.encode_fps = float(stats.get("encode_fps", 0.0))
         job.resumed_frames = int(stats.get("resumed_frames", 0))
+        job.qround = float(stats.get("qround", 0.0))
     job.progress_frames = 0  # final record drops the live counter
     job.total_frames = 0
 

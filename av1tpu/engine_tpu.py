@@ -742,8 +742,11 @@ class TpuEngine:
             orig_bytes = int(probe_result.format.size or 0)
         except (TypeError, ValueError):
             duration, orig_bytes = 0.0, 0
+        est_total = 0
+        if duration > 0:
+            est_total = max(1, int(duration * fps_num / fps_den))
         if duration > 0 and orig_bytes > 0:
-            total_frames = max(1, int(duration * fps_num / fps_den))
+            total_frames = est_total
             gate_ratio = getattr(self, "gate_ratio", 0.90)
             # video budget = gate target minus copied-stream bytes, with
             # a 5% safety margin and ~2% mux overhead (main.go:384-449
@@ -839,11 +842,22 @@ class TpuEngine:
         # video timestamps: source PTS in display order (VFR preserved);
         # frames beyond the container's packet list fall back to CFR
         # steps.  WebRip-like sources are normalized to start at zero
-        # (reference transcode.go:58-64,125-131).
+        # (reference transcode.go:58-64,125-131: -start_at_zero /
+        # -avoid_negative_ts make_zero rebase EVERY stream by one shared
+        # offset — the earliest timestamp across video and all copied
+        # tracks — so A/V deltas survive the rebase exactly).
         pts_plan = sorted(src_video_pts)
-        if is_webrip_like and pts_plan and pts_plan[0] != 0:
-            base = pts_plan[0]
-            pts_plan = [t - base for t in pts_plan]
+        if is_webrip_like:
+            starts = []
+            if pts_plan:
+                starts.append(pts_plan[0])
+            if src_packets:
+                starts.append(min(p.timestamp_ns for p in src_packets))
+            base = min(starts) if starts else 0
+            if base != 0:
+                pts_plan = [t - base for t in pts_plan]
+                for p in src_packets:
+                    p.timestamp_ns -= base
 
         def ts_of(i: int) -> tuple[int, int]:
             if i < len(pts_plan):
@@ -892,9 +906,30 @@ class TpuEngine:
                 last_end_ns = t + dur
                 total_bytes += len(payload)
 
+            # live per-job progress (SURVEY §5 tracing mandate): the
+            # daemon persists these into the job JSON, throttled to
+            # ~1 Hz so frame cadence never turns into fsync cadence
+            progress_cb = getattr(self, "progress_cb", None)
+            prog_every = float(getattr(self, "progress_interval", 1.0))
+            last_prog = 0.0
+
+            def report_progress(done: int) -> None:
+                nonlocal last_prog
+                if progress_cb is None:
+                    return
+                now = time.monotonic()
+                if now - last_prog < prog_every:
+                    return
+                last_prog = now
+                try:
+                    progress_cb(done, est_total)
+                except Exception:
+                    log.exception("progress callback failed")
+
             for i, (payload, is_key) in enumerate(resumed):
                 emit(payload, is_key, i)
                 n += 1
+            report_progress(n)
             for payload, is_key in self.encode_stream(
                     _to_encode(), rate if rate is not None else qindex):
                 writer.append(payload, is_key)
@@ -903,6 +938,7 @@ class TpuEngine:
                 n_new += 1
                 if is_key:
                     writer.flush()  # durable at GOP boundaries
+                report_progress(n)
             if n == 0:
                 raise TranscodeError("source decoded zero frames")
             while si < len(src_packets):
@@ -933,7 +969,8 @@ class TpuEngine:
         self.stats.bytes += total_bytes
         fps = n_new / dt if dt > 0 else 0.0
         self.last_job_stats = {"encoded_frames": n, "encode_fps": fps,
-                               "resumed_frames": n_resume}
+                               "resumed_frames": n_resume,
+                               "qround": getattr(self, "_qround", 0.0)}
         log.info("encoded %d frames (%d resumed) %dx%d in %.2fs "
                  "(%.2f fps), %d bytes", n, n_resume, width, height, dt,
                  fps, total_bytes)

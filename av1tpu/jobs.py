@@ -71,6 +71,7 @@ class Job:
     encoded_frames: int = 0                  # omitempty
     encode_fps: float = 0.0                  # omitempty
     resumed_frames: int = 0                  # omitempty
+    qround: float = 0.0                      # omitempty (quantizer knob)
     progress_frames: int = 0                 # omitempty (live, running jobs)
     total_frames: int = 0                    # omitempty
 
@@ -118,6 +119,8 @@ class Job:
             d["encode_fps"] = round(self.encode_fps, 2)
         if self.resumed_frames:
             d["resumed_frames"] = self.resumed_frames
+        if self.qround:
+            d["qround"] = self.qround
         if self.progress_frames:
             d["progress_frames"] = self.progress_frames
         if self.total_frames:
@@ -150,6 +153,7 @@ class Job:
             encoded_frames=int(d.get("encoded_frames", 0) or 0),
             encode_fps=float(d.get("encode_fps", 0.0) or 0.0),
             resumed_frames=int(d.get("resumed_frames", 0) or 0),
+            qround=float(d.get("qround", 0.0) or 0.0),
             progress_frames=int(d.get("progress_frames", 0) or 0),
             total_frames=int(d.get("total_frames", 0) or 0),
         )

@@ -85,17 +85,19 @@ def _encode_chunk_jit():
 
     @functools.partial(jax.jit,
                        static_argnames=("k", "ph", "pw", "bit_depth",
-                                        "th", "tw", "cap", "deblock"))
+                                        "th", "tw", "cap", "deblock",
+                                        "qround"))
     def go(packed, ry, ru, rv, qindexes, lfys, lfuvs, k: int, ph: int,
            pw: int, bit_depth: int, th: int, tw: int, cap: int,
-           deblock: bool = False):
+           deblock: bool = False, qround: float = 0.70):
         ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
 
         def step(carry, xs):
             y, u, v, q, lfy, lfuv = xs
             out = jax_inter._encode_frame(y, u, v, *carry, q, bit_depth,
                                           th=th, tw=tw, lf_y=lfy,
-                                          lf_uv=lfuv, deblock=deblock)
+                                          lf_uv=lfuv, deblock=deblock,
+                                          qround=qround)
             return out[5:8], out[0:5] + (out[8],)
 
         carry, outs = jax.lax.scan(step, (ry, ru, rv),
@@ -237,6 +239,7 @@ class SpecTpuEngine(TpuEngine):
         self._dispatch = None  # ordered upload+dispatch worker (lazy)
         self._mesh = None      # multi-chip stripe mesh (lazy)
         self._gop_deblock = False
+        self._qround = float(getattr(self.cfg, "qround", 0.70))
 
     def _stripe_mesh(self, ph: int, th: int):
         """The ("stripe",) device mesh when multi-chip striping is on
@@ -336,7 +339,8 @@ class SpecTpuEngine(TpuEngine):
                 yj, uj, vj, jnp.int32(qindex), nbr=ph // 32,
                 nbc=pw // 32, bit_depth=bd, th=th, tw=tw,
                 tile_row_starts=brs, lf_y=jnp.int32(lfy),
-                lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock)
+                lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
+                qround=self._qround)
             self._ref_dev = out[0:3]
             self._golden_dev = out[0:3]
             grids = jnp.concatenate([out[6].reshape(-1),
@@ -366,7 +370,8 @@ class SpecTpuEngine(TpuEngine):
             out = jax_sharded.encode_inter_sharded(
                 mesh, ys, us, vs, refs[0], refs[1], refs[2], qindex,
                 bit_depth=bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
-                lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock)
+                lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
+                qround=self._qround)
             # recon/levels beyond the coded padded height are garbage
             # rows of the stripe pad; the ref slots keep them (cropped
             # at true dims by the next frame's prep_ref)
@@ -375,7 +380,8 @@ class SpecTpuEngine(TpuEngine):
             out = jax_inter._encode_frame(
                 yj, uj, vj, refs[0], refs[1], refs[2],
                 qindex, bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
-                lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock)
+                lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
+                qround=self._qround)
         if refresh:
             self._ref_dev = out[5:8]
         grids = jnp.concatenate([out[0].reshape(-1),
@@ -419,7 +425,8 @@ class SpecTpuEngine(TpuEngine):
                 jnp.asarray([a for a, _ in lf], jnp.int32),
                 jnp.asarray([b for _, b in lf], jnp.int32),
                 k=k, ph=ph, pw=pw,
-                bit_depth=bd, th=th, tw=tw, cap=cap, deblock=dbl)
+                bit_depth=bd, th=th, tw=tw, cap=cap, deblock=dbl,
+                qround=self._qround)
 
         fut = self._dispatch_pool().submit(worker)
         self._ref_dev = lambda: fut.result()[0]
@@ -616,7 +623,8 @@ class SpecTpuEngine(TpuEngine):
                                            bit_depth=bit_depth, th=th,
                                            tw=tw, tile_row_starts=brs,
                                            lf_y=jnp.int32(0),
-                                           lf_uv=jnp.int32(0))
+                                           lf_uv=jnp.int32(0),
+                                           qround=self._qround)
             # the exact packer shape _submit uses (4-part grid concat)
             gk = jnp.concatenate([kout[6].reshape(-1),
                                   kout[7].reshape(-1),
@@ -629,7 +637,8 @@ class SpecTpuEngine(TpuEngine):
             iout = jax_inter._encode_frame(y, u, v, ry, ru, rv, 96,
                                            bit_depth, th=th, tw=tw,
                                            lf_y=jnp.int32(0),
-                                           lf_uv=jnp.int32(0))
+                                           lf_uv=jnp.int32(0),
+                                           qround=self._qround)
             gi = jnp.concatenate([iout[0].reshape(-1),
                                   iout[1].reshape(-1),
                                   iout[8].reshape(-1)])
@@ -643,7 +652,8 @@ class SpecTpuEngine(TpuEngine):
                           jnp.full((k,), 10, jnp.int32),
                           jnp.full((k,), 10, jnp.int32), k=k, ph=ph,
                           pw=pw, bit_depth=bit_depth, th=th, tw=tw,
-                          cap=k * cap)[1][0].block_until_ready()
+                          cap=k * cap,
+                          qround=self._qround)[1][0].block_until_ready()
 
         jobs = [warm_intra, warm_inter] + ([warm_chunk] if k > 1 else [])
         errs = []

@@ -78,11 +78,12 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("bit_depth", "refine", "th", "tw",
-                                    "stripe", "deblock"))
+                                    "stripe", "deblock", "qround"))
 def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                   bit_depth: int, refine: bool = True,
                   th: int = 0, tw: int = 0, stripe: bool = False,
-                  row0=0, lf_y=0, lf_uv=0, deblock: bool = False):
+                  row0=0, lf_y=0, lf_uv=0, deblock: bool = False,
+                  qround: float = 0.70):
     """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
     rec_y, rec_u, rec_v) for the SB-padded frame.
 
@@ -157,12 +158,11 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     fm16 = jnp.asarray(_fwd_mat(16))
     dcq = jnp.asarray(recon.DC_Q[bit_depth], jnp.int32)[qindex]
     acq = jnp.asarray(recon.AC_Q[bit_depth], jnp.int32)[qindex]
-    # quantizer rounding offset: floor(|c|/q + 1 - AV1TPU_QROUND).
-    # 0.70 sits on the RD knee for this deadzone quantizer (sweep in
-    # BASELINE.md round-2 notes); override via env for experiments.
-    import os as _os
-    deadzone = jnp.float32(
-        1.0 - float(_os.environ.get("AV1TPU_QROUND", "0.70")))
+    # quantizer rounding offset: floor(|c|/q + 1 - qround).  The 0.70
+    # default sits on the RD knee for this deadzone quantizer (sweep in
+    # BASELINE.md round-2 notes); configured via `tpu.qround` and
+    # recorded in the job JSON (it changes every emitted bit).
+    deadzone = jnp.float32(1.0 - qround)
 
     def quant(coef, nn, shift):
         dq = jnp.full((nn, nn), acq, jnp.float32)

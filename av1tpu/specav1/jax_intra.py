@@ -380,10 +380,11 @@ def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes):
 
 @functools.partial(jax.jit,
                    static_argnames=("nbr", "nbc", "bit_depth", "th", "tw",
-                                    "tile_row_starts", "deblock"))
+                                    "tile_row_starts", "deblock", "qround"))
 def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
                   th: int = 0, tw: int = 0, tile_row_starts: tuple = (),
-                  lf_y=0, lf_uv=0, deblock: bool = False):
+                  lf_y=0, lf_uv=0, deblock: bool = False,
+                  qround: float = 0.70):
     """y: (H, W) uint8/16 SB-padded source; returns grids + levels +
     recon planes."""
     H, Wd = nbr * 32, nbc * 32
@@ -410,12 +411,11 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     fm16 = jnp.asarray(_fwd_mat(16))
     dcq = jnp.asarray(recon.DC_Q[bit_depth], jnp.int32)[qindex]
     acq = jnp.asarray(recon.AC_Q[bit_depth], jnp.int32)[qindex]
-    # quantizer rounding offset: floor(|c|/q + 1 - AV1TPU_QROUND).
-    # 0.70 sits on the RD knee for this deadzone quantizer (sweep in
-    # BASELINE.md round-2 notes); override via env for experiments.
-    import os as _os
-    deadzone = jnp.float32(
-        1.0 - float(_os.environ.get("AV1TPU_QROUND", "0.70")))
+    # quantizer rounding offset: floor(|c|/q + 1 - qround).  The 0.70
+    # default sits on the RD knee for this deadzone quantizer (sweep in
+    # BASELINE.md round-2 notes); configured via `tpu.qround` and
+    # recorded in the job JSON (it changes every emitted bit).
+    deadzone = jnp.float32(1.0 - qround)
 
     def quant(coef, n, shift):
         dq = jnp.full((n, n), acq, jnp.float32)

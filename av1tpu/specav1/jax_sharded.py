@@ -64,10 +64,11 @@ def shard_rows(mesh: Mesh, arr):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "bit_depth", "th", "tw",
-                                    "deblock"))
+                                    "deblock", "qround"))
 def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
                          bit_depth: int, th: int, tw: int,
-                         lf_y=0, lf_uv=0, deblock: bool = False):
+                         lf_y=0, lf_uv=0, deblock: bool = False,
+                         qround: float = 0.70):
     """y/u/v: (ph, pw) planes sharded P("stripe"); refs: full-frame
     recon planes (replicated).  Returns jax_inter._encode_frame's
     tuple, planes laid out full-frame (stripe outputs concatenated).
@@ -81,7 +82,7 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
         row0 = jax.lax.axis_index("stripe") * sh
         return jax_inter._encode_frame(
             ys, us, vs, ry, ru, rv, q[0], bit_depth, th=th, tw=tw,
-            stripe=True, row0=row0)
+            stripe=True, row0=row0, qround=qround)
 
     out_specs = (P("stripe"), P("stripe"), P("stripe", None),
                  P("stripe", None), P("stripe", None),

@@ -67,3 +67,38 @@ def test_sidecar_classification_format(tmp_path):
                     "Reasons:\n"
                     "  - filename: contains 'web-dl'\n"
                     "  - extension: .mp4 (web container)")
+
+
+def test_qround_config_reaches_engine(tmp_path):
+    """tpu.qround is the quantizer deadzone knob: normative for emitted
+    bits, so it must come from config (not an env var) and differ the
+    coded levels when changed."""
+    import json
+
+    import numpy as np
+
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps({"tpu": {"qround": 0.45}}))
+    cfg = config_mod.load_config(str(p))
+    assert cfg.tpu.qround == 0.45
+
+    from av1tpu.spec_engine import SpecTpuEngine
+    eng = SpecTpuEngine(cfg.tpu)
+    assert eng._qround == 0.45
+
+    # bit-level effect: a lower qround means a larger rounding offset
+    # (floor(|c|/q + 1 - qround)), so MORE nonzero levels get coded
+    import jax.numpy as jnp
+
+    from av1tpu.specav1 import jax_intra
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+    u = rng.integers(0, 255, (32, 32)).astype(np.uint8)
+    v = rng.integers(0, 255, (32, 32)).astype(np.uint8)
+    outs = {}
+    for q in (0.70, 0.20):
+        o = jax_intra._encode_frame(jnp.asarray(y), jnp.asarray(u),
+                                    jnp.asarray(v), jnp.int32(96),
+                                    nbr=2, nbc=2, bit_depth=8, qround=q)
+        outs[q] = int((np.asarray(o[3]) != 0).sum())
+    assert outs[0.20] > outs[0.70]

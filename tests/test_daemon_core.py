@@ -74,6 +74,34 @@ def test_success_path(tmp_path):
     assert loaded[0].status == jobs.STATUS_SUCCESS
 
 
+def test_live_progress_persisted_mid_job(tmp_path):
+    """process_job wires engine.progress_cb so per-frame progress is
+    visible in the persisted job JSON WHILE the job runs (SURVEY §5
+    tracing; the TUI renders the bar from progress_frames)."""
+    j, src = _mk_job(tmp_path, size=1000)
+    cfg = _cfg(tmp_path)
+    seen = {}
+
+    class ProgressEngine(FakeEngine):
+        def transcode(self, input_path, output_path, probe_result,
+                      is_webrip_like):
+            # mid-job: report progress, then check the on-disk record
+            self.progress_cb(7, 42)
+            loaded = jobs.load_all_jobs(cfg.job_state_dir)
+            seen["mid"] = (loaded[0].progress_frames,
+                           loaded[0].total_frames)
+            super().transcode(input_path, output_path, probe_result,
+                              is_webrip_like)
+
+    eng = ProgressEngine(out_bytes=500)
+    core.process_job(j, eng, None, cfg)
+    assert seen["mid"] == (7, 42)
+    # the final success record drops the live counter
+    loaded = jobs.load_all_jobs(cfg.job_state_dir)
+    assert loaded[0].status == jobs.STATUS_SUCCESS
+    assert loaded[0].progress_frames == 0
+
+
 def test_size_gate_rejection(tmp_path):
     j, src = _mk_job(tmp_path, size=1000)
     eng = FakeEngine(out_bytes=950)  # > 90%

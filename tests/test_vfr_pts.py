@@ -70,6 +70,90 @@ def test_vfr_pts_carried(tmp_path, monkeypatch, webrip, shift):
         assert got_ms == [t + shift for t in VFR_PTS_MS]
 
 
+AUDIO_PTS_MS = [0, 21, 42, 63, 84, 105, 126, 147, 168, 189]
+
+
+def _make_av_source(path: str, shift_ms: int):
+    """An MKV whose video AND audio packets start at a nonzero offset
+    (web-like capture).  Audio leads video by 10 ms."""
+    vtrack = mkv.Track(number=1, uid=1, track_type=mkv.TRACK_TYPE_VIDEO,
+                       codec_id="V_MPEG4/ISO/AVC", width=64, height=64,
+                       default_duration_ns=41_666_666)
+    atrack = mkv.Track(number=2, uid=2, track_type=mkv.TRACK_TYPE_AUDIO,
+                       codec_id="A_AAC")
+    with open(path, "wb") as f:
+        w = mkv_mux.MkvWriter(f, [vtrack, atrack])
+        pkts = [mkv.Packet(track_number=1,
+                           timestamp_ns=(t + shift_ms + 10) * 1_000_000,
+                           data=b"\x00" * 16, keyframe=(i == 0),
+                           duration_ns=41_666_666)
+                for i, t in enumerate(VFR_PTS_MS)]
+        pkts += [mkv.Packet(track_number=2,
+                            timestamp_ns=(t + shift_ms) * 1_000_000,
+                            data=b"\x01" * 8, keyframe=True,
+                            duration_ns=21_000_000)
+                 for t in AUDIO_PTS_MS]
+        for p in sorted(pkts, key=lambda p: p.timestamp_ns):
+            w.write_packet(p)
+        w.finalize((VFR_PTS_MS[-1] + shift_ms + 60) / 1000.0)
+
+
+def test_webrip_zero_base_rebases_all_streams(tmp_path, monkeypatch):
+    """The webrip zero-base must shift copied audio by the SAME offset
+    as video (reference -start_at_zero/-avoid_negative_ts make_zero,
+    transcode.go:59-65,126-131) — a video-only rebase bakes permanent
+    A/V desync into the replaced file."""
+    from av1tpu.spec_engine import SpecTpuEngine
+    src = str(tmp_path / "av_src.mkv")
+    _make_av_source(src, shift_ms=SHIFT_MS)
+    pr = probe_file(src)
+
+    eng = SpecTpuEngine()
+    eng.cfg.keyint = 8
+    monkeypatch.setattr(
+        SpecTpuEngine, "iter_source_frames",
+        staticmethod(lambda path: _fake_frames(len(VFR_PTS_MS))))
+    out = str(tmp_path / "out.mkv")
+    eng.transcode(src, out, pr, True)
+
+    with open(out, "rb") as f:
+        m = mkv.parse(f)
+        v = [t for t in m.tracks if t.codec_id == "V_AV1"][0]
+        a = [t for t in m.tracks if t.codec_id == "A_AAC"][0]
+        vts, ats = [], []
+        for p in mkv.iter_packets(f, m):
+            (vts if p.track_number == v.number else ats).append(
+                p.timestamp_ns)
+    vts_ms = sorted(round(t / 1e6) for t in vts)
+    ats_ms = sorted(round(t / 1e6) for t in ats)
+    # earliest stream (audio) lands at zero; video keeps its +10ms lag
+    assert ats_ms == AUDIO_PTS_MS[: len(ats_ms)] and ats_ms[0] == 0
+    assert vts_ms == [t + 10 for t in VFR_PTS_MS]
+
+
+def test_transcode_reports_live_progress(tmp_path, monkeypatch):
+    """The real transcode loop calls progress_cb with a growing frame
+    count (throttled by progress_interval; 0 here so every frame
+    reports)."""
+    from av1tpu.spec_engine import SpecTpuEngine
+    src = str(tmp_path / "vfr_src.mkv")
+    _make_vfr_source(src)
+    pr = probe_file(src)
+
+    eng = SpecTpuEngine()
+    eng.cfg.keyint = 8
+    eng.progress_interval = 0.0
+    calls = []
+    eng.progress_cb = lambda done, total: calls.append((done, total))
+    monkeypatch.setattr(
+        SpecTpuEngine, "iter_source_frames",
+        staticmethod(lambda path: _fake_frames(len(VFR_PTS_MS))))
+    eng.transcode(src, str(tmp_path / "out.mkv"), pr, False)
+    dones = [d for d, _ in calls]
+    assert dones and dones[-1] == len(VFR_PTS_MS)
+    assert dones == sorted(dones) and max(dones) > 0
+
+
 def test_hdr_source_refused(tmp_path):
     """PQ/HLG or >8-bit sources must fail cleanly (the 8-bit cv2 decode
     path would silently destroy the grade), leaving the source alone."""
