@@ -101,6 +101,14 @@ def finalize_probe(file_path: str, result: ProbeResult) -> ProbeResult:
             video_streams.append(stream)
             if stream.codec_name == "av1":
                 result.has_av1 = True
+            if not stream.bit_depth:
+                # derive bits_per_raw_sample from the codec init record
+                # (avcC/hvcC/av1C/vpcC) the way ffprobe does — the HDR
+                # gate and the job record (jobs.go:41) depend on it
+                from av1tpu.media import codecpriv
+                stream.bit_depth = codecpriv.video_bit_depth(
+                    stream.codec_name, stream.codec_id,
+                    stream.codec_private)
 
     # Main video stream: default disposition else first (probe.go:186-196)
     result.video_stream = None

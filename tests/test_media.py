@@ -284,3 +284,120 @@ def test_hdr_colour_passthrough(tmp_path):
     sh2 = obu_mod.SequenceHeader.parse(sh.write())
     assert (sh2.color_primaries, sh2.color_transfer,
             sh2.color_matrix) == (9, 16, 9)
+
+
+# ---------------------------------------------------------------------------
+# bit depth from codec init records (VERDICT r2: probe bit_depth was a
+# stub for every compressed codec, leaking 10-bit sources past the HDR
+# gate into the 8-bit decode path)
+
+class _SpsBits:
+    def __init__(self):
+        self.bits = []
+
+    def u(self, v, n):
+        self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+    def ue(self, v):
+        x = v + 1
+        n = x.bit_length()
+        self.u(0, n - 1)
+        self.u(x, n)
+
+    def tobytes(self):
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        return bytes(int("".join(map(str, bits[i:i + 8])), 2)
+                     for i in range(0, len(bits), 8))
+
+
+def _avcc_with_bit_depth(bd: int, profile: int = 110) -> bytes:
+    b = _SpsBits()
+    b.u(profile, 8)     # profile_idc (High10)
+    b.u(0, 8)           # constraint flags
+    b.u(120, 8)         # level_idc
+    b.ue(0)             # sps_id
+    b.ue(1)             # chroma_format_idc 4:2:0
+    b.ue(bd - 8)        # bit_depth_luma_minus8
+    b.ue(bd - 8)        # bit_depth_chroma_minus8
+    b.u(0, 8)           # tail filler (parser stops before this)
+    sps = b"\x67" + b.tobytes()
+    return (bytes([1, profile, 0, 120, 0xFF, 0xE1]) +
+            len(sps).to_bytes(2, "big") + sps +
+            b"\x00")    # zero PPS
+
+
+def test_bit_depth_from_codec_private():
+    from av1tpu.media import codecpriv
+
+    # avcC: High10 SPS with bit_depth_luma_minus8 = 2
+    assert codecpriv.video_bit_depth(
+        "h264", "V_MPEG4/ISO/AVC", _avcc_with_bit_depth(10)) == 10
+    assert codecpriv.video_bit_depth(
+        "h264", "V_MPEG4/ISO/AVC", _avcc_with_bit_depth(8)) == 8
+    # baseline profile: SPS has no bit_depth fields -> 8
+    b = _SpsBits()
+    b.u(66, 8); b.u(0, 8); b.u(30, 8); b.ue(0); b.u(0, 8)
+    sps = b"\x67" + b.tobytes()
+    rec = (bytes([1, 66, 0, 30, 0xFF, 0xE1]) +
+           len(sps).to_bytes(2, "big") + sps + b"\x00")
+    assert codecpriv.video_bit_depth("h264", "", rec) == 8
+
+    # hvcC: bitDepthLumaMinus8 at byte 17
+    hvcc = bytearray(23)
+    hvcc[0] = 1
+    hvcc[17] = 0xF8 | 2  # 5 reserved bits set + bitDepthLumaMinus8=2
+    assert codecpriv.video_bit_depth(
+        "hevc", "V_MPEGH/ISO/HEVC", bytes(hvcc)) == 10
+    hvcc[17] = 0xF8
+    assert codecpriv.video_bit_depth("hevc", "", bytes(hvcc)) == 8
+
+    # av1C: high_bitdepth flag
+    assert codecpriv.video_bit_depth("av1", "V_AV1",
+                                     bytes([0x81, 0x0C, 0x40])) == 10
+    assert codecpriv.video_bit_depth("av1", "V_AV1",
+                                     bytes([0x81, 0x0C, 0x00])) == 8
+    assert codecpriv.video_bit_depth("av1", "V_AV1",
+                                     bytes([0x81, 0x0C, 0x60])) == 12
+
+    # VP9 Matroska feature triplets: id 3 = bit depth
+    assert codecpriv.video_bit_depth(
+        "vp9", "V_VP9", bytes([1, 1, 2, 3, 1, 10])) == 10
+
+    # truncated/garbage records degrade to 0, never raise
+    for junk in (b"", b"\x00", b"\x01\x02", bytes(5)):
+        for name, cid in (("h264", ""), ("hevc", ""), ("av1", "V_AV1"),
+                          ("vp9", "V_VP9")):
+            assert codecpriv.video_bit_depth(name, cid, junk) in (0, 8)
+
+
+def test_probe_fills_bit_depth_and_gate_refuses(tmp_path):
+    """A 10-bit HEVC in MKV with NO Colour element must be detected via
+    hvcC and refused by the engine gate with a clear reason (previously
+    it sailed into the 8-bit cv2 path and was silently mangled)."""
+    from av1tpu.media import mkv, mkv_mux
+    from av1tpu.media.probe import probe_file
+
+    hvcc = bytearray(23)
+    hvcc[0] = 1
+    hvcc[17] = 0xF8 | 2
+    track = mkv.Track(number=1, uid=1, track_type=mkv.TRACK_TYPE_VIDEO,
+                      codec_id="V_MPEGH/ISO/HEVC", width=64, height=64,
+                      codec_private=bytes(hvcc))
+    src = tmp_path / "hdr10_no_colour.mkv"
+    with open(src, "wb") as f:
+        w = mkv_mux.MkvWriter(f, [track])
+        w.write_packet(mkv.Packet(track_number=1, timestamp_ns=0,
+                                  data=b"\x00" * 16, keyframe=True))
+        w.finalize(0.04)
+
+    pr = probe_file(str(src))
+    assert pr.video_stream is not None
+    assert pr.video_stream.bit_depth == 10
+
+    import pytest as _pytest
+
+    from av1tpu.daemon.core import TranscodeError
+    from av1tpu.spec_engine import SpecTpuEngine
+    eng = SpecTpuEngine()
+    with _pytest.raises(TranscodeError, match="bit"):
+        eng.transcode(str(src), str(tmp_path / "out.mkv"), pr, False)
