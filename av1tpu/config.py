@@ -37,6 +37,11 @@ class TpuEncoderConfig:
     # Normative for the emitted bits, so it lives in config and is
     # recorded per job; 0.70 is the measured RD knee (BASELINE.md).
     qround: float = 0.70
+    # in-loop CDEF (spec 7.15): frame strengths searched on-device by
+    # SSE vs source; the (0,0) candidate keeps the filter off when it
+    # does not help.  The reference's av1_vaapi emits CDEF
+    # (internal/ffmpeg/transcode.go:119-123; BASELINE config #4).
+    cdef: bool = True
     lowres_decode: bool = False
     # startup self-test frame (VerifyFFmpeg analog is 1280x720;
     # binary.go:282-295). Smaller sizes cut first-compile cost on

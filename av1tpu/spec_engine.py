@@ -86,23 +86,26 @@ def _encode_chunk_jit():
     @functools.partial(jax.jit,
                        static_argnames=("k", "ph", "pw", "bit_depth",
                                         "th", "tw", "cap", "deblock",
-                                        "qround"))
-    def go(packed, ry, ru, rv, qindexes, lfys, lfuvs, k: int, ph: int,
-           pw: int, bit_depth: int, th: int, tw: int, cap: int,
-           deblock: bool = False, qround: float = 0.70):
+                                        "qround", "cdef"))
+    def go(packed, ry, ru, rv, qindexes, lfys, lfuvs, damps, k: int,
+           ph: int, pw: int, bit_depth: int, th: int, tw: int, cap: int,
+           deblock: bool = False, qround: float = 0.70,
+           cdef: bool = False):
         ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
 
         def step(carry, xs):
-            y, u, v, q, lfy, lfuv = xs
+            y, u, v, q, lfy, lfuv, damp = xs
             out = jax_inter._encode_frame(y, u, v, *carry, q, bit_depth,
                                           th=th, tw=tw, lf_y=lfy,
                                           lf_uv=lfuv, deblock=deblock,
-                                          qround=qround)
-            return out[5:8], out[0:5] + (out[8],)
+                                          qround=qround, cdef=cdef,
+                                          cdef_damping=damp)
+            return out[5:8], out[0:5] + (out[8], out[9])
 
         carry, outs = jax.lax.scan(step, (ry, ru, rv),
-                                   (ys, us, vs, qindexes, lfys, lfuvs))
-        mv8s, skips, ylvs, ulvs, vlvs, strips = outs
+                                   (ys, us, vs, qindexes, lfys, lfuvs,
+                                    damps))
+        mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs = outs
         # frame-major y|u|v flattening so per-frame slices are
         # byte-aligned contiguous runs on the host
         flat = jnp.concatenate([ylvs.reshape(k, -1),
@@ -115,7 +118,7 @@ def _encode_chunk_jit():
         vals = vals.at[jnp.where(mask, idx, cap)].set(
             jnp.clip(flat, -32768, 32767).astype(jnp.int16), mode="drop")
         grids = jnp.concatenate([mv8s.reshape(-1), skips.reshape(-1),
-                                 strips.reshape(-1)])
+                                 strips.reshape(-1), cdefs.reshape(-1)])
         return carry, (jnp.packbits(mask), vals, count,
                        grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)
 
@@ -168,13 +171,14 @@ class SpecSequenceHeader:
 
     def __init__(self, width: int, height: int, bit_depth: int = 8,
                  color_primaries: int = 0, color_transfer: int = 0,
-                 color_matrix: int = 0):
+                 color_matrix: int = 0, enable_cdef: bool = False):
         self.width = width
         self.height = height
         self.bit_depth = bit_depth
         self.color_primaries = color_primaries
         self.color_transfer = color_transfer
         self.color_matrix = color_matrix
+        self.enable_cdef = enable_cdef
 
     def seq_obu(self) -> bytes:
         cp = self.color_primaries or None
@@ -185,7 +189,8 @@ class SpecSequenceHeader:
             w, h, bit_depth=self.bit_depth,
             color_primaries=cp,
             transfer=self.color_transfer if cp else None,
-            matrix=self.color_matrix if cp else None)
+            matrix=self.color_matrix if cp else None,
+            enable_cdef=self.enable_cdef)
 
     def av1c(self) -> bytes:
         hbd = 1 if self.bit_depth > 8 else 0
@@ -219,6 +224,12 @@ def lf_levels(qindex: int, bit_depth: int = 8) -> tuple:
     return lvl, lvl
 
 
+def cdef_damping(qindex: int) -> int:
+    """CDEF damping from qindex (libaom's pick_cdef heuristic:
+    3 + (base_q_idx >> 6), range 3..6)."""
+    return min(6, 3 + (int(qindex) >> 6))
+
+
 def _tile_plan(th: int):
     """(tile_rows_log2, spans, block_row_starts) for a coded height."""
     from av1tpu.specav1 import writer as _W
@@ -240,6 +251,7 @@ class SpecTpuEngine(TpuEngine):
         self._mesh = None      # multi-chip stripe mesh (lazy)
         self._gop_deblock = False
         self._qround = float(getattr(self.cfg, "qround", 0.70))
+        self._cdef = bool(getattr(self.cfg, "cdef", True))
 
     def _stripe_mesh(self, ph: int, th: int):
         """The ("stripe",) device mesh when multi-chip striping is on
@@ -333,6 +345,7 @@ class SpecTpuEngine(TpuEngine):
             self._gop_deblock = (noise_floor(frame.y) <= 1.0
                                  and th % 32 == 0)
         lfy, lfuv = lf_levels(qindex, bd) if self._gop_deblock else (0, 0)
+        damp = cdef_damping(qindex) if self._cdef else None
         if is_key:
             _, _, brs = _tile_plan(th)
             out = jax_intra._encode_frame(
@@ -340,16 +353,18 @@ class SpecTpuEngine(TpuEngine):
                 nbc=pw // 32, bit_depth=bd, th=th, tw=tw,
                 tile_row_starts=brs, lf_y=jnp.int32(lfy),
                 lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
-                qround=self._qround)
+                qround=self._qround, cdef=self._cdef,
+                cdef_damping=jnp.int32(damp or 4))
             self._ref_dev = out[0:3]
             self._golden_dev = out[0:3]
             grids = jnp.concatenate([out[6].reshape(-1),
                                      out[7].reshape(-1),
                                      out[8].reshape(-1),
-                                     out[9].reshape(-1)])
+                                     out[9].reshape(-1),
+                                     out[10].reshape(-1)])
             pk = _pack_outputs(out[3], out[4], out[5], grids, cap)
             return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
-                    refresh, out, pk, cap, lfy, lfuv)
+                    refresh, out, pk, cap, lfy, lfuv, damp)
         refs = self._resolve_refs()
         mesh = self._stripe_mesh(ph, th)
         if mesh is not None:
@@ -371,7 +386,8 @@ class SpecTpuEngine(TpuEngine):
                 mesh, ys, us, vs, refs[0], refs[1], refs[2], qindex,
                 bit_depth=bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
                 lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
-                qround=self._qround)
+                qround=self._qround, cdef=self._cdef,
+                cdef_damping=jnp.int32(damp or 4))
             # recon/levels beyond the coded padded height are garbage
             # rows of the stripe pad; the ref slots keep them (cropped
             # at true dims by the next frame's prep_ref)
@@ -381,15 +397,17 @@ class SpecTpuEngine(TpuEngine):
                 yj, uj, vj, refs[0], refs[1], refs[2],
                 qindex, bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
                 lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
-                qround=self._qround)
+                qround=self._qround, cdef=self._cdef,
+                cdef_damping=jnp.int32(damp or 4))
         if refresh:
             self._ref_dev = out[5:8]
         grids = jnp.concatenate([out[0].reshape(-1),
                                  out[1].reshape(-1),
-                                 out[8].reshape(-1)])
+                                 out[8].reshape(-1),
+                                 out[9].reshape(-1)])
         pk = _pack_outputs(out[2], out[3], out[4], grids, cap)
         return ("inter", qindex, w, h, th, tw, ph, pw, bd, oh,
-                refresh, out, pk, cap, lfy, lfuv)
+                refresh, out, pk, cap, lfy, lfuv, damp)
 
     def _submit_chunk(self, frames, qindexes):
         """Upload + dispatch run on an ordered worker thread: the 25MB
@@ -412,6 +430,8 @@ class SpecTpuEngine(TpuEngine):
 
         dbl = self._gop_deblock
         lf = [lf_levels(q, bd) if dbl else (0, 0) for q in qi]
+        damps = [cdef_damping(q) if self._cdef else None for q in qi]
+        use_cdef = self._cdef
 
         def worker():
             refs = ref_prev() if callable(ref_prev) else ref_prev
@@ -424,18 +444,20 @@ class SpecTpuEngine(TpuEngine):
                 jnp.asarray(qi, jnp.int32),
                 jnp.asarray([a for a, _ in lf], jnp.int32),
                 jnp.asarray([b for _, b in lf], jnp.int32),
+                jnp.asarray([d or 4 for d in damps], jnp.int32),
                 k=k, ph=ph, pw=pw,
                 bit_depth=bd, th=th, tw=tw, cap=cap, deblock=dbl,
-                qround=self._qround)
+                qround=self._qround, cdef=use_cdef)
 
         fut = self._dispatch_pool().submit(worker)
         self._ref_dev = lambda: fut.result()[0]
-        return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut, lf)
+        return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut, lf, damps)
 
     @staticmethod
     def _finalize_chunk(pending) -> list:
         import jax as _jax
-        (qindexes, w, h, th, tw, ph, pw, bd, ohs, k, fut, lfs) = pending
+        (qindexes, w, h, th, tw, ph, pw, bd, ohs, k, fut, lfs,
+         damps) = pending
         _, pk, full = fut.result()
         rs = (w, h) if (tw, th) != (w, h) else None
         mi_cols, mi_rows = 2 * ((tw + 7) >> 3), 2 * ((th + 7) >> 3)
@@ -457,6 +479,7 @@ class SpecTpuEngine(TpuEngine):
         mv8s = grids[:k * 2 * B].reshape(k, B, 2)
         skips = grids[k * 2 * B:k * 3 * B].reshape(k, B)
         stripss = grids[k * 3 * B:k * (3 * B + nsc)].reshape(k, nsc)
+        cdefss = grids[k * (3 * B + nsc):].reshape(k, 4)
         modes = np.ones((gh_t, gw_t), np.int32)
 
         def one(i):
@@ -476,10 +499,13 @@ class SpecTpuEngine(TpuEngine):
                  skips[i].reshape(gh, gw)[:gh_t, :gw_t]),
                 ylv, ulv, vlv,
                 strip_skip=stripss[i] if strip else None)
+            ch = None
+            if damps[i] is not None:
+                ch = (damps[i],) + tuple(int(x) for x in cdefss[i])
             hdr = W.write_inter_frame_header(
                 tw, th, qindexes[i], order_hint=ohs[i],
                 render_size=rs, tile_rows_log2=trl2,
-                lf_level=lfs[i][0], lf_level_uv=lfs[i][1])
+                lf_level=lfs[i][0], lf_level_uv=lfs[i][1], cdef=ch)
             hdr.byte_align()
             return obu_mod.make_obu(
                 obu_mod.OBU_FRAME,
@@ -495,7 +521,7 @@ class SpecTpuEngine(TpuEngine):
     def _finalize(pending) -> tuple[bytes, bool]:
         import jax as _jax
         (kind, qindex, w, h, th, tw, ph, pw, bd, oh, refresh, out,
-         pk, cap, lfy, lfuv) = pending
+         pk, cap, lfy, lfuv, cdamp) = pending
         # true dims: headers carry (tw, th); render_size only for the
         # padded fallback where the coded frame exceeds the display area
         rs = (w, h) if (tw, th) != (w, h) else None
@@ -515,6 +541,11 @@ class SpecTpuEngine(TpuEngine):
         lvs = _unpack_levels(maskbytes, vals, count, shapes)
         strip = (th % 32) == 16
         nsc = 2 * gw
+        # device-searched CDEF strengths ride the last 4 grid ints
+        cdef_hdr = None
+        if cdamp is not None:
+            cs = [int(x) for x in grids[-4:]]
+            cdef_hdr = (cdamp, cs[0], cs[1], cs[2], cs[3])
         if kind == "key":
             if lvs is None:
                 lv_y, lv_u, lv_v = (np.asarray(a)
@@ -534,9 +565,11 @@ class SpecTpuEngine(TpuEngine):
             hdr = W.write_key_frame_header(tw, th, qindex,
                                            order_hint=oh, render_size=rs,
                                            tile_rows_log2=trl2,
-                                           lf_level=lfy, lf_level_uv=lfuv)
+                                           lf_level=lfy, lf_level_uv=lfuv,
+                                           cdef=cdef_hdr)
             hdr.byte_align()
-            seq = SpecSequenceHeader(w, h, bd).seq_obu()
+            seq = SpecSequenceHeader(
+                w, h, bd, enable_cdef=cdamp is not None).seq_obu()
             payload = seq + obu_mod.make_obu(
                 obu_mod.OBU_FRAME,
                 hdr.tobytes() + W.assemble_tile_group(tiles))
@@ -560,7 +593,7 @@ class SpecTpuEngine(TpuEngine):
             tw, th, qindex, order_hint=oh,
             refresh_frame_flags=0x01 if refresh else 0x00,
             render_size=rs, tile_rows_log2=trl2,
-            lf_level=lfy, lf_level_uv=lfuv)
+            lf_level=lfy, lf_level_uv=lfuv, cdef=cdef_hdr)
         hdr.byte_align()
         payload = obu_mod.make_obu(
             obu_mod.OBU_FRAME,
@@ -571,7 +604,8 @@ class SpecTpuEngine(TpuEngine):
     def sequence_header(self, width: int, height: int,
                         bit_depth: int = 8,
                         source_stream=None) -> SpecSequenceHeader:
-        sh = SpecSequenceHeader(width, height, bit_depth)
+        sh = SpecSequenceHeader(width, height, bit_depth,
+                                enable_cdef=self._cdef)
         if source_stream is not None:
             sh.color_primaries = getattr(source_stream,
                                          "color_primaries_code", 0)
@@ -624,12 +658,14 @@ class SpecTpuEngine(TpuEngine):
                                            tw=tw, tile_row_starts=brs,
                                            lf_y=jnp.int32(0),
                                            lf_uv=jnp.int32(0),
-                                           qround=self._qround)
-            # the exact packer shape _submit uses (4-part grid concat)
+                                           qround=self._qround,
+                                           cdef=self._cdef)
+            # the exact packer shape _submit uses (5-part grid concat)
             gk = jnp.concatenate([kout[6].reshape(-1),
                                   kout[7].reshape(-1),
                                   kout[8].reshape(-1),
-                                  kout[9].reshape(-1)])
+                                  kout[9].reshape(-1),
+                                  kout[10].reshape(-1)])
             _jax.device_get(
                 _pack_outputs(kout[3], kout[4], kout[5], gk, cap))
 
@@ -638,10 +674,12 @@ class SpecTpuEngine(TpuEngine):
                                            bit_depth, th=th, tw=tw,
                                            lf_y=jnp.int32(0),
                                            lf_uv=jnp.int32(0),
-                                           qround=self._qround)
+                                           qround=self._qround,
+                                           cdef=self._cdef)
             gi = jnp.concatenate([iout[0].reshape(-1),
                                   iout[1].reshape(-1),
-                                  iout[8].reshape(-1)])
+                                  iout[8].reshape(-1),
+                                  iout[9].reshape(-1)])
             _jax.device_get(
                 _pack_outputs(iout[2], iout[3], iout[4], gi, cap))
 
@@ -650,10 +688,11 @@ class SpecTpuEngine(TpuEngine):
             _encode_chunk(packed, ry, ru, rv,
                           jnp.full((k,), 96, jnp.int32),
                           jnp.full((k,), 10, jnp.int32),
-                          jnp.full((k,), 10, jnp.int32), k=k, ph=ph,
+                          jnp.full((k,), 10, jnp.int32),
+                          jnp.full((k,), 4, jnp.int32), k=k, ph=ph,
                           pw=pw, bit_depth=bit_depth, th=th, tw=tw,
-                          cap=k * cap,
-                          qround=self._qround)[1][0].block_until_ready()
+                          cap=k * cap, qround=self._qround,
+                          cdef=self._cdef)[1][0].block_until_ready()
 
         jobs = [warm_intra, warm_inter] + ([warm_chunk] if k > 1 else [])
         errs = []

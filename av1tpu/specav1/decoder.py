@@ -97,7 +97,9 @@ class Decoder:
 
     def _finish_frame(self, td: TileDecoder, hdr) -> tuple:
         """Returns the FULL coded-size planes (reference slots keep the
-        SB-padded area: inter prediction clamps against coded dims)."""
+        SB-padded area: inter prediction clamps against coded dims).
+        In-loop filter order per spec 7.x: deblock -> CDEF -> LR."""
+        planes = (td.planes[0], td.planes[1], td.planes[2])
         if any(hdr.lf.level) and not self.ignore_loop_filter:
             # spec deblocking (7.14).  The vectorized filter assumes the
             # uniform 32x32-luma tx grid our encoder emits; foreign
@@ -117,13 +119,27 @@ class Decoder:
                 jnp.int32(hdr.lf.level[0]), jnp.int32(hdr.lf.level[2]),
                 jnp.int32(hdr.lf.level[3]), self.seq.bit_depth,
                 hdr.frame_height, hdr.frame_width)
-            return (np.asarray(fy), np.asarray(fu), np.asarray(fv))
-        if hdr.cdef.bits or any(hdr.cdef.y_pri) or any(hdr.cdef.y_sec[i]
-                                                       for i in range(8)):
-            raise NotImplementedError("CDEF enabled")
+            planes = (np.asarray(fy), np.asarray(fu), np.asarray(fv))
+        c = hdr.cdef
+        cdef_on = any(c.y_pri) or any(c.y_sec) or any(c.uv_pri) \
+            or any(c.uv_sec)
+        if cdef_on and not self.ignore_loop_filter:
+            if c.bits:
+                # cdef_bits > 0 streams carry per-64x64 cdef_idx bits in
+                # the tiles, which TileDecoder does not read — the
+                # arithmetic decode would already have desynced
+                raise NotImplementedError("cdef_bits > 0")
+            from av1tpu.specav1 import cdef as CD
+            fy, fu, fv = CD.cdef_frame(
+                planes, td.skips, y_pri=c.y_pri[0], y_sec=c.y_sec[0],
+                uv_pri=c.uv_pri[0], uv_sec=c.uv_sec[0],
+                damping=c.damping, bit_depth=self.seq.bit_depth,
+                th=hdr.frame_height, tw=hdr.frame_width)
+            dt = planes[0].dtype
+            planes = (fy.astype(dt), fu.astype(dt), fv.astype(dt))
         if hdr.lr.uses_lr:
             raise NotImplementedError("loop restoration enabled")
-        return (td.planes[0], td.planes[1], td.planes[2])
+        return planes
 
     def _crop_dims(self, planes, w, h) -> tuple:
         y, u, v = planes

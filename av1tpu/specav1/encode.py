@@ -83,14 +83,28 @@ def quantize(coeffs: np.ndarray, qindex: int, bit_depth: int,
     return np.where(coeffs < 0, -lv, lv)
 
 
+def _apply_cdef(rec: list, skips4: np.ndarray, cdef: tuple) -> list:
+    """In-loop CDEF on the host recon (spec 7.15; deblock is off in the
+    host encoders, so CDEF is the only loop filter)."""
+    from av1tpu.specav1 import cdef as CD
+    damping, y_pri, y_sec, uv_pri, uv_sec = cdef
+    fy, fu, fv = CD.cdef_frame((rec[0], rec[1], rec[2]), skips4,
+                               y_pri=y_pri, y_sec=y_sec, uv_pri=uv_pri,
+                               uv_sec=uv_sec, damping=damping)
+    return [fy.astype(np.int32), fu.astype(np.int32),
+            fv.astype(np.int32)]
+
+
 class KeyFrameEncoder:
     """Encodes one spec-AV1 key frame from 8-bit I420 planes."""
 
     BLOCK = 32          # luma block/tx size
     BSIZE = T.BLOCK_32X32
 
-    def __init__(self, qindex: int):
+    def __init__(self, qindex: int, cdef: tuple | None = None):
         self.qindex = qindex
+        # (damping, y_pri, y_sec, uv_pri, uv_sec) -> CDEF-enabled stream
+        self.cdef = cdef
 
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                render_size: tuple | None = None, order_hint: int = 0):
@@ -130,9 +144,16 @@ class KeyFrameEncoder:
                         self._block(tw, src, rec, br, bc)
         tile = tw.finish()
         self.tile_bytes = tile
+        self.skips4 = tw.skips.copy()   # coded skip flags (MI grid)
+        seq_kw, hdr_kw = {}, {}
+        if self.cdef is not None:
+            rec = _apply_cdef(rec, self.skips4, self.cdef)
+            seq_kw["enable_cdef"] = True
+            hdr_kw["cdef"] = self.cdef
         tu = W.assemble_keyframe(w, h, qidx, tile,
                                  render_size=self.render_size,
-                                 order_hint=self.order_hint)
+                                 order_hint=self.order_hint,
+                                 seq_kw=seq_kw, **hdr_kw)
         return tu, rec
 
     def _avail(self, r4, c4s, c4e=None, rows=False):
@@ -238,11 +259,14 @@ class InterFrameEncoder:
     BSIZE = T.BLOCK_32X32
 
     def __init__(self, qindex: int, ref_planes: tuple, order_hint: int,
-                 search_range: int = 16):
+                 search_range: int = 16, cdef: tuple | None = None):
         self.qindex = qindex
         self.refs = ref_planes          # (y, u, v) FULL coded-size recon
         self.order_hint = order_hint
         self.search_range = search_range
+        # (damping, y_pri, y_sec, uv_pri, uv_sec); the stream's keyframe
+        # must have signaled enable_cdef
+        self.cdef = cdef
 
     def encode(self, y, u, v, render_size=None):
         qidx = self.qindex
@@ -268,9 +292,14 @@ class InterFrameEncoder:
                         self._block(tw, src, rec, br, bc)
         tile = tw.finish()
         self.tile_bytes = tile
+        self.skips4 = tw.skips.copy()   # coded skip flags (MI grid)
+        hdr_kw = {}
+        if self.cdef is not None:
+            rec = _apply_cdef(rec, self.skips4, self.cdef)
+            hdr_kw["cdef"] = self.cdef
         tu = W.assemble_interframe(w, h, qidx, tile,
                                    order_hint=self.order_hint,
-                                   render_size=render_size)
+                                   render_size=render_size, **hdr_kw)
         return tu, rec
 
     # -----------------------------------------------------------------
@@ -401,12 +430,14 @@ class InterFrameEncoder:
         self.decoded[br:br + B // 4, bc:bc + B // 4] = True
 
 
-def encode_stream_host(frames, qindex: int, keyint: int = 64):
+def encode_stream_host(frames, qindex: int, keyint: int = 64,
+                       cdef: tuple | None = None):
     """Host spec encoder: list of (y, u, v) -> list of temporal units.
 
     Keyframe every `keyint` frames; inter frames reference the previous
     reconstruction (slot 0).  Returns (tus, recons) with recons cropped
-    to source dims.
+    to source dims.  cdef: optional (damping, y_pri, y_sec, uv_pri,
+    uv_sec) applied in-loop to every frame.
     """
     tus, recons = [], []
     ref_full = None
@@ -427,11 +458,12 @@ def encode_stream_host(frames, qindex: int, keyint: int = 64):
             yp, up, vp = y, u, v
         rs = (w, h) if (ph, pw) != (h, w) else None
         if i % keyint == 0:
-            enc = KeyFrameEncoder(qindex)
+            enc = KeyFrameEncoder(qindex, cdef=cdef)
             tu, rec = enc.encode(yp, up, vp, render_size=rs,
                                  order_hint=i & 127)
         else:
-            enc = InterFrameEncoder(qindex, ref_full, order_hint=i & 127)
+            enc = InterFrameEncoder(qindex, ref_full, order_hint=i & 127,
+                                    cdef=cdef)
             tu, rec = enc.encode(yp, up, vp, render_size=rs)
         ref_full = tuple(r.copy() for r in rec)
         tus.append(tu)

@@ -78,12 +78,14 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("bit_depth", "refine", "th", "tw",
-                                    "stripe", "deblock", "qround"))
+                                    "stripe", "deblock", "qround",
+                                    "cdef"))
 def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                   bit_depth: int, refine: bool = True,
                   th: int = 0, tw: int = 0, stripe: bool = False,
                   row0=0, lf_y=0, lf_uv=0, deblock: bool = False,
-                  qround: float = 0.70):
+                  qround: float = 0.70, cdef: bool = False,
+                  cdef_damping=4):
     """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
     rec_y, rec_u, rec_v) for the SB-padded frame.
 
@@ -272,8 +274,37 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         rec_y_p, rec_u_p, rec_v_p = _LF.deblock_frame(
             rec_y_p, rec_u_p, rec_v_p, lf_y, lf_uv, lf_uv,
             bit_depth, th, tw)
+    if cdef and not stripe:
+        # in-loop CDEF after deblock (spec 7.15 placement); the frame
+        # strengths are searched on-device against the source and
+        # returned for the host's cdef_params header
+        from av1tpu.specav1 import jax_cdef
+        skip8 = build_skip8(skip.reshape(gh, gw), strip_skip,
+                            th, tw, Wd)
+        rec_y_p, rec_u_p, rec_v_p, cdefs = jax_cdef.cdef_search_apply(
+            rec_y_p, rec_u_p, rec_v_p, y, u, v, skip8, cdef_damping,
+            bit_depth=bit_depth, th=th, tw=tw)
+    else:
+        cdefs = jnp.zeros((4,), jnp.int32)
     return (mv8, skip, lv_y_p, lv_u_p, lv_v_p,
-            rec_y_p, rec_u_p, rec_v_p, strip_skip)
+            rec_y_p, rec_u_p, rec_v_p, strip_skip, cdefs)
+
+
+def build_skip8(skip_blocks, strip_skip, th: int, tw: int, pw: int):
+    """(uh, uw) per-8x8-unit coded-skip grid for CDEF from the 32x32
+    block skip grid (+ 16x16 strip block skips when th % 32 == 16)."""
+    fh8 = ((th + 7) >> 3) << 3
+    fw8 = ((tw + 7) >> 3) << 3
+    sk8 = jnp.repeat(jnp.repeat(skip_blocks.astype(jnp.int32), 4, 0),
+                     4, 1)
+    if th % 32 == 16:
+        nsc = 2 * (pw // 32)
+        srow = (th - 16) // 8
+        strip8 = jnp.repeat(strip_skip.astype(jnp.int32)[:nsc], 2)
+        sk8 = jax.lax.dynamic_update_slice(
+            sk8, jnp.broadcast_to(strip8[None, :], (2, strip8.shape[0])),
+            (srow, 0))
+    return sk8[:fh8 // 8, :fw8 // 8]
 
 
 def encode_interframe_device(y, u, v, ref_planes, qindex: int,

@@ -380,11 +380,13 @@ def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes):
 
 @functools.partial(jax.jit,
                    static_argnames=("nbr", "nbc", "bit_depth", "th", "tw",
-                                    "tile_row_starts", "deblock", "qround"))
+                                    "tile_row_starts", "deblock", "qround",
+                                    "cdef"))
 def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
                   th: int = 0, tw: int = 0, tile_row_starts: tuple = (),
                   lf_y=0, lf_uv=0, deblock: bool = False,
-                  qround: float = 0.70):
+                  qround: float = 0.70, cdef: bool = False,
+                  cdef_damping=4):
     """y: (H, W) uint8/16 SB-padded source; returns grids + levels +
     recon planes."""
     H, Wd = nbr * 32, nbc * 32
@@ -562,12 +564,25 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     # in-loop deblocking on the completed recon (spec placement: the
     # wavefront's in-frame intra prediction used the unfiltered planes;
     # the filtered frame is the display output and inter reference)
-    if not deblock:
-        return carry + (strip_skip,)
-    from av1tpu.specav1 import loopfilter as _LF
-    fy, fu, fv = _LF.deblock_frame(carry[0], carry[1], carry[2],
-                                   lf_y, lf_uv, lf_uv, bit_depth, th, tw)
-    return (fy, fu, fv) + tuple(carry[3:]) + (strip_skip,)
+    if deblock:
+        from av1tpu.specav1 import loopfilter as _LF
+        fy, fu, fv = _LF.deblock_frame(carry[0], carry[1], carry[2],
+                                       lf_y, lf_uv, lf_uv, bit_depth,
+                                       th, tw)
+    else:
+        fy, fu, fv = carry[0:3]
+    if cdef:
+        # in-loop CDEF after deblock (spec 7.15); frame strengths are
+        # searched on-device, returned for the host's cdef_params
+        from av1tpu.specav1 import jax_cdef
+        from av1tpu.specav1.jax_inter import build_skip8
+        skip8 = build_skip8(carry[8], strip_skip, th, tw, Wd)
+        fy, fu, fv, cdefs = jax_cdef.cdef_search_apply(
+            fy, fu, fv, y, u, v, skip8, cdef_damping,
+            bit_depth=bit_depth, th=th, tw=tw)
+    else:
+        cdefs = jnp.zeros((4,), jnp.int32)
+    return (fy, fu, fv) + tuple(carry[3:]) + (strip_skip, cdefs)
 
 
 def encode_keyframe_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,

@@ -64,11 +64,12 @@ def shard_rows(mesh: Mesh, arr):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "bit_depth", "th", "tw",
-                                    "deblock", "qround"))
+                                    "deblock", "qround", "cdef"))
 def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
                          bit_depth: int, th: int, tw: int,
                          lf_y=0, lf_uv=0, deblock: bool = False,
-                         qround: float = 0.70):
+                         qround: float = 0.70, cdef: bool = False,
+                         cdef_damping=4):
     """y/u/v: (ph, pw) planes sharded P("stripe"); refs: full-frame
     recon planes (replicated).  Returns jax_inter._encode_frame's
     tuple, planes laid out full-frame (stripe outputs concatenated).
@@ -87,7 +88,7 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
     out_specs = (P("stripe"), P("stripe"), P("stripe", None),
                  P("stripe", None), P("stripe", None),
                  P("stripe", None), P("stripe", None), P("stripe", None),
-                 P(None))
+                 P(None), P(None))
     out = shard_map(
         body, mesh=mesh,
         in_specs=(P("stripe", None), P("stripe", None), P("stripe", None),
@@ -95,12 +96,21 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
         out_specs=out_specs, check_rep=False)(
             y, u, v, ref_y, ref_u, ref_v,
             jnp.reshape(jnp.asarray(qindex, jnp.int32), (1,)))
-    # deblock the gathered full-frame recon (AV1 filters across tile
-    # boundaries, so stripe edges need both sides; XLA inserts the ICI
-    # halo exchange the boundary taps imply)
-    if not deblock:
-        return out
-    from av1tpu.specav1 import loopfilter as _LF
-    fy, fu, fv = _LF.deblock_frame(out[5], out[6], out[7], lf_y, lf_uv,
-                                   lf_uv, bit_depth, th, tw)
-    return out[0:5] + (fy, fu, fv) + out[8:]
+    # deblock + CDEF on the gathered full-frame recon (AV1 filters
+    # across tile boundaries, so stripe edges need both sides; XLA
+    # inserts the ICI halo exchange the boundary taps imply)
+    fy, fu, fv = out[5], out[6], out[7]
+    if deblock:
+        from av1tpu.specav1 import loopfilter as _LF
+        fy, fu, fv = _LF.deblock_frame(fy, fu, fv, lf_y, lf_uv,
+                                       lf_uv, bit_depth, th, tw)
+    cdefs = out[9]
+    if cdef:
+        from av1tpu.specav1 import jax_cdef
+        gh, gw = y.shape[0] // 32, y.shape[1] // 32
+        skip8 = jax_inter.build_skip8(out[1].reshape(gh, gw), out[8],
+                                      th, tw, y.shape[1])
+        fy, fu, fv, cdefs = jax_cdef.cdef_search_apply(
+            fy, fu, fv, y, u, v, skip8, cdef_damping,
+            bit_depth=bit_depth, th=th, tw=tw)
+    return out[0:5] + (fy, fu, fv, out[8], cdefs)

@@ -30,7 +30,9 @@ def write_sequence_header(w: int, h: int, *, bit_depth: int = 8,
                           color_primaries: int | None = None,
                           transfer: int | None = None,
                           matrix: int | None = None,
-                          color_range: int = 0) -> bytes:
+                          color_range: int = 0,
+                          enable_cdef: bool = False,
+                          enable_restoration: bool = False) -> bytes:
     """Minimal level-capable sequence header (profile 0, 4:2:0)."""
     b = BitWriter()
     b.f(0, 3)      # seq_profile
@@ -60,8 +62,8 @@ def write_sequence_header(w: int, h: int, *, bit_depth: int = 8,
     b.f(0, 1)      # seq_force_screen_content_tools = 0
     b.f(6, 3)      # order_hint_bits_minus_1 -> 7 bits
     b.f(0, 1)      # enable_superres
-    b.f(0, 1)      # enable_cdef
-    b.f(0, 1)      # enable_restoration
+    b.f(1 if enable_cdef else 0, 1)
+    b.f(1 if enable_restoration else 0, 1)
     # color_config
     b.f(1 if bit_depth > 8 else 0, 1)
     b.f(1 if mono else 0, 1)
@@ -82,6 +84,31 @@ def write_sequence_header(w: int, h: int, *, bit_depth: int = 8,
     return obu_mod.make_obu(obu_mod.OBU_SEQUENCE_HEADER, b.tobytes())
 
 
+def _write_cdef_lr(b: BitWriter, cdef: tuple | None,
+                   lr_types: tuple | None) -> None:
+    """cdef_params + lr_params (spec 5.9.19/5.9.20).  The caller's
+    sequence header must set enable_cdef/enable_restoration to match
+    (None here = the seq gate is off, no bits).
+
+    cdef: (damping, y_pri, y_sec, uv_pri, uv_sec) with cdef_bits = 0
+    (one strength pair; no per-64x64 cdef_idx bits in tiles).
+    lr_types: per-plane frame_restoration_type (RESTORE_NONE only for
+    now — nonzero types would add per-RU tile syntax)."""
+    if cdef is not None:
+        damping, y_pri, y_sec, uv_pri, uv_sec = cdef
+        b.f(damping - 3, 2)
+        b.f(0, 2)          # cdef_bits = 0
+        for pri, sec in ((y_pri, y_sec), (uv_pri, uv_sec)):
+            assert 0 <= pri <= 15 and sec in (0, 1, 2, 4), (pri, sec)
+            b.f(pri, 4)
+            b.f(3 if sec == 4 else sec, 2)
+    if lr_types is not None:
+        assert all(t == 0 for t in lr_types), \
+            "nonzero restoration types need per-RU tile syntax"
+        for t in lr_types:
+            b.f(t, 2)
+
+
 def write_key_frame_header(w: int, h: int, qidx: int, *,
                            order_hint: int = 0,
                            disable_cdf_update: int = 0,
@@ -89,6 +116,8 @@ def write_key_frame_header(w: int, h: int, qidx: int, *,
                            tx_mode_select: int = 0,
                            tile_rows_log2: int = 0,
                            lf_level: int = 0, lf_level_uv: int = 0,
+                           cdef: tuple | None = None,
+                           lr_types: tuple | None = None,
                            render_size: tuple | None = None) -> BitWriter:
     """Uncompressed header for a shown KEY frame matching
     write_sequence_header's feature gates (no superres/cdef/lr,
@@ -124,6 +153,7 @@ def write_key_frame_header(w: int, h: int, qidx: int, *,
         b.f(lf_level_uv, 6)
     b.f(0, 3)          # sharpness
     b.f(0, 1)          # delta_enabled
+    _write_cdef_lr(b, cdef, lr_types)
     b.f(tx_mode_select, 1)
     b.f(reduced_tx_set, 1)
     return b
@@ -204,7 +234,9 @@ def write_inter_frame_header(w: int, h: int, qidx: int, *,
                              reduced_tx_set: int = 0,
                              tile_rows_log2: int = 0,
                              lf_level: int = 0,
-                             lf_level_uv: int = 0) -> BitWriter:
+                             lf_level_uv: int = 0,
+                             cdef: tuple | None = None,
+                             lr_types: tuple | None = None) -> BitWriter:
     """Uncompressed header for a shown INTER frame matching
     write_sequence_header's gates: primary_ref_frame NONE (default CDFs
     per frame), single-reference (reference_select 0), regular filter,
@@ -249,6 +281,7 @@ def write_inter_frame_header(w: int, h: int, qidx: int, *,
         b.f(lf_level_uv, 6)
     b.f(0, 3)              # sharpness
     b.f(0, 1)              # mode_ref_delta_enabled
+    _write_cdef_lr(b, cdef, lr_types)
     b.f(tx_mode_select, 1)
     b.f(0, 1)              # reference_select (single reference)
     # skip_mode_params: not allowed (reference_select 0) -> no bit
