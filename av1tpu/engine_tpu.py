@@ -687,6 +687,16 @@ class TpuEngine:
                 finally:
                     f.close()
                 return
+        # native libavcodec decode: straight to planar I420 at source
+        # bit depth (8 or 10) — no BGR round-trip, and the only route
+        # for compressed >8-bit sources (HDR10 HEVC etc.)
+        from av1tpu.media import avdec
+        if avdec.available():
+            with avdec.SourceDecoder(path) as dec:
+                for df in dec:
+                    yield Frame(y=df.y, u=df.u, v=df.v,
+                                bit_depth=df.bit_depth)
+            return
         import cv2
         cap = cv2.VideoCapture(path)
         if not cap.isOpened():
@@ -716,19 +726,25 @@ class TpuEngine:
         vs = probe_result.video_stream
         if vs is None:
             raise TranscodeError("no video stream found in probe result")
-        # HDR gate: the cv2 source-decode path is 8-bit SDR; transcoding
-        # PQ/HLG or >8-bit masters through it would silently destroy
-        # the grade (the reference squeezed these through 8-bit nv12 —
-        # SURVEY §2 flags that as a defect, not a feature).  Fail the
-        # job with a clear reason and leave the source untouched.
+        # HDR / high-bit-depth gate: compressed >8-bit or PQ/HLG
+        # sources decode natively via libavcodec (media/avdec) into the
+        # 10-bit encode pipeline.  When that decoder is unavailable the
+        # only fallback is cv2's 8-bit BGR path, which would silently
+        # destroy the grade (the reference squeezed these through 8-bit
+        # nv12 — transcode.go:99-109; SURVEY §2 flags that as a defect,
+        # not a feature) — so refuse and leave the source untouched.
         transfer = getattr(vs, "color_transfer_code", 0)
         src_bits = int(getattr(vs, "bit_depth", 0) or 0)
         native_decode = probe_result.format.format_name == "yuv4mpegpipe"
         if not native_decode and (transfer in (16, 18) or src_bits > 8):
-            raise TranscodeError(
-                f"HDR/high-bit-depth source (transfer code {transfer}, "
-                f"{src_bits or '?'}-bit): the 8-bit decode path would "
-                "mangle it; skipping until a 10-bit source decoder lands")
+            from av1tpu.media import avdec
+            if not avdec.available():
+                raise TranscodeError(
+                    f"HDR/high-bit-depth source (transfer code "
+                    f"{transfer}, {src_bits or '?'}-bit): native decode "
+                    "unavailable and the 8-bit fallback would mangle "
+                    "it; refusing (reference behavior was an 8-bit "
+                    "squeeze — intentionally not reproduced)")
         quality = ratectrl.determine_quality(vs.height)
         qindex = ratectrl.quality_to_qindex(quality)
         fps_num, fps_den = _parse_rate(vs.avg_frame_rate
@@ -873,6 +889,7 @@ class TpuEngine:
         # buffering the whole encoded stream in RAM (the reference
         # pipes through ffmpeg's muxer the same way)
         sh = self.sequence_header(width, height,
+                                  bit_depth=first.bit_depth,
                                   source_stream=plan.video_stream)
         tracks = output_tracks(plan, width, height, frame_dur_ns)
         tracks[0].codec_private = self.codec_private(sh)

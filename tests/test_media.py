@@ -370,10 +370,12 @@ def test_bit_depth_from_codec_private():
             assert codecpriv.video_bit_depth(name, cid, junk) in (0, 8)
 
 
-def test_probe_fills_bit_depth_and_gate_refuses(tmp_path):
+def test_probe_fills_bit_depth_and_gate_refuses(tmp_path, monkeypatch):
     """A 10-bit HEVC in MKV with NO Colour element must be detected via
-    hvcC and refused by the engine gate with a clear reason (previously
-    it sailed into the 8-bit cv2 path and was silently mangled)."""
+    hvcC, and — when the native decoder is unavailable — refused by the
+    engine gate with a clear reason (previously it sailed into the
+    8-bit cv2 path and was silently mangled).  With the native decoder
+    present these sources transcode at 10 bits (test_avdec.py)."""
     from av1tpu.media import mkv, mkv_mux
     from av1tpu.media.probe import probe_file
 
@@ -397,7 +399,9 @@ def test_probe_fills_bit_depth_and_gate_refuses(tmp_path):
     import pytest as _pytest
 
     from av1tpu.daemon.core import TranscodeError
+    from av1tpu.media import avdec
     from av1tpu.spec_engine import SpecTpuEngine
+    monkeypatch.setattr(avdec, "available", lambda: False)
     eng = SpecTpuEngine()
     with _pytest.raises(TranscodeError, match="bit"):
         eng.transcode(str(src), str(tmp_path / "out.mkv"), pr, False)
