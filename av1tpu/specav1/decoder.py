@@ -120,6 +120,7 @@ class Decoder:
                 jnp.int32(hdr.lf.level[3]), self.seq.bit_depth,
                 hdr.frame_height, hdr.frame_width)
             planes = (np.asarray(fy), np.asarray(fu), np.asarray(fv))
+        pre_cdef = planes  # post-deblock: LR stripe-boundary source
         c = hdr.cdef
         cdef_on = any(c.y_pri) or any(c.y_sec) or any(c.uv_pri) \
             or any(c.uv_sec)
@@ -137,8 +138,15 @@ class Decoder:
                 th=hdr.frame_height, tw=hdr.frame_width)
             dt = planes[0].dtype
             planes = (fy.astype(dt), fu.astype(dt), fv.astype(dt))
-        if hdr.lr.uses_lr:
-            raise NotImplementedError("loop restoration enabled")
+        if hdr.lr.uses_lr and not self.ignore_loop_filter:
+            # spec 7.17; td.lr_state carries the per-RU syntax read in
+            # the tiles
+            from av1tpu.specav1 import lr as lr_mod
+            fy, fu, fv = lr_mod.apply_lr_frame(
+                td.lr_state, planes, pre_cdef, self.seq.bit_depth,
+                hdr.frame_height, hdr.frame_width)
+            dt = planes[0].dtype
+            planes = (fy.astype(dt), fu.astype(dt), fv.astype(dt))
         return planes
 
     def _crop_dims(self, planes, w, h) -> tuple:

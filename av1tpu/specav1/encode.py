@@ -95,16 +95,41 @@ def _apply_cdef(rec: list, skips4: np.ndarray, cdef: tuple) -> list:
             fv.astype(np.int32)]
 
 
+def _lr_state(lr: dict | None, w: int, h: int):
+    """LrEncState from the host encoders' `lr` spec dict:
+    {"types": (y, u, v) RESTORE_*, "size": 64|128|256,
+     "decisions": {(plane, ur, uc): None | ("wiener", vf3, hf3)
+                   | ("sgr", set_idx, xqd0, xqd1)}}."""
+    if lr is None:
+        return None
+    from av1tpu.specav1 import lr as lr_mod
+    return lr_mod.LrEncState.for_encode(
+        lr["types"], lr.get("size", 256), w, h, lr["decisions"],
+        uv_shift=lr.get("uv_shift", 0))
+
+
+def _apply_lr(state, rec: list, pre_cdef: list) -> list:
+    from av1tpu.specav1 import lr as lr_mod
+    fy, fu, fv = lr_mod.apply_lr_frame(state, rec, pre_cdef, 8,
+                                       state.hdr.frame_height,
+                                       state.hdr.frame_width)
+    return [fy.astype(np.int32), fu.astype(np.int32),
+            fv.astype(np.int32)]
+
+
 class KeyFrameEncoder:
     """Encodes one spec-AV1 key frame from 8-bit I420 planes."""
 
     BLOCK = 32          # luma block/tx size
     BSIZE = T.BLOCK_32X32
 
-    def __init__(self, qindex: int, cdef: tuple | None = None):
+    def __init__(self, qindex: int, cdef: tuple | None = None,
+                 lr: dict | None = None):
         self.qindex = qindex
         # (damping, y_pri, y_sec, uv_pri, uv_sec) -> CDEF-enabled stream
         self.cdef = cdef
+        # {"types", "size", "decisions"} -> LR-enabled stream (_lr_state)
+        self.lr = lr
 
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                render_size: tuple | None = None, order_hint: int = 0):
@@ -133,9 +158,12 @@ class KeyFrameEncoder:
                np.zeros((h // 2, w // 2), np.int32)]
         src = [y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)]
         B = self.BLOCK
+        lrstate = _lr_state(self.lr, w, h)
         for sb_r in range(0, mi_rows, 16):
             tw.start_sb_row(sb_r)
             for sb_c in range(0, mi_cols, 16):
+                if lrstate is not None:
+                    lrstate.write_lr(tw, sb_r, sb_c, 16, 16)
                 tw.partition(sb_r, sb_c, T.BLOCK_64X64, T.PARTITION_SPLIT)
                 # z-order children (spec SPLIT recursion order)
                 for br, bc in ((sb_r, sb_c), (sb_r, sb_c + 8),
@@ -146,10 +174,16 @@ class KeyFrameEncoder:
         self.tile_bytes = tile
         self.skips4 = tw.skips.copy()   # coded skip flags (MI grid)
         seq_kw, hdr_kw = {}, {}
+        pre_cdef = rec  # post-deblock (= unfiltered here): LR stripe src
         if self.cdef is not None:
             rec = _apply_cdef(rec, self.skips4, self.cdef)
             seq_kw["enable_cdef"] = True
             hdr_kw["cdef"] = self.cdef
+        if lrstate is not None:
+            rec = _apply_lr(lrstate, rec, pre_cdef)
+            seq_kw["enable_restoration"] = True
+            hdr_kw["lr_types"] = tuple(self.lr["types"])
+            hdr_kw["lr_unit_size"] = self.lr.get("size", 256)
         tu = W.assemble_keyframe(w, h, qidx, tile,
                                  render_size=self.render_size,
                                  order_hint=self.order_hint,
@@ -259,7 +293,8 @@ class InterFrameEncoder:
     BSIZE = T.BLOCK_32X32
 
     def __init__(self, qindex: int, ref_planes: tuple, order_hint: int,
-                 search_range: int = 16, cdef: tuple | None = None):
+                 search_range: int = 16, cdef: tuple | None = None,
+                 lr: dict | None = None):
         self.qindex = qindex
         self.refs = ref_planes          # (y, u, v) FULL coded-size recon
         self.order_hint = order_hint
@@ -267,6 +302,8 @@ class InterFrameEncoder:
         # (damping, y_pri, y_sec, uv_pri, uv_sec); the stream's keyframe
         # must have signaled enable_cdef
         self.cdef = cdef
+        # the keyframe must have signaled enable_restoration
+        self.lr = lr
 
     def encode(self, y, u, v, render_size=None):
         qidx = self.qindex
@@ -282,9 +319,12 @@ class InterFrameEncoder:
         src = [y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)]
         self.mi_rows, self.mi_cols = mi_rows, mi_cols
         self.decoded = np.zeros((mi_rows, mi_cols), bool)
+        lrstate = _lr_state(self.lr, w, h)
         for sb_r in range(0, mi_rows, 16):
             tw.start_sb_row(sb_r)
             for sb_c in range(0, mi_cols, 16):
+                if lrstate is not None:
+                    lrstate.write_lr(tw, sb_r, sb_c, 16, 16)
                 tw.partition(sb_r, sb_c, T.BLOCK_64X64, T.PARTITION_SPLIT)
                 for br, bc in ((sb_r, sb_c), (sb_r, sb_c + 8),
                                (sb_r + 8, sb_c), (sb_r + 8, sb_c + 8)):
@@ -294,9 +334,14 @@ class InterFrameEncoder:
         self.tile_bytes = tile
         self.skips4 = tw.skips.copy()   # coded skip flags (MI grid)
         hdr_kw = {}
+        pre_cdef = rec
         if self.cdef is not None:
             rec = _apply_cdef(rec, self.skips4, self.cdef)
             hdr_kw["cdef"] = self.cdef
+        if lrstate is not None:
+            rec = _apply_lr(lrstate, rec, pre_cdef)
+            hdr_kw["lr_types"] = tuple(self.lr["types"])
+            hdr_kw["lr_unit_size"] = self.lr.get("size", 256)
         tu = W.assemble_interframe(w, h, qidx, tile,
                                    order_hint=self.order_hint,
                                    render_size=render_size, **hdr_kw)
@@ -431,7 +476,8 @@ class InterFrameEncoder:
 
 
 def encode_stream_host(frames, qindex: int, keyint: int = 64,
-                       cdef: tuple | None = None):
+                       cdef: tuple | None = None,
+                       lr: dict | None = None):
     """Host spec encoder: list of (y, u, v) -> list of temporal units.
 
     Keyframe every `keyint` frames; inter frames reference the previous
@@ -458,12 +504,12 @@ def encode_stream_host(frames, qindex: int, keyint: int = 64,
             yp, up, vp = y, u, v
         rs = (w, h) if (ph, pw) != (h, w) else None
         if i % keyint == 0:
-            enc = KeyFrameEncoder(qindex, cdef=cdef)
+            enc = KeyFrameEncoder(qindex, cdef=cdef, lr=lr)
             tu, rec = enc.encode(yp, up, vp, render_size=rs,
                                  order_hint=i & 127)
         else:
             enc = InterFrameEncoder(qindex, ref_full, order_hint=i & 127,
-                                    cdef=cdef)
+                                    cdef=cdef, lr=lr)
             tu, rec = enc.encode(yp, up, vp, render_size=rs)
         ref_full = tuple(r.copy() for r in rec)
         tus.append(tu)

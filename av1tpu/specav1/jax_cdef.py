@@ -7,14 +7,15 @@ tests/test_spec_cdef.py — but restructured for the TPU:
   * the 8-way direction search becomes 8 small matmuls (one-hot
     partial-sum matrices over the flattened 8x8 blocks) feeding a
     vectorized cost reduction;
-  * the 12 directional taps become gathers from per-direction shifted
-    plane stacks (`take_along_axis` over an (8, H, W) stack with the
-    per-pixel direction map) — secondary taps reuse the same stacks at
-    direction (d+2)&7 / (d+6)&7;
-  * the constraint function runs as pure elementwise int32 ops, so the
-    frame-level strength search just vmaps the tap mix over a static
-    candidate list and argmins the SSE against the source — the taps
-    themselves are gathered once.
+  * the 12 directional taps are built as one-hot SELECTS over the 8
+    per-direction shifted planes (a leading-axis take_along_axis
+    lowers to a scalar gather on TPU — ~0.5 s/frame at 1080p; the
+    select form fuses into one vectorized pass per tap plane);
+  * the frame-level (pri, sec) strength search runs on a 1-in-4
+    UNIT SUBSAMPLE (every other 8x8 unit in each dimension) — tap
+    planes are sliced AFTER the full-frame gather so subsampled units
+    keep their true frame neighbors — and the winning strengths are
+    applied once, full-frame, through the same tap planes.
 
 The search picks (pri, sec) per plane class per frame (cdef_bits = 0
 streams).  Candidates never pair pri == 0 with sec > 0 for a class
@@ -100,25 +101,43 @@ def _floor_log2_map(v, kmax: int):
     return acc
 
 
-def _shift_stacks(padded, nh: int, nw: int):
-    """(2, 8, nh, nw) stacks of +offset taps per (k, dir), plus the
-    negative-offset stacks."""
-    pos, neg = [], []
+def _select_tap(padded, dmap, offs, nh: int, nw: int):
+    """One tap plane: per-pixel value at the direction-dependent offset.
+    offs: per-direction (dy, dx).  One-hot select over the 8 shifted
+    views (fuses into a single vectorized pass)."""
+    out = None
+    for d in range(8):
+        dy, dx = int(offs[d][0]), int(offs[d][1])
+        sh = jax.lax.dynamic_slice(padded, (2 + dy, 2 + dx), (nh, nw))
+        out = sh if out is None else jnp.where(dmap == d, sh, out)
+    return out
+
+
+def _prep_taps(plane, dmap8, nh: int, nw: int):
+    """x plus the 4 primary and 8 secondary tap planes for the per-pixel
+    direction map."""
+    x = plane[:nh, :nw].astype(jnp.int32)
+    padded = jnp.full((nh + 4, nw + 4), LARGE, jnp.int32)
+    padded = jax.lax.dynamic_update_slice(padded, x, (2, 2))
+    dirs = NC.DIRECTIONS  # (8, 2, 2) [dir][k][dy, dx]
+    pri, sec = [], []
     for k in range(2):
-        pk, nk = [], []
-        for d in range(8):
-            dy, dx = int(NC.DIRECTIONS[d, k, 0]), int(NC.DIRECTIONS[d, k, 1])
-            pk.append(jax.lax.dynamic_slice(
-                padded, (2 + dy, 2 + dx), (nh, nw)))
-            nk.append(jax.lax.dynamic_slice(
-                padded, (2 - dy, 2 - dx), (nh, nw)))
-        pos.append(jnp.stack(pk))
-        neg.append(jnp.stack(nk))
-    return pos, neg   # each: list k -> (8, nh, nw)
-
-
-def _gather(stack, dmap):
-    return jnp.take_along_axis(stack, dmap[None], axis=0)[0]
+        offs_p = [(int(dirs[d, k, 0]), int(dirs[d, k, 1]))
+                  for d in range(8)]
+        offs_n = [(-a, -b) for a, b in offs_p]
+        pri.append([_select_tap(padded, dmap8, offs_p, nh, nw),
+                    _select_tap(padded, dmap8, offs_n, nh, nw)])
+        s2 = [(int(dirs[(d + 2) & 7, k, 0]), int(dirs[(d + 2) & 7, k, 1]))
+              for d in range(8)]
+        s6 = [(int(dirs[(d + 6) & 7, k, 0]), int(dirs[(d + 6) & 7, k, 1]))
+              for d in range(8)]
+        sec.append([_select_tap(padded, dmap8, s2, nh, nw),
+                    _select_tap(padded, dmap8, [(-a, -b) for a, b in s2],
+                                nh, nw),
+                    _select_tap(padded, dmap8, s6, nh, nw),
+                    _select_tap(padded, dmap8, [(-a, -b) for a, b in s6],
+                                nh, nw)])
+    return x, pri, sec
 
 
 def _constrain_map(diff, valid, s_map, damping):
@@ -131,24 +150,26 @@ def _constrain_map(diff, valid, s_map, damping):
     return jnp.where(diff < 0, -v, v)
 
 
-def _filter_from_taps(x, taps, pri_map, sec_str, damping):
-    """taps: dict with per-k primary/secondary tap planes.  pri_map:
+def _filter_from_taps(x, pri_t, sec_t, pri_map, sec_str, damping,
+                      cs: int = 0):
+    """pri_t/sec_t: per-k primary/secondary tap planes.  pri_map:
     per-pixel adjusted primary strength; sec_str: scalar (traced).
     Returns the filtered plane (pre-skip-mask)."""
     sum_ = jnp.zeros_like(x)
     mx = x
     mn = x
     sec_map = jnp.broadcast_to(jnp.asarray(sec_str, jnp.int32), x.shape)
+    parity = pri_map >> cs  # tap pair: 8-bit-domain strength parity
     for k in range(2):
-        ptap = jnp.where((taps["parity"] & 1) != 0,
+        ptap = jnp.where((parity & 1) != 0,
                          int(NC.PRI_TAPS[1, k]), int(NC.PRI_TAPS[0, k]))
-        for p in taps["pri"][k]:
+        for p in pri_t[k]:
             valid = p != LARGE
             sum_ = sum_ + ptap * _constrain_map(p - x, valid, pri_map,
                                                 damping)
             mx = jnp.where(valid, jnp.maximum(p, mx), mx)
             mn = jnp.minimum(p, mn)
-        for p in taps["sec"][k]:
+        for p in sec_t[k]:
             valid = p != LARGE
             sum_ = sum_ + int(NC.SEC_TAPS[k]) * _constrain_map(
                 p - x, valid, sec_map, damping)
@@ -156,26 +177,6 @@ def _filter_from_taps(x, taps, pri_map, sec_str, damping):
             mn = jnp.minimum(p, mn)
     y = x + ((8 + sum_ - (sum_ < 0).astype(jnp.int32)) >> 4)
     return jnp.clip(y, mn, mx)
-
-
-def _prep_plane(plane, dmap8, nh: int, nw: int):
-    """Pad, build shift stacks, gather the 12 tap planes for the
-    per-pixel direction map (dir=0 variant too for pri==0 frames)."""
-    x = plane[:nh, :nw].astype(jnp.int32)
-    padded = jnp.full((nh + 4, nw + 4), LARGE, jnp.int32)
-    padded = jax.lax.dynamic_update_slice(padded, x, (2, 2))
-    pos, neg = _shift_stacks(padded, nh, nw)
-
-    def taps_for(dm):
-        pri = [[_gather(pos[k], dm), _gather(neg[k], dm)]
-               for k in range(2)]
-        sec = [[_gather(pos[k], (dm + 2) & 7),
-                _gather(neg[k], (dm + 2) & 7),
-                _gather(pos[k], (dm + 6) & 7),
-                _gather(neg[k], (dm + 6) & 7)] for k in range(2)]
-        return pri, sec
-
-    return x, taps_for(dmap8)
 
 
 def _adjusted_pri(pri_str, var_map, coeff_shift: int, is_luma: bool):
@@ -190,6 +191,20 @@ def _adjusted_pri(pri_str, var_map, coeff_shift: int, is_luma: bool):
     return out
 
 
+def _sub4(plane, blk: int):
+    """Slice every other unit in both dims: (H, W) -> (H/2, W/2) with
+    whole blk x blk units kept contiguous (true frame neighbors were
+    already baked into the tap planes)."""
+    h, w = plane.shape
+    uh, uw = h // blk, w // blk
+    v = plane.reshape(uh, blk, uw, blk)[0::2, :, 0::2, :]
+    return v.reshape((uh + 1) // 2 * blk, (uw + 1) // 2 * blk)
+
+
+def _plane_tap_parity(pmap, cs):
+    return pmap >> cs
+
+
 @functools.partial(jax.jit, static_argnames=("bit_depth", "th", "tw"))
 def cdef_search_apply(rec_y, rec_u, rec_v, src_y, src_u, src_v,
                       skip8, damping, bit_depth: int = 8,
@@ -200,6 +215,10 @@ def cdef_search_apply(rec_y, rec_u, rec_v, src_y, src_u, src_v,
     dtype); skip8: (uh, uw) bool/int per-8x8-unit skip; damping:
     traced int32 (8-bit domain).  Returns (y, u, v, strengths (4,)
     int32 [y_pri, y_sec, uv_pri, uv_sec]).
+
+    The SSE search runs on a 1-in-4 unit subsample; the apply is
+    full-frame with the winning strengths (libaom's pick_cdef samples
+    similarly).
     """
     H, W = rec_y.shape
     th = th or H
@@ -215,11 +234,10 @@ def cdef_search_apply(rec_y, rec_u, rec_v, src_y, src_u, src_v,
     dmap_u = dirs.reshape(uh, uw)
     var_u = variances.reshape(uh, uw)
     skip_u = jnp.asarray(skip8, bool)[:uh, :uw]
+    damping = jnp.asarray(damping, jnp.int32)
 
     def unit_to_px(m, blk):
         return jnp.repeat(jnp.repeat(m, blk, 0), blk, 1)
-
-    damping = jnp.asarray(damping, jnp.int32)
 
     def plane_class(planes, srcs, candidates, blk, dam, is_luma):
         # candidate list never pairs pri == 0 with sec > 0, so the
@@ -232,56 +250,74 @@ def cdef_search_apply(rec_y, rec_u, rec_v, src_y, src_u, src_v,
         smap = unit_to_px(skip_u, blk)
         preps = []
         for pl, s in zip(planes, srcs):
-            x, (pri_t, sec_t) = _prep_plane(pl, dmap, nh, nw)
+            x, pri_t, sec_t = _prep_taps(pl, dmap, nh, nw)
             preps.append((x, pri_t, sec_t,
                           s[:nh, :nw].astype(jnp.int32)))
         cand_arr = jnp.asarray(candidates, jnp.int32)
 
-        def one_candidate(pri, sec):
-            """(filtered planes stacked, sse delta) for one traced
-            (pri, sec) pair — vmapped over the candidate list so the
-            compiled graph holds ONE filter body, not len(candidates).
+        # --- search on the unit subsample --------------------------------
+        def sub(p):
+            return _sub4(p, blk)
 
-            SSE DELTA vs the unfiltered recon: per-pixel int32 deltas
-            row-summed in int32 (bounded ~1e8) then totalled in f32 —
-            absolute SSE at 1080p would drown f32 precision."""
+        sub_preps = []
+        for (x, pri_t, sec_t, s32) in preps:
+            sub_preps.append((sub(x),
+                              [[sub(p) for p in pri_t[k]] for k in range(2)],
+                              [[sub(p) for p in sec_t[k]] for k in range(2)],
+                              sub(s32)))
+        svmap = sub(vmap_)
+        ssmap = sub(smap)
+
+        def one_candidate(pri, sec):
+            """SSE delta vs unfiltered recon for one (pri, sec) pair —
+            vmapped over the candidate list (one filter body in the
+            compiled graph).  int32 row sums -> f32 total (absolute SSE
+            at 1080p would drown f32 precision)."""
             ps = pri << cs
             ss = sec << cs
             on = (pri > 0) | (sec > 0)
-            cand_out = []
             sse = jnp.float32(0)
-            for (x, pri_t, sec_t, s32) in preps:
+            for (x, pri_t, sec_t, s32) in sub_preps:
                 pmap = jnp.where(on,
-                                 _adjusted_pri(ps, vmap_, cs, is_luma), 0)
-                taps = {"pri": pri_t, "sec": sec_t,
-                        "parity": pmap >> cs}
-                f = _filter_from_taps(x, taps, pmap, ss, dam)
-                f = jnp.where(smap | ~on, x, f)
-                cand_out.append(f)
+                                 _adjusted_pri(ps, svmap, cs, is_luma), 0)
+                f = _filter_from_taps(x, pri_t, sec_t, pmap, ss, dam,
+                                      cs)
+                f = jnp.where(ssmap | ~on, x, f)
                 delta = (f - s32) ** 2 - (x - s32) ** 2
                 sse = sse + delta.sum(axis=1).astype(jnp.float32).sum()
-            return jnp.stack(cand_out), sse
+            return sse
 
-        outs, sses = jax.vmap(one_candidate)(cand_arr[:, 0],
-                                             cand_arr[:, 1])
+        sses = jax.vmap(one_candidate)(cand_arr[:, 0], cand_arr[:, 1])
         best = jnp.argmin(sses)
-        chosen = [outs[best, i] for i in range(len(planes))]
-        return chosen, cand_arr[best], best
+        pri_b = cand_arr[best, 0]
+        sec_b = cand_arr[best, 1]
 
-    (fy,), ystr, _ = plane_class((rec_y,), (src_y,), Y_CANDIDATES, 8,
-                                 damping + cs, True)
-    (fu, fv), uvstr, _ = plane_class((rec_u, rec_v), (src_u, src_v),
-                                     UV_CANDIDATES, 4,
-                                     damping - 1 + cs, False)
+        # --- single full-frame apply with the winning strengths ----------
+        outs = []
+        ps = pri_b << cs
+        ss = sec_b << cs
+        on = (pri_b > 0) | (sec_b > 0)
+        for (x, pri_t, sec_t, _s32) in preps:
+            pmap = jnp.where(on, _adjusted_pri(ps, vmap_, cs, is_luma), 0)
+            f = _filter_from_taps(x, pri_t, sec_t, pmap, ss, dam, cs)
+            f = jnp.where(smap | ~on, x, f)
+            outs.append(f)
+        return outs, jnp.stack([pri_b, sec_b])
 
-    def merge(orig, filt, nh, nw):
+    (fy,), ystr = plane_class((rec_y,), (src_y,), Y_CANDIDATES, 8,
+                              damping + cs, True)
+    (fu, fv), uvstr = plane_class((rec_u, rec_v), (src_u, src_v),
+                                  UV_CANDIDATES, 4,
+                                  damping - 1 + cs, False)
+
+    def merge(orig, filt):
         o = orig.astype(jnp.int32)
         return jax.lax.dynamic_update_slice(
-            o, filt[:nh, :nw].astype(jnp.int32), (0, 0))
+            o, filt.astype(jnp.int32), (0, 0))
 
-    out_y = merge(rec_y, fy, fh8, fw8)
-    out_u = merge(rec_u, fu, fh8 // 2, fw8 // 2)
-    out_v = merge(rec_v, fv, fh8 // 2, fw8 // 2)
+    out_y = merge(rec_y, fy)
+    out_u = merge(rec_u, fu)
+    out_v = merge(rec_v, fv)
     strengths = jnp.concatenate([ystr, uvstr]).astype(jnp.int32)
     return out_y, out_u, out_v, strengths
 
@@ -319,14 +355,13 @@ def cdef_apply(rec_y, rec_u, rec_v, skip8, y_pri, y_sec, uv_pri,
         dmap = unit_to_px(jnp.where(pri > 0, dmap_u, 0), blk)
         vmap = unit_to_px(var_u, blk)
         smap = unit_to_px(skip_u, blk)
-        x, (pri_t, sec_t) = _prep_plane(pl, dmap, nh, nw)
+        x, pri_t, sec_t = _prep_taps(pl, dmap, nh, nw)
         pmap = jnp.where(pri > 0,
                          _adjusted_pri(pri, vmap, cs, is_luma)
                          if is_luma else pri, 0)
         if not is_luma:
             pmap = jnp.broadcast_to(pmap, x.shape)
-        taps = {"pri": pri_t, "sec": sec_t, "parity": pmap >> cs}
-        f = _filter_from_taps(x, taps, pmap, sec, dam)
+        f = _filter_from_taps(x, pri_t, sec_t, pmap, sec, dam, cs)
         f = jnp.where(smap, x, f)
         on = (pri > 0) | (sec > 0)
         f = jnp.where(on, f, x)

@@ -194,10 +194,19 @@ class TileDecoder:
         self.filters = np.full((mr, mc), 3, np.int8)
         # per-mi inter tx size (var-tx leaves), index into TX_SIZES_ALL
         self.inter_tx = np.zeros((mr, mc), np.int32)
+        # loop-restoration per-RU syntax (spec 5.11.57; filters applied
+        # by the frame finish in decoder.py)
+        if getattr(hdr.lr, "uses_lr", False):
+            from av1tpu.specav1 import lr as lr_mod
+            self.lr_state = lr_mod.LrState(hdr, seq)
+        else:
+            self.lr_state = None
 
     # --- per-tile state -------------------------------------------------
     def decode_tile(self, data: bytes, mrs, mre, mcs, mce):
         self.r = SymbolDecoder(data)
+        if self.lr_state is not None:
+            self.lr_state.reset_refs()
         self.mrs, self.mre, self.mcs, self.mce = mrs, mre, mcs, mce
         n = self.mi_cols
         self.above_part = np.zeros(n, np.int32)
@@ -215,6 +224,8 @@ class TileDecoder:
             for c in range(mcs, mce, self.sb4):
                 sb = BLOCK_128X128 if self.seq.use_128x128_superblock \
                     else BLOCK_64X64
+                if self.lr_state is not None:
+                    self.lr_state.read_lr(self, r, c, self.sb4, self.sb4)
                 self.decode_partition(r, c, sb)
 
     def _avail(self, r, c):

@@ -85,7 +85,8 @@ def write_sequence_header(w: int, h: int, *, bit_depth: int = 8,
 
 
 def _write_cdef_lr(b: BitWriter, cdef: tuple | None,
-                   lr_types: tuple | None) -> None:
+                   lr_types: tuple | None, lr_unit_size: int = 256,
+                   lr_uv_shift: int = 0) -> None:
     """cdef_params + lr_params (spec 5.9.19/5.9.20).  The caller's
     sequence header must set enable_cdef/enable_restoration to match
     (None here = the seq gate is off, no bits).
@@ -103,10 +104,22 @@ def _write_cdef_lr(b: BitWriter, cdef: tuple | None,
             b.f(pri, 4)
             b.f(3 if sec == 4 else sec, 2)
     if lr_types is not None:
-        assert all(t == 0 for t in lr_types), \
-            "nonzero restoration types need per-RU tile syntax"
+        # lr_params (5.9.20): frame_restoration_type per plane coded
+        # through the inverse of Remap_Lr_Type (NONE->0, SWITCHABLE->1,
+        # WIENER->2, SGRPROJ->3), then unit-size shifts
+        inv_remap = {0: 0, 3: 1, 1: 2, 2: 3}
+        uses_lr = any(lr_types)
+        uses_chroma_lr = any(lr_types[1:])
         for t in lr_types:
-            b.f(t, 2)
+            b.f(inv_remap[t], 2)
+        if uses_lr:
+            size = lr_unit_size or 256
+            shift = {64: 0, 128: 1, 256: 2}[size]
+            b.f(1 if shift else 0, 1)
+            if shift:
+                b.f(shift - 1, 1)
+            if uses_chroma_lr:
+                b.f(lr_uv_shift, 1)
 
 
 def write_key_frame_header(w: int, h: int, qidx: int, *,
@@ -118,6 +131,7 @@ def write_key_frame_header(w: int, h: int, qidx: int, *,
                            lf_level: int = 0, lf_level_uv: int = 0,
                            cdef: tuple | None = None,
                            lr_types: tuple | None = None,
+                           lr_unit_size: int = 256,
                            render_size: tuple | None = None) -> BitWriter:
     """Uncompressed header for a shown KEY frame matching
     write_sequence_header's feature gates (no superres/cdef/lr,
@@ -153,7 +167,7 @@ def write_key_frame_header(w: int, h: int, qidx: int, *,
         b.f(lf_level_uv, 6)
     b.f(0, 3)          # sharpness
     b.f(0, 1)          # delta_enabled
-    _write_cdef_lr(b, cdef, lr_types)
+    _write_cdef_lr(b, cdef, lr_types, lr_unit_size)
     b.f(tx_mode_select, 1)
     b.f(reduced_tx_set, 1)
     return b
@@ -236,7 +250,8 @@ def write_inter_frame_header(w: int, h: int, qidx: int, *,
                              lf_level: int = 0,
                              lf_level_uv: int = 0,
                              cdef: tuple | None = None,
-                             lr_types: tuple | None = None) -> BitWriter:
+                             lr_types: tuple | None = None,
+                             lr_unit_size: int = 256) -> BitWriter:
     """Uncompressed header for a shown INTER frame matching
     write_sequence_header's gates: primary_ref_frame NONE (default CDFs
     per frame), single-reference (reference_select 0), regular filter,
@@ -281,7 +296,7 @@ def write_inter_frame_header(w: int, h: int, qidx: int, *,
         b.f(lf_level_uv, 6)
     b.f(0, 3)              # sharpness
     b.f(0, 1)              # mode_ref_delta_enabled
-    _write_cdef_lr(b, cdef, lr_types)
+    _write_cdef_lr(b, cdef, lr_types, lr_unit_size)
     b.f(tx_mode_select, 1)
     b.f(0, 1)              # reference_select (single reference)
     # skip_mode_params: not allowed (reference_select 0) -> no bit

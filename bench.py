@@ -212,9 +212,16 @@ def parent_main() -> int:
     attempt = 0
     while not wd.emitted and wd.rem() > 45:
         attempt += 1
-        # reserve time for a cached-compile bench after the warm: ~20 s
-        # prewarm + ~10 s warmup/timed at the degraded sizes + margin
-        warm_deadline = max(20.0, min(110.0, wd.rem() - 60.0))
+        # Attempt 1 bets on a fast stall roll (observed floor ~25 s):
+        # short deadline, kill + re-exec re-rolls the distribution.
+        # Attempt 2+ WAITS THE STALL OUT: the round-2 recorded bench
+        # died by re-roll thrash when every roll came up long (>110 s),
+        # so the fallback is a single long wait reserving ~90 s for the
+        # (possibly cold-compile) prewarm + degraded timed region.
+        if attempt == 1 and wd.rem() > 300:
+            warm_deadline = 90.0
+        else:
+            warm_deadline = max(20.0, wd.rem() - 90.0)
         env = dict(os.environ)
         env["AV1TPU_BENCH_CHILD_BUDGET"] = str(max(30.0, wd.rem() - 10.0))
         wd.child = subprocess.Popen(

@@ -245,6 +245,17 @@ OFFSETS: dict[str, int] = {
 # 31714) were pinned behaviorally: a 64-GLOBALMV dense-adaptation
 # stream disambiguates the >>6 range-coder quantization window
 # [30592..30655] (see av1tpu/encoder/entropy/av1_default_cdfs.npz).
+#
+# NOTE on the restoration CDFs: the 1-row bool signature matches rodata
+# in many accidental places (round-2's signature scan stored garbage —
+# restore_wiener == restore_sgrproj == [12851], caught in round 3 when
+# LR landed).  restore_wiener was pinned EXACTLY = [21198] behaviorally:
+# stage 1 sweeps all 512 >>6 quanta with single-read keyframe streams
+# (exactly one quantum decodes bit-exactly in libaom); stage 2/3 sweep
+# the 64 in-quantum values with 48-read dense-adaptation streams whose
+# ON units code identity Wiener taps (0,0,0), using an offline
+# adaptation-trajectory simulation to pick a splitting on/off pattern.
+# restore_sgrproj was pinned the same way (identity SGR: xqd = (0,0)).
 
 # Tables in the packed mode-defaults region: rows are the standard
 # [value(s), 0-terminator, counter] layout at the usual stride, but the
