@@ -42,6 +42,11 @@ class TpuEncoderConfig:
     # does not help.  The reference's av1_vaapi emits CDEF
     # (internal/ffmpeg/transcode.go:119-123; BASELINE config #4).
     cdef: bool = True
+    # in-loop Wiener loop restoration (spec 7.17): per-RU preset taps
+    # searched on-device by SSE vs source; RUs stay off unless the
+    # filter pays for its syntax.  BASELINE config #4 names loop
+    # restoration alongside CDEF.
+    lr: bool = True
     lowres_decode: bool = False
     # startup self-test frame (VerifyFFmpeg analog is 1280x720;
     # binary.go:282-295). Smaller sizes cut first-compile cost on

@@ -86,11 +86,11 @@ def _encode_chunk_jit():
     @functools.partial(jax.jit,
                        static_argnames=("k", "ph", "pw", "bit_depth",
                                         "th", "tw", "cap", "deblock",
-                                        "qround", "cdef"))
+                                        "qround", "cdef", "lr"))
     def go(packed, ry, ru, rv, qindexes, lfys, lfuvs, damps, k: int,
            ph: int, pw: int, bit_depth: int, th: int, tw: int, cap: int,
            deblock: bool = False, qround: float = 0.70,
-           cdef: bool = False):
+           cdef: bool = False, lr: bool = False):
         ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
 
         def step(carry, xs):
@@ -99,13 +99,13 @@ def _encode_chunk_jit():
                                           th=th, tw=tw, lf_y=lfy,
                                           lf_uv=lfuv, deblock=deblock,
                                           qround=qround, cdef=cdef,
-                                          cdef_damping=damp)
-            return out[5:8], out[0:5] + (out[8], out[9])
+                                          cdef_damping=damp, lr=lr)
+            return out[5:8], out[0:5] + (out[8], out[9], out[10])
 
         carry, outs = jax.lax.scan(step, (ry, ru, rv),
                                    (ys, us, vs, qindexes, lfys, lfuvs,
                                     damps))
-        mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs = outs
+        mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs, lrcs = outs
         # frame-major y|u|v flattening so per-frame slices are
         # byte-aligned contiguous runs on the host
         flat = jnp.concatenate([ylvs.reshape(k, -1),
@@ -118,7 +118,8 @@ def _encode_chunk_jit():
         vals = vals.at[jnp.where(mask, idx, cap)].set(
             jnp.clip(flat, -32768, 32767).astype(jnp.int16), mode="drop")
         grids = jnp.concatenate([mv8s.reshape(-1), skips.reshape(-1),
-                                 strips.reshape(-1), cdefs.reshape(-1)])
+                                 strips.reshape(-1), cdefs.reshape(-1),
+                                 lrcs.reshape(-1)])
         return carry, (jnp.packbits(mask), vals, count,
                        grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)
 
@@ -171,7 +172,8 @@ class SpecSequenceHeader:
 
     def __init__(self, width: int, height: int, bit_depth: int = 8,
                  color_primaries: int = 0, color_transfer: int = 0,
-                 color_matrix: int = 0, enable_cdef: bool = False):
+                 color_matrix: int = 0, enable_cdef: bool = False,
+                 enable_restoration: bool = False):
         self.width = width
         self.height = height
         self.bit_depth = bit_depth
@@ -179,6 +181,7 @@ class SpecSequenceHeader:
         self.color_transfer = color_transfer
         self.color_matrix = color_matrix
         self.enable_cdef = enable_cdef
+        self.enable_restoration = enable_restoration
 
     def seq_obu(self) -> bytes:
         cp = self.color_primaries or None
@@ -190,7 +193,8 @@ class SpecSequenceHeader:
             color_primaries=cp,
             transfer=self.color_transfer if cp else None,
             matrix=self.color_matrix if cp else None,
-            enable_cdef=self.enable_cdef)
+            enable_cdef=self.enable_cdef,
+            enable_restoration=self.enable_restoration)
 
     def av1c(self) -> bytes:
         hbd = 1 if self.bit_depth > 8 else 0
@@ -230,6 +234,18 @@ def cdef_damping(qindex: int) -> int:
     return min(6, 3 + (int(qindex) >> 6))
 
 
+def _lr_nru(th: int, tw: int) -> tuple:
+    """(unit_rows, unit_cols) of the luma 256px restoration-unit grid."""
+    from av1tpu.specav1 import lr as _NL
+    return (_NL.count_units_in_frame(256, th),
+            _NL.count_units_in_frame(256, tw))
+
+
+def _lr_taps():
+    from av1tpu.specav1 import jax_lr
+    return np.asarray(jax_lr.PRESETS, np.int32)
+
+
 def _tile_plan(th: int):
     """(tile_rows_log2, spans, block_row_starts) for a coded height."""
     from av1tpu.specav1 import writer as _W
@@ -252,6 +268,7 @@ class SpecTpuEngine(TpuEngine):
         self._gop_deblock = False
         self._qround = float(getattr(self.cfg, "qround", 0.70))
         self._cdef = bool(getattr(self.cfg, "cdef", True))
+        self._lr = bool(getattr(self.cfg, "lr", True))
 
     def _stripe_mesh(self, ph: int, th: int):
         """The ("stripe",) device mesh when multi-chip striping is on
@@ -354,17 +371,18 @@ class SpecTpuEngine(TpuEngine):
                 tile_row_starts=brs, lf_y=jnp.int32(lfy),
                 lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
                 qround=self._qround, cdef=self._cdef,
-                cdef_damping=jnp.int32(damp or 4))
+                cdef_damping=jnp.int32(damp or 4), lr=self._lr)
             self._ref_dev = out[0:3]
             self._golden_dev = out[0:3]
             grids = jnp.concatenate([out[6].reshape(-1),
                                      out[7].reshape(-1),
                                      out[8].reshape(-1),
                                      out[9].reshape(-1),
-                                     out[10].reshape(-1)])
+                                     out[10].reshape(-1),
+                                     out[11].reshape(-1)])
             pk = _pack_outputs(out[3], out[4], out[5], grids, cap)
             return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
-                    refresh, out, pk, cap, lfy, lfuv, damp)
+                    refresh, out, pk, cap, lfy, lfuv, damp, self._lr)
         refs = self._resolve_refs()
         mesh = self._stripe_mesh(ph, th)
         if mesh is not None:
@@ -387,7 +405,7 @@ class SpecTpuEngine(TpuEngine):
                 bit_depth=bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
                 lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
                 qround=self._qround, cdef=self._cdef,
-                cdef_damping=jnp.int32(damp or 4))
+                cdef_damping=jnp.int32(damp or 4), lr=self._lr)
             # recon/levels beyond the coded padded height are garbage
             # rows of the stripe pad; the ref slots keep them (cropped
             # at true dims by the next frame's prep_ref)
@@ -398,16 +416,17 @@ class SpecTpuEngine(TpuEngine):
                 qindex, bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
                 lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
                 qround=self._qround, cdef=self._cdef,
-                cdef_damping=jnp.int32(damp or 4))
+                cdef_damping=jnp.int32(damp or 4), lr=self._lr)
         if refresh:
             self._ref_dev = out[5:8]
         grids = jnp.concatenate([out[0].reshape(-1),
                                  out[1].reshape(-1),
                                  out[8].reshape(-1),
-                                 out[9].reshape(-1)])
+                                 out[9].reshape(-1),
+                                 out[10].reshape(-1)])
         pk = _pack_outputs(out[2], out[3], out[4], grids, cap)
         return ("inter", qindex, w, h, th, tw, ph, pw, bd, oh,
-                refresh, out, pk, cap, lfy, lfuv, damp)
+                refresh, out, pk, cap, lfy, lfuv, damp, self._lr)
 
     def _submit_chunk(self, frames, qindexes):
         """Upload + dispatch run on an ordered worker thread: the 25MB
@@ -432,6 +451,7 @@ class SpecTpuEngine(TpuEngine):
         lf = [lf_levels(q, bd) if dbl else (0, 0) for q in qi]
         damps = [cdef_damping(q) if self._cdef else None for q in qi]
         use_cdef = self._cdef
+        use_lr = self._lr
 
         def worker():
             refs = ref_prev() if callable(ref_prev) else ref_prev
@@ -447,17 +467,18 @@ class SpecTpuEngine(TpuEngine):
                 jnp.asarray([d or 4 for d in damps], jnp.int32),
                 k=k, ph=ph, pw=pw,
                 bit_depth=bd, th=th, tw=tw, cap=cap, deblock=dbl,
-                qround=self._qround, cdef=use_cdef)
+                qround=self._qround, cdef=use_cdef, lr=use_lr)
 
         fut = self._dispatch_pool().submit(worker)
         self._ref_dev = lambda: fut.result()[0]
-        return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut, lf, damps)
+        return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut, lf, damps,
+                use_lr)
 
     @staticmethod
     def _finalize_chunk(pending) -> list:
         import jax as _jax
         (qindexes, w, h, th, tw, ph, pw, bd, ohs, k, fut, lfs,
-         damps) = pending
+         damps, lr_on) = pending
         _, pk, full = fut.result()
         rs = (w, h) if (tw, th) != (w, h) else None
         mi_cols, mi_rows = 2 * ((tw + 7) >> 3), 2 * ((th + 7) >> 3)
@@ -479,7 +500,11 @@ class SpecTpuEngine(TpuEngine):
         mv8s = grids[:k * 2 * B].reshape(k, B, 2)
         skips = grids[k * 2 * B:k * 3 * B].reshape(k, B)
         stripss = grids[k * 3 * B:k * (3 * B + nsc)].reshape(k, nsc)
-        cdefss = grids[k * (3 * B + nsc):].reshape(k, 4)
+        cdefss = grids[k * (3 * B + nsc):
+                       k * (3 * B + nsc + 4)].reshape(k, 4)
+        urows, ucols = _lr_nru(th, tw)
+        lrcs = grids[k * (3 * B + nsc + 4):].reshape(k, urows * ucols)
+        lr_taps = _lr_taps() if lr_on else None
         modes = np.ones((gh_t, gw_t), np.int32)
 
         def one(i):
@@ -498,14 +523,17 @@ class SpecTpuEngine(TpuEngine):
                 (modes, mv8s[i].reshape(gh, gw, 2)[:gh_t, :gw_t],
                  skips[i].reshape(gh, gw)[:gh_t, :gw_t]),
                 ylv, ulv, vlv,
-                strip_skip=stripss[i] if strip else None)
+                strip_skip=stripss[i] if strip else None,
+                lr=(256, lrcs[i].reshape(urows, ucols), lr_taps)
+                if lr_on else None)
             ch = None
             if damps[i] is not None:
                 ch = (damps[i],) + tuple(int(x) for x in cdefss[i])
             hdr = W.write_inter_frame_header(
                 tw, th, qindexes[i], order_hint=ohs[i],
                 render_size=rs, tile_rows_log2=trl2,
-                lf_level=lfs[i][0], lf_level_uv=lfs[i][1], cdef=ch)
+                lf_level=lfs[i][0], lf_level_uv=lfs[i][1], cdef=ch,
+                lr_types=(1, 0, 0) if lr_on else None)
             hdr.byte_align()
             return obu_mod.make_obu(
                 obu_mod.OBU_FRAME,
@@ -521,7 +549,7 @@ class SpecTpuEngine(TpuEngine):
     def _finalize(pending) -> tuple[bytes, bool]:
         import jax as _jax
         (kind, qindex, w, h, th, tw, ph, pw, bd, oh, refresh, out,
-         pk, cap, lfy, lfuv, cdamp) = pending
+         pk, cap, lfy, lfuv, cdamp, lr_on) = pending
         # true dims: headers carry (tw, th); render_size only for the
         # padded fallback where the coded frame exceeds the display area
         rs = (w, h) if (tw, th) != (w, h) else None
@@ -541,10 +569,18 @@ class SpecTpuEngine(TpuEngine):
         lvs = _unpack_levels(maskbytes, vals, count, shapes)
         strip = (th % 32) == 16
         nsc = 2 * gw
-        # device-searched CDEF strengths ride the last 4 grid ints
+        # grid tail: [cdef strengths (4)][lr choice (urows*ucols)]
+        urows, ucols = _lr_nru(th, tw)
+        nru = urows * ucols
+        lr_choice = grids[-nru:].reshape(urows, ucols)
+        lr_kw = {}
+        lr_arg = None
+        if lr_on:
+            lr_arg = (256, lr_choice, _lr_taps())
+            lr_kw["lr_types"] = (1, 0, 0)
         cdef_hdr = None
         if cdamp is not None:
-            cs = [int(x) for x in grids[-4:]]
+            cs = [int(x) for x in grids[-nru - 4:-nru]]
             cdef_hdr = (cdamp, cs[0], cs[1], cs[2], cs[3])
         if kind == "key":
             if lvs is None:
@@ -561,15 +597,16 @@ class SpecTpuEngine(TpuEngine):
                 "key", qindex, mi_cols, mi_rows, spans,
                 (g_mode[:gh_t, :gw_t], g_uv[:gh_t, :gw_t],
                  g_skip[:gh_t, :gw_t]), lv_y, lv_u, lv_v,
-                strip_skip=strip_skip)
+                strip_skip=strip_skip, lr=lr_arg)
             hdr = W.write_key_frame_header(tw, th, qindex,
                                            order_hint=oh, render_size=rs,
                                            tile_rows_log2=trl2,
                                            lf_level=lfy, lf_level_uv=lfuv,
-                                           cdef=cdef_hdr)
+                                           cdef=cdef_hdr, **lr_kw)
             hdr.byte_align()
             seq = SpecSequenceHeader(
-                w, h, bd, enable_cdef=cdamp is not None).seq_obu()
+                w, h, bd, enable_cdef=cdamp is not None,
+                enable_restoration=lr_on).seq_obu()
             payload = seq + obu_mod.make_obu(
                 obu_mod.OBU_FRAME,
                 hdr.tobytes() + W.assemble_tile_group(tiles))
@@ -588,12 +625,12 @@ class SpecTpuEngine(TpuEngine):
             "inter", qindex, mi_cols, mi_rows, spans,
             (modes, np.asarray(mv8).reshape(gh, gw, 2)[:gh_t, :gw_t],
              np.asarray(skip).reshape(gh, gw)[:gh_t, :gw_t]),
-            ylv, ulv, vlv, strip_skip=strip_skip)
+            ylv, ulv, vlv, strip_skip=strip_skip, lr=lr_arg)
         hdr = W.write_inter_frame_header(
             tw, th, qindex, order_hint=oh,
             refresh_frame_flags=0x01 if refresh else 0x00,
             render_size=rs, tile_rows_log2=trl2,
-            lf_level=lfy, lf_level_uv=lfuv, cdef=cdef_hdr)
+            lf_level=lfy, lf_level_uv=lfuv, cdef=cdef_hdr, **lr_kw)
         hdr.byte_align()
         payload = obu_mod.make_obu(
             obu_mod.OBU_FRAME,
@@ -605,7 +642,8 @@ class SpecTpuEngine(TpuEngine):
                         bit_depth: int = 8,
                         source_stream=None) -> SpecSequenceHeader:
         sh = SpecSequenceHeader(width, height, bit_depth,
-                                enable_cdef=self._cdef)
+                                enable_cdef=self._cdef,
+                                enable_restoration=self._lr)
         if source_stream is not None:
             sh.color_primaries = getattr(source_stream,
                                          "color_primaries_code", 0)
@@ -659,13 +697,14 @@ class SpecTpuEngine(TpuEngine):
                                            lf_y=jnp.int32(0),
                                            lf_uv=jnp.int32(0),
                                            qround=self._qround,
-                                           cdef=self._cdef)
-            # the exact packer shape _submit uses (5-part grid concat)
+                                           cdef=self._cdef, lr=self._lr)
+            # the exact packer shape _submit uses (6-part grid concat)
             gk = jnp.concatenate([kout[6].reshape(-1),
                                   kout[7].reshape(-1),
                                   kout[8].reshape(-1),
                                   kout[9].reshape(-1),
-                                  kout[10].reshape(-1)])
+                                  kout[10].reshape(-1),
+                                  kout[11].reshape(-1)])
             _jax.device_get(
                 _pack_outputs(kout[3], kout[4], kout[5], gk, cap))
 
@@ -675,11 +714,12 @@ class SpecTpuEngine(TpuEngine):
                                            lf_y=jnp.int32(0),
                                            lf_uv=jnp.int32(0),
                                            qround=self._qround,
-                                           cdef=self._cdef)
+                                           cdef=self._cdef, lr=self._lr)
             gi = jnp.concatenate([iout[0].reshape(-1),
                                   iout[1].reshape(-1),
                                   iout[8].reshape(-1),
-                                  iout[9].reshape(-1)])
+                                  iout[9].reshape(-1),
+                                  iout[10].reshape(-1)])
             _jax.device_get(
                 _pack_outputs(iout[2], iout[3], iout[4], gi, cap))
 
@@ -692,7 +732,8 @@ class SpecTpuEngine(TpuEngine):
                           jnp.full((k,), 4, jnp.int32), k=k, ph=ph,
                           pw=pw, bit_depth=bit_depth, th=th, tw=tw,
                           cap=k * cap, qround=self._qround,
-                          cdef=self._cdef)[1][0].block_until_ready()
+                          cdef=self._cdef,
+                          lr=self._lr)[1][0].block_until_ready()
 
         jobs = [warm_intra, warm_inter] + ([warm_chunk] if k > 1 else [])
         errs = []

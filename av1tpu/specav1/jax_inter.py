@@ -79,13 +79,13 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
 @functools.partial(jax.jit,
                    static_argnames=("bit_depth", "refine", "th", "tw",
                                     "stripe", "deblock", "qround",
-                                    "cdef"))
+                                    "cdef", "lr"))
 def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                   bit_depth: int, refine: bool = True,
                   th: int = 0, tw: int = 0, stripe: bool = False,
                   row0=0, lf_y=0, lf_uv=0, deblock: bool = False,
                   qround: float = 0.70, cdef: bool = False,
-                  cdef_damping=4):
+                  cdef_damping=4, lr: bool = False):
     """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
     rec_y, rec_u, rec_v) for the SB-padded frame.
 
@@ -274,6 +274,7 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         rec_y_p, rec_u_p, rec_v_p = _LF.deblock_frame(
             rec_y_p, rec_u_p, rec_v_p, lf_y, lf_uv, lf_uv,
             bit_depth, th, tw)
+    pre_cdef_y = rec_y_p  # post-deblock: LR stripe-boundary source
     if cdef and not stripe:
         # in-loop CDEF after deblock (spec 7.15 placement); the frame
         # strengths are searched on-device against the source and
@@ -286,8 +287,19 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
             bit_depth=bit_depth, th=th, tw=tw)
     else:
         cdefs = jnp.zeros((4,), jnp.int32)
+    if lr and not stripe:
+        # in-loop Wiener loop restoration after CDEF (spec 7.17): per-RU
+        # preset search on luma, decisions returned for the tile syntax
+        from av1tpu.specav1 import jax_lr
+        rec_y_p, lr_choice = jax_lr.lr_search_apply(
+            rec_y_p, pre_cdef_y, y, bit_depth=bit_depth, th=th, tw=tw)
+    else:
+        from av1tpu.specav1 import lr as _NL
+        nru = (_NL.count_units_in_frame(256, th or rec_y_p.shape[0]) *
+               _NL.count_units_in_frame(256, tw or rec_y_p.shape[1]))
+        lr_choice = jnp.full((nru,), -1, jnp.int32)
     return (mv8, skip, lv_y_p, lv_u_p, lv_v_p,
-            rec_y_p, rec_u_p, rec_v_p, strip_skip, cdefs)
+            rec_y_p, rec_u_p, rec_v_p, strip_skip, cdefs, lr_choice)
 
 
 def build_skip8(skip_blocks, strip_skip, th: int, tw: int, pw: int):

@@ -381,12 +381,12 @@ def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes):
 @functools.partial(jax.jit,
                    static_argnames=("nbr", "nbc", "bit_depth", "th", "tw",
                                     "tile_row_starts", "deblock", "qround",
-                                    "cdef"))
+                                    "cdef", "lr"))
 def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
                   th: int = 0, tw: int = 0, tile_row_starts: tuple = (),
                   lf_y=0, lf_uv=0, deblock: bool = False,
                   qround: float = 0.70, cdef: bool = False,
-                  cdef_damping=4):
+                  cdef_damping=4, lr: bool = False):
     """y: (H, W) uint8/16 SB-padded source; returns grids + levels +
     recon planes."""
     H, Wd = nbr * 32, nbc * 32
@@ -571,6 +571,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
                                        th, tw)
     else:
         fy, fu, fv = carry[0:3]
+    pre_cdef_y = fy  # post-deblock: LR stripe-boundary source
     if cdef:
         # in-loop CDEF after deblock (spec 7.15); frame strengths are
         # searched on-device, returned for the host's cdef_params
@@ -582,7 +583,19 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
             bit_depth=bit_depth, th=th, tw=tw)
     else:
         cdefs = jnp.zeros((4,), jnp.int32)
-    return (fy, fu, fv) + tuple(carry[3:]) + (strip_skip, cdefs)
+    if lr:
+        # in-loop Wiener loop restoration after CDEF (spec 7.17)
+        from av1tpu.specav1 import jax_lr
+        fy, lr_choice = jax_lr.lr_search_apply(
+            fy, pre_cdef_y, y, bit_depth=bit_depth,
+            th=th or fy.shape[0], tw=tw or fy.shape[1])
+    else:
+        from av1tpu.specav1 import lr as _NL
+        nru = (_NL.count_units_in_frame(256, th or fy.shape[0]) *
+               _NL.count_units_in_frame(256, tw or fy.shape[1]))
+        lr_choice = jnp.full((nru,), -1, jnp.int32)
+    return (fy, fu, fv) + tuple(carry[3:]) + (strip_skip, cdefs,
+                                              lr_choice)
 
 
 def encode_keyframe_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,

@@ -64,12 +64,12 @@ def shard_rows(mesh: Mesh, arr):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "bit_depth", "th", "tw",
-                                    "deblock", "qround", "cdef"))
+                                    "deblock", "qround", "cdef", "lr"))
 def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
                          bit_depth: int, th: int, tw: int,
                          lf_y=0, lf_uv=0, deblock: bool = False,
                          qround: float = 0.70, cdef: bool = False,
-                         cdef_damping=4):
+                         cdef_damping=4, lr: bool = False):
     """y/u/v: (ph, pw) planes sharded P("stripe"); refs: full-frame
     recon planes (replicated).  Returns jax_inter._encode_frame's
     tuple, planes laid out full-frame (stripe outputs concatenated).
@@ -88,7 +88,7 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
     out_specs = (P("stripe"), P("stripe"), P("stripe", None),
                  P("stripe", None), P("stripe", None),
                  P("stripe", None), P("stripe", None), P("stripe", None),
-                 P(None), P(None))
+                 P(None), P(None), P(None))
     out = shard_map(
         body, mesh=mesh,
         in_specs=(P("stripe", None), P("stripe", None), P("stripe", None),
@@ -105,6 +105,7 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
         fy, fu, fv = _LF.deblock_frame(fy, fu, fv, lf_y, lf_uv,
                                        lf_uv, bit_depth, th, tw)
     cdefs = out[9]
+    pre_cdef_y = fy  # post-deblock: LR stripe-boundary source
     if cdef:
         from av1tpu.specav1 import jax_cdef
         gh, gw = y.shape[0] // 32, y.shape[1] // 32
@@ -113,4 +114,9 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
         fy, fu, fv, cdefs = jax_cdef.cdef_search_apply(
             fy, fu, fv, y, u, v, skip8, cdef_damping,
             bit_depth=bit_depth, th=th, tw=tw)
-    return out[0:5] + (fy, fu, fv, out[8], cdefs)
+    lr_choice = out[10]
+    if lr:
+        from av1tpu.specav1 import jax_lr
+        fy, lr_choice = jax_lr.lr_search_apply(
+            fy, pre_cdef_y, y, bit_depth=bit_depth, th=th, tw=tw)
+    return out[0:5] + (fy, fu, fv, out[8], cdefs, lr_choice)

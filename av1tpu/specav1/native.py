@@ -24,7 +24,7 @@ from av1tpu.specav1.cdfs import FrameContext
  TBL_INTRA_EXT_TX, TBL_IF_Y_MODE, TBL_INTRA_INTER, TBL_SINGLE_REF,
  TBL_NEWMV, TBL_ZEROMV, TBL_REFMV, TBL_DRL, TBL_MV_JOINT, TBL_MV_SIGN,
  TBL_MV_CLASSES, TBL_MV_CLASS0, TBL_MV_BITS, TBL_MV_CLASS0_FP,
- TBL_MV_FP, TBL_INTER_EXT_TX) = range(34)
+ TBL_MV_FP, TBL_INTER_EXT_TX, TBL_RESTORE_WIENER) = range(35)
 
 _configured = False
 
@@ -60,6 +60,10 @@ def _lib() -> ctypes.CDLL:
         lib.stw_encode_inter32.restype = ctypes.c_int64
         lib.stw_set_tile_row.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                          ctypes.c_int]
+        lib.stw_set_lr.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_int]
         _configured = True
     return lib
 
@@ -101,6 +105,7 @@ def _fc_tables(fc: FrameContext) -> list[tuple[int, np.ndarray]]:
                                      fc.mv[1].class0_fp])),
         (TBL_MV_FP, np.stack([fc.mv[0].fp, fc.mv[1].fp])),
         (TBL_INTER_EXT_TX, fc.inter_ext_tx),
+        (TBL_RESTORE_WIENER, fc.restore_wiener),
     ]
 
 
@@ -136,7 +141,7 @@ def _pool():
 
 def encode_tile_rows(kind: str, qindex: int, mi_cols: int, mi_rows: int,
                      spans: list, grid_args: tuple, ylv, ulv, vlv,
-                     strip_skip=None) -> list:
+                     strip_skip=None, lr=None) -> list:
     """Encode one spec tile per (mi_row0, mi_row1) span, in parallel
     (the C++ walker releases the GIL).  grid_args: the per-frame grid
     arrays of encode_intra32_tile / encode_inter32_tile; each tile gets
@@ -151,7 +156,8 @@ def encode_tile_rows(kind: str, qindex: int, mi_cols: int, mi_rows: int,
         ss = strip_skip if mi1 == spans[-1][1] else None
         return enc(qindex, mi_cols, mi1 - mi0, *sliced,
                    ylv[mi0 * 4:], ulv[mi0 * 2:], vlv[mi0 * 2:],
-                   tile_row0=mi0, frame_mi_rows=mi_rows, strip_skip=ss)
+                   tile_row0=mi0, frame_mi_rows=mi_rows, strip_skip=ss,
+                   lr=lr)
 
     if len(spans) == 1:
         return [one(spans[0])]
@@ -164,7 +170,8 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
                         ulv: np.ndarray, vlv: np.ndarray,
                         tile_row0: int = 0,
                         frame_mi_rows: int = 0,
-                        strip_skip: np.ndarray | None = None) -> bytes:
+                        strip_skip: np.ndarray | None = None,
+                        lr=None) -> bytes:
     """Emit one spec tile for a fixed-32x32-grid single-ref inter frame.
 
     modes: (gh, gw) int32, 0 = intra-DC fallback, 1 = inter.
@@ -195,6 +202,15 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
         if tile_row0 or frame_mi_rows:
             lib.stw_set_tile_row(w, tile_row0,
                                  frame_mi_rows or mi_rows)
+        if lr is not None:
+            # (unit_size, choice (urows, ucols) int32, taps (P, 3))
+            usz, choice, taps = lr
+            choice = np.ascontiguousarray(np.asarray(choice, np.int32))
+            taps = np.ascontiguousarray(np.asarray(taps, np.int32))
+            lib.stw_set_lr(w, usz, choice.shape[0], choice.shape[1],
+                           choice.ctypes.data_as(ctypes.c_void_p),
+                           taps.ctypes.data_as(ctypes.c_void_p),
+                           taps.shape[0])
         for tid, a in _fc_buffers(qindex):
             ok = lib.stw_set_cdf(w, tid, a.ctypes.data_as(ctypes.c_void_p),
                                  a.size)
@@ -233,7 +249,8 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
                         ulv: np.ndarray, vlv: np.ndarray,
                         tile_row0: int = 0,
                         frame_mi_rows: int = 0,
-                        strip_skip: np.ndarray | None = None) -> bytes:
+                        strip_skip: np.ndarray | None = None,
+                        lr=None) -> bytes:
     """Emit one spec tile for a fixed-32x32-grid intra frame.
 
     y_modes/uv_modes/skips: (gh, gw) int32 with gw = mi_cols//8.
@@ -262,6 +279,15 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
         if tile_row0 or frame_mi_rows:
             lib.stw_set_tile_row(w, tile_row0,
                                  frame_mi_rows or mi_rows)
+        if lr is not None:
+            # (unit_size, choice (urows, ucols) int32, taps (P, 3))
+            usz, choice, taps = lr
+            choice = np.ascontiguousarray(np.asarray(choice, np.int32))
+            taps = np.ascontiguousarray(np.asarray(taps, np.int32))
+            lib.stw_set_lr(w, usz, choice.shape[0], choice.shape[1],
+                           choice.ctypes.data_as(ctypes.c_void_p),
+                           taps.ctypes.data_as(ctypes.c_void_p),
+                           taps.shape[0])
         for tid, a in _fc_buffers(qindex):
             ok = lib.stw_set_cdf(w, tid, a.ctypes.data_as(ctypes.c_void_p),
                                  a.size)

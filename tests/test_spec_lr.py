@@ -157,6 +157,77 @@ def test_own_decoder_matches_recon():
                 f"frame {i} plane {p}"
 
 
+# ---- device parity ------------------------------------------------------
+
+@pytest.mark.parametrize("dims,taps", [
+    ((64, 64), (3, -7, 15)),
+    ((192, 128), (0, 2, 14)),
+    ((200, 136), (1, 4, 20)),    # non-SB-aligned true dims
+    ((256, 192), (-2, -5, 25)),
+])
+def test_jax_wiener_matches_numpy(dims, taps):
+    import jax.numpy as jnp
+
+    from av1tpu.specav1 import jax_lr as JL
+
+    h, w = dims
+    rng = np.random.default_rng(3)
+    rec = rng.integers(0, 256, (h, w)).astype(np.int64)
+    pre = np.clip(rec + rng.integers(-8, 9, rec.shape), 0,
+                  255).astype(np.int64)
+    want = rec.copy()
+    for (s0, s1) in LR._stripe_ranges(h, 0):
+        src = LR._padded_source(rec, pre, s0, s1, w)
+        want[s0:s1 + 1, :] = LR.wiener_stripe(src, list(taps),
+                                              list(taps), 0, w, 8)
+    got = np.asarray(JL.wiener_apply(
+        jnp.asarray(rec, jnp.int32), jnp.asarray(pre, jnp.int32),
+        taps, h, w, 0, 8))
+    assert np.array_equal(got, want)
+
+
+def test_jax_search_decisions_apply_consistently():
+    """search_apply's filtered plane equals the numpy per-RU apply of
+    its own returned decisions."""
+    import jax.numpy as jnp
+
+    from av1tpu.specav1 import jax_lr as JL
+
+    h, w = 320, 320
+    rng = np.random.default_rng(5)
+    # smooth source + independent recon noise: low-pass filtering must
+    # win somewhere, so the search fires
+    yy, xx = np.mgrid[0:h, 0:w]
+    src = ((yy * 2 + xx) // 3 % 200 + 20).astype(np.int64)
+    rec = np.clip(src + rng.integers(-7, 8, src.shape), 0,
+                  255).astype(np.int64)
+    pre = np.clip(rec + rng.integers(-3, 4, rec.shape), 0,
+                  255).astype(np.int64)
+    fy, choice = JL.lr_search_apply(
+        jnp.asarray(rec, jnp.int32), jnp.asarray(pre, jnp.int32),
+        jnp.asarray(src, jnp.int32), th=h, tw=w)
+    fy = np.asarray(fy)
+    choice = np.asarray(choice)
+    urows = LR.count_units_in_frame(256, h)
+    ucols = LR.count_units_in_frame(256, w)
+    dec = {}
+    for ur in range(urows):
+        for uc in range(ucols):
+            k = int(choice[ur * ucols + uc])
+            if k >= 0:
+                t = list(JL.PRESETS[k])
+                dec[(0, ur, uc)] = ("wiener", t, t)
+    assert any(k >= 0 for k in choice), "search never fired"
+    state = LR.LrEncState.for_encode((LR.RESTORE_WIENER, 0, 0), 256,
+                                     w, h, dec)
+    for key, d in dec.items():
+        state.wiener[key] = (d[1], d[2])
+        state.rtype[key] = LR.RESTORE_WIENER
+    wy, _, _ = LR.apply_lr_frame(state, (rec, rec, rec),
+                                 (pre, pre, pre), 8, h, w)
+    assert np.array_equal(fy, wy)
+
+
 def test_subexp_roundtrip():
     """Writer/reader duals of the signed subexp-with-ref primitive."""
     from av1tpu.encoder import entropy
