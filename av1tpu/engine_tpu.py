@@ -104,9 +104,45 @@ def _enable_compilation_cache() -> None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _make_cache_writes_atomic()
     except Exception as e:  # cache is an optimization, never fatal
         log.warning("compilation cache unavailable: %s", e)
     _cache_enabled = True
+
+
+def _make_cache_writes_atomic() -> None:
+    """jax's file cache writes entries with a bare write_bytes
+    (lru_cache.LRUCache.put): a reader in another process (daemon +
+    bench, or parallel test runs) can observe a TRUNCATED executable,
+    and XLA's deserializer aborts the whole process on garbage
+    (observed SIGABRT in get_executable_and_time).  Write to a
+    tmp name in the same directory and rename into place — rename is
+    atomic on POSIX, so readers only ever see complete entries."""
+    try:
+        from jax._src import lru_cache as _lru
+    except Exception:
+        return
+    if getattr(_lru.LRUCache, "_av1tpu_atomic", False):
+        return
+    orig_put = _lru.LRUCache.put
+
+    def put(self, key, val):
+        # write the entry atomically FIRST; the original put then sees
+        # it existing and no-ops the data write while still running its
+        # bookkeeping (eviction lock / atime) when enabled
+        if key:
+            cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+            tmp = cache_path.with_name(
+                cache_path.name + f".tmp{os.getpid()}")
+            try:
+                tmp.write_bytes(val)
+                os.replace(tmp, cache_path)
+            except OSError:
+                return
+        return orig_put(self, key, val)
+
+    _lru.LRUCache.put = put
+    _lru.LRUCache._av1tpu_atomic = True
 
 
 @dataclasses.dataclass
@@ -617,6 +653,7 @@ class TpuEngine:
         by roughly the shape count."""
         import threading
 
+        import jax
         import jax.numpy as jnp
         dt = np.uint8 if bit_depth == 8 else np.uint16
         fr = Frame(y=np.zeros((height, width), dt),
@@ -662,6 +699,14 @@ class TpuEngine:
             np.asarray(out[12])
 
         jobs = [warm_key, warm_single] + ([warm_chunk] if K > 1 else [])
+        # parallel compile is a TPU cold-start feature; the XLA CPU
+        # client segfaults when the persistent cache serializes an
+        # executable concurrently with another thread's compile (see
+        # spec_engine._prewarm) — run sequentially off-TPU
+        if jax.default_backend() != "tpu":
+            for j in jobs:
+                j()
+            return
         threads = [threading.Thread(target=j, daemon=True) for j in jobs]
         for t in threads:
             t.start()

@@ -25,6 +25,9 @@ class Decoder:
         # raising when the header enables deblocking (output then
         # differs from a conformant decoder near block edges)
         self.ignore_loop_filter = False
+        # when True, each TileDecoder records per-block parse dumps in
+        # td.debug (mode/ref/mv/stack) for conformance triage
+        self.debug_blocks = False
 
     def decode_tu(self, tu: bytes) -> list:
         """Decode one temporal unit; returns list of (y, u, v) planes."""
@@ -64,6 +67,8 @@ class Decoder:
         td = TileDecoder(seq, hdr, fc,
                          ref_planes=None if hdr.frame_is_intra()
                          else self.ref_frames)
+        if self.debug_blocks:
+            td.debug = []
         data = payload[b.pos // 8:]
         off = 0
         for tn in range(tg_start, tg_end + 1):

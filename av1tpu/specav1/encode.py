@@ -68,13 +68,10 @@ def quantize(coeffs: np.ndarray, qindex: int, bit_depth: int,
     h, w = coeffs.shape
     dcq = int(recon.DC_Q[bit_depth][qindex])
     acq = int(recon.AC_Q[bit_depth][qindex])
-    shift = 0
-    if max(w, h) == 32:
-        shift = 1
-    elif max(w, h) == 64:
-        shift = 2
-    # spec dequant is (level * q) >> shift, so the effective step is
-    # q / 2^shift for the 32/64-point transforms
+    # tx scale is area-based (libaom av1_get_tx_scale); spec dequant is
+    # (level * q) >> shift, so the effective step is q / 2^shift
+    pels = w * h
+    shift = int(pels > 256) + int(pels > 1024)
     dqv = np.full((h, w), acq / (1 << shift), np.float64)
     dqv[0, 0] = dcq / (1 << shift)
     mag = np.abs(coeffs) / dqv + (1.0 - deadzone)

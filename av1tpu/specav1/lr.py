@@ -595,10 +595,20 @@ def apply_lr_frame(state: LrState, cdef_planes, pre_planes,
         sub_y = 0 if p == 0 else seq.subsampling_y
         w = round2(tw, sub_x)
         h = round2(th, sub_y)
+        # LR edge clamping is against the VISIBLE frame dims (spec
+        # 7.17.1 get_source_sample clamps to RestorationWidth/Height),
+        # not the SB-padded recon planes the decoder carries — slice
+        # first so bottom/right taps replicate the true frame edge
+        # (round-3 fix: 160-tall frames read 192-tall padding rows)
+        cdefp = cdefp[:h, :w]
+        prep = prep[:h, :w]
         size = state.sizes[p]
         ucols = state.unit_cols[p]
         urows = state.unit_rows[p]
         off = RESTORATION_UNIT_OFFSET >> sub_y
+        # reference slots keep the SB-padded area: restore into a
+        # full-size copy, filtering only the visible region
+        full = np.asarray(cdef_planes[p], np.int64).copy()
         out = cdefp.copy()
         for (s0, s1) in _stripe_ranges(h, sub_y):
             src = None
@@ -626,5 +636,6 @@ def apply_lr_frame(state: LrState, cdef_planes, pre_planes,
                     out[s0:s1 + 1, x0:x1] = sgr_filter(
                         cdefp, prep, s0, s1, x0, x1, si, x0q, x1q,
                         bit_depth)
-        outs.append(out)
+        full[:h, :w] = out
+        outs.append(full)
     return outs[0], outs[1], outs[2]

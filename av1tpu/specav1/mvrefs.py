@@ -347,9 +347,13 @@ def find_mv_stack(grid: MvGrid, mi_row: int, mi_col: int, bw4: int,
                 nr = i
         ln = nr
 
-    # single-ref extension when short: sweep the immediate row/col again
-    # accepting ANY inter ref (sign-flip for opposite-direction refs;
-    # all our refs share direction so the flip never triggers)
+    # single-ref extension when short (spec 7.10.2.12 extra search):
+    # sweep the immediate row/col again accepting ANY inter ref
+    # (sign-flip for opposite-direction refs; all our refs share
+    # direction so the flip never triggers).  Both passes walk at most
+    # num4x4 = min(w4, h4) units — NOT w4/h4 per pass (round-3 fix:
+    # fuzz seed 30, a 32x16 NEARMV whose ALTREF donor sat at column
+    # offset 6 was adopted by us but not by libaom).
     if refmv_count < MAX_MV_REF_CANDIDATES:
         def process_single(cr, cc):
             cand_ref = int(grid.ref[cr, cc])
@@ -362,8 +366,9 @@ def find_mv_stack(grid: MvGrid, mi_row: int, mi_col: int, bw4: int,
             mvs.append(mv)
             weights.append(2)
 
+        num4x4 = min(min(16, bw4), min(16, bh4))
         i = 0
-        while abs(max_row_offset) >= 1 and i < bw4 and \
+        while abs(max_row_offset) >= 1 and i < num4x4 and \
                 len(mvs) < MAX_MV_REF_CANDIDATES:
             cc = mi_col + i
             if not (t_c0 <= cc < t_c1) or grid.n4_w[mi_row - 1, cc] <= 0:
@@ -371,7 +376,7 @@ def find_mv_stack(grid: MvGrid, mi_row: int, mi_col: int, bw4: int,
             process_single(mi_row - 1, cc)
             i += int(grid.n4_w[mi_row - 1, cc])
         i = 0
-        while abs(max_col_offset) >= 1 and i < bh4 and \
+        while abs(max_col_offset) >= 1 and i < num4x4 and \
                 len(mvs) < MAX_MV_REF_CANDIDATES:
             cr = mi_row + i
             if not (t_r0 <= cr < t_r1) or grid.n4_h[cr, mi_col - 1] <= 0:

@@ -365,12 +365,11 @@ def dequant_coeffs(levels: np.ndarray, qindex: int, dc_delta: int,
     acq = int(AC_Q[bit_depth][np.clip(qindex + ac_delta, 0, 255)])
     dqv = np.full(levels.shape, acq, np.int64)
     dqv.flat[0] = dcq
-    shift = 0
-    mx = max(tx_w, tx_h)
-    if mx == 32:
-        shift = 1
-    elif mx == 64:
-        shift = 2
+    # tx scale is AREA-based (libaom av1_get_tx_scale: pels>256 adds 1,
+    # pels>1024 adds 1) — NOT max-dim (round-3 fix: 32x8 takes shift 0,
+    # 64x16 shift 1; the max-dim rule over-shifted every 4:1 shape)
+    pels = tx_w * tx_h
+    shift = int(pels > 256) + int(pels > 1024)
     sign = np.sign(levels)
     mag = (np.abs(levels.astype(np.int64)) * dqv) & 0xFFFFFF
     return (sign * (mag >> shift)).astype(np.int64)

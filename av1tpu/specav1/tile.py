@@ -51,8 +51,13 @@ MODE_TO_TXFM = (recon.DCT_DCT, recon.ADST_DCT, recon.DCT_ADST,
 NEARESTMV, NEARMV, GLOBALMV, NEWMV = 13, 14, 15, 16
 
 # Size_Group (our BLOCK_SIZES index order)
-SIZE_GROUP = (0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 3,
-              1, 1, 2, 2, 3, 3)
+# spec Size_Group (libaom size_group_lookup): groups {4x4,4x8,8x4}=0,
+# {8x8,8x16,16x8}=1, {16x16,16x32,32x16}=2, {>=32x32}=3 — rect sizes
+# share the group of the SMALLER square, not the larger (round-3 fix:
+# the old table was shifted one group up for every rect size, desyncing
+# intra-in-inter y_mode reads on foreign streams)
+SIZE_GROUP = (0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+              0, 0, 1, 1, 2, 2)
 
 # tx sizes: (w, h)
 TX_SIZES_ALL = [
@@ -123,12 +128,25 @@ def txsize_entropy_ctx(tx: int) -> int:
 
 
 def _zigzag(w: int, h: int) -> np.ndarray:
-    """Default (diagonal, alternating) scan: array of (row, col)."""
+    """Default (diagonal) scan as array of (row, col).
+
+    Square sizes alternate direction per anti-diagonal (classic
+    zigzag); RECT sizes run every anti-diagonal in ONE direction —
+    toward the longer axis (tall: top-right->bottom-left, wide:
+    bottom-left->top-right).  Recovered from the libaom/libgav1
+    .rodata tables (tools/extract_scans.py, round-3 fix: the
+    alternating zigzag desyncs libaom on any rect-tx coefficient
+    past the first diagonal)."""
     out = []
     for d in range(w + h - 1):
         cells = [(r, d - r) for r in range(h) if 0 <= d - r < w]
-        # even diagonals run bottom-left -> top-right, odd the reverse
-        cells.sort(key=lambda rc: rc[0], reverse=(d % 2 == 0))
+        if w == h:
+            # even diagonals run bottom-left -> top-right, odd reverse
+            cells.sort(key=lambda rc: rc[0], reverse=(d % 2 == 0))
+        elif w < h:
+            cells.sort(key=lambda rc: rc[0])
+        else:
+            cells.sort(key=lambda rc: rc[0], reverse=True)
         out.extend(cells)
     return np.array(out, np.int32)
 
@@ -170,6 +188,7 @@ class TileDecoder:
         self.ref_planes = ref_planes
         self.mvgrid = mvrefs.MvGrid.create(hdr.mi_rows, hdr.mi_cols)
         self.blocks: list = []  # (mi_r, mi_c, bsize) in decode order
+        self.debug: list | None = None  # set to [] for per-block dumps
         self.sb4 = 32 if seq.use_128x128_superblock else 16
         # pad to SB size: blocks/txbs may extend beyond the visible
         # frame (spec codes them fully; output is cropped)
@@ -194,6 +213,9 @@ class TileDecoder:
         self.filters = np.full((mr, mc), 3, np.int8)
         # per-mi inter tx size (var-tx leaves), index into TX_SIZES_ALL
         self.inter_tx = np.zeros((mr, mc), np.int32)
+        # TxTypes map (spec 5.11.47): luma tx type per 4x4 cell, read
+        # back by chroma-inter compute_tx_type at the co-located cell
+        self.txtypes = np.zeros((mr, mc), np.int8)
         # loop-restoration per-RU syntax (spec 5.11.57; filters applied
         # by the frame finish in decoder.py)
         if getattr(hdr.lr, "uses_lr", False):
@@ -226,10 +248,62 @@ class TileDecoder:
                     else BLOCK_64X64
                 if self.lr_state is not None:
                     self.lr_state.read_lr(self, r, c, self.sb4, self.sb4)
+                self.sb_col = c
+                self._clear_block_decoded()
                 self.decode_partition(r, c, sb)
 
     def _avail(self, r, c):
         return (self.mrs <= r < self.mre) and (self.mcs <= c < self.mce)
+
+    # --- BlockDecoded (spec 7.12.2 / 5.11.37) -------------------------
+    def _clear_block_decoded(self):
+        """Reset the SB-local per-plane BlockDecoded maps (spec 7.12.2
+        clear_block_decoded_flags): above row seeds decoded for
+        x < sbWidth4 = (MiColEnd - MiCol) >> subX — the TILE end, so
+        the above-right corner IS decoded unless this SB touches the
+        tile's right edge; left column likewise for y < sbHeight4; the
+        bottom-left corner is then forced 0 unconditionally (the SB
+        below-left never precedes us in decode order).  Indexing:
+        bd[plane][ly + 1][lx + 1] for SB-local plane-4x4 cell (ly, lx)
+        with -1 borders."""
+        self._bd = []
+        for plane in range(3):
+            ssx = self.seq.subsampling_x if plane else 0
+            ssy = self.seq.subsampling_y if plane else 0
+            w4 = self.sb4 >> ssx
+            h4 = self.sb4 >> ssy
+            sbw4 = (self.mce - self.sb_col) >> ssx
+            sbh4 = (self.mre - self.sb_row) >> ssy
+            bd = np.zeros((h4 + 2, w4 + 2), bool)
+            bd[0, :min(sbw4, w4 + 1) + 1] = True  # y=-1, x<sbWidth4
+            bd[:min(sbh4, h4 + 1) + 1, 0] = True  # x=-1, y<sbHeight4
+            bd[h4 + 1, 0] = False      # bottom-left corner: always 0
+            self._bd.append(bd)
+
+    def _bd_mark(self, plane, x, y, tw, th):
+        """Mark a decoded transform block's plane-4x4 cells."""
+        ssx = self.seq.subsampling_x if plane else 0
+        ssy = self.seq.subsampling_y if plane else 0
+        lx = (x >> 2) - ((self.sb_col >> ssx))
+        ly = (y >> 2) - ((self.sb_row >> ssy))
+        bd = self._bd[plane]
+        bd[ly + 1:ly + 1 + (th >> 2), lx + 1:lx + 1 + (tw >> 2)] = True
+
+    def _bd_have_tr_bl(self, plane, x, y, tw, th):
+        """(haveAboveRight, haveBelowLeft) for a txb at plane px
+        (x, y) — reads the SB-local BlockDecoded corners."""
+        ssx = self.seq.subsampling_x if plane else 0
+        ssy = self.seq.subsampling_y if plane else 0
+        lx = (x >> 2) - ((self.sb_col >> ssx))
+        ly = (y >> 2) - ((self.sb_row >> ssy))
+        bd = self._bd[plane]
+        sx, sy = tw >> 2, th >> 2
+        # spec: BlockDecoded[plane][ly - 1][lx + stepX] and
+        # [ly + stepY][lx - 1]; txbs never extend past the SB, so the
+        # +1-offset map covers every read
+        tr = bool(bd[ly, lx + sx + 1])
+        bl = bool(bd[ly + sy + 1, lx])
+        return tr, bl
 
     # --- partition tree -------------------------------------------------
     def decode_partition(self, r, c, bsize):
@@ -308,14 +382,33 @@ class TileDecoder:
                     break
                 self.decode_block(r, c + i * q, sub)
         # write partition context for this node (SPLIT recursion writes
-        # its own at the leaves)
+        # its own at the leaves).  AB partitions update the two halves
+        # separately: the split-sized half records the split subsize,
+        # the rect half the rect subsize (libaom
+        # update_ext_partition_context; round-3 foreign-replay fix)
         if part != PARTITION_SPLIT:
-            ac, lc = _partition_context(sub)
-            if part in (PARTITION_HORZ_A, PARTITION_VERT_B):
-                pass  # leaves already sized sub/split mix; context uses sub
-            self.above_part[c:c + w4] = ac
             lr = (r - self.sb_row) & (self.sb4 - 1)
-            self.left_part[lr:lr + h4] = lc
+
+            def upd(rr, cc, size, rw4, rh4):
+                ac, lc = _partition_context(size)
+                self.above_part[cc:cc + rw4] = ac
+                llr = (rr - self.sb_row) & (self.sb4 - 1)
+                self.left_part[llr:llr + rh4] = lc
+
+            if part == PARTITION_HORZ_A:
+                upd(r, c, split_sub, w4, h4 >> 1)
+                upd(r + (h4 >> 1), c, sub, w4, h4 >> 1)
+            elif part == PARTITION_HORZ_B:
+                upd(r, c, sub, w4, h4 >> 1)
+                upd(r + (h4 >> 1), c, split_sub, w4, h4 >> 1)
+            elif part == PARTITION_VERT_A:
+                upd(r, c, split_sub, w4 >> 1, h4)
+                upd(r, c + (w4 >> 1), sub, w4 >> 1, h4)
+            elif part == PARTITION_VERT_B:
+                upd(r, c, sub, w4 >> 1, h4)
+                upd(r, c + (w4 >> 1), split_sub, w4 >> 1, h4)
+            else:
+                upd(r, c, sub, w4, h4)
 
     def _read_split_bool(self, cdf, bsl, vertical):
         """Edge partitions: derive P(split) by gathering the partition
@@ -352,6 +445,7 @@ class TileDecoder:
         y_mode = uv_mode = DC_PRED
         angle_y = angle_uv = 0
         mv = (0, 0)
+        interp = 3
         ref_frame = 0  # INTRA_FRAME
         if is_inter:
             # read_ref_frames, single-reference tree (reference_select=0)
@@ -425,13 +519,23 @@ class TileDecoder:
                 if mm:
                     raise NotImplementedError("OBMC prediction")
             # read_interpolation_filter (spec 5.11.27); dual_filter is
-            # disabled at the sequence level in scope -> one symbol
+            # disabled at the sequence level in scope -> one symbol.
+            # needs_interp_filter(): large GLOBALMV blocks follow the
+            # global motion type (identity/non-translation -> EIGHTTAP,
+            # no symbol) — skip_mode/warped are out of scope
             interp = hdr.interpolation_filter
             if interp == 4:  # SWITCHABLE
                 if self.seq.enable_dual_filter:
                     raise NotImplementedError("dual filter")
-                ictx = self._interp_filter_ctx(r, c, ref_frame, 0, tile)
-                interp = self.r.read_adapt(fc.switchable_interp[ictx], 3)
+                w4_, h4_ = BLOCK_SIZES[bsize]
+                large = min(w4_, h4_) * 4 >= 8
+                if large and y_mode == GLOBALMV:
+                    interp = 0   # GmType IDENTITY (is_global 0): no bit
+                else:
+                    ictx = self._interp_filter_ctx(r, c, ref_frame, 0,
+                                                   tile)
+                    interp = self.r.read_adapt(
+                        fc.switchable_interp[ictx], 3)
         else:
             # intra_block_mode_info
             y_mode = self.r.read_adapt(
@@ -449,15 +553,16 @@ class TileDecoder:
                 if bsize >= BLOCK_8X8 and V_PRED <= uv_mode <= D67_PRED:
                     angle_uv = self.r.read_adapt(
                         fc.angle_delta[uv_mode - V_PRED], 7) - 3
-        # tx size: intra blocks read the depth tree; non-skip inter
-        # blocks read the var-tx split tree (txfm_partition)
+        # tx size (spec 5.11.15 block_tx_size): non-skip inter blocks
+        # read the var-tx split tree; every other SELECT block reads
+        # read_tx_size(allowSelect = !skip || !is_inter) — so INTRA
+        # blocks code the depth even when skip (round-3 foreign fix)
         tx = MAX_TX_SIZE_RECT[bsize]
         var_tx = False
-        if hdr.tx_mode == "TX_MODE_SELECT" and bsize > BLOCK_4X4 \
-                and not skip:
-            if is_inter:
+        if hdr.tx_mode == "TX_MODE_SELECT" and bsize > BLOCK_4X4:
+            if is_inter and not skip:
                 var_tx = True
-            else:
+            elif not is_inter:
                 tx = self._read_tx_size(r, c, bsize, avail_u, avail_l)
         # store mode info
         self.y_modes[r:r + bh4, c:c + bw4] = y_mode if not is_inter \
@@ -495,6 +600,13 @@ class TileDecoder:
         else:
             self._predict_and_residual(r, c, bsize, tx, y_mode, uv_mode,
                                        angle_y, angle_uv, skip)
+        if self.debug is not None:
+            self.debug.append(dict(
+                r=r, c=c, bsize=bsize, skip=skip, is_inter=is_inter,
+                ref=ref_frame, mode=y_mode, mv=mv, interp=interp,
+                tx=tx, var_tx=var_tx,
+                stack=(list(zip(stack.mvs, stack.weights)),
+                       stack.num_mv_found) if is_inter else None))
         self.decoded[r:r + bh4, c:c + bw4] = True
 
     def _interp_filter_ctx(self, r, c, ref_frame, dir_, tile):
@@ -647,10 +759,41 @@ class TileDecoder:
             cx0, cy0 = (c >> ssx) * 4, (r >> ssy) * 4
             cbw = max(w4 >> ssx, 1) * 4
             cbh = max(h4 >> ssy, 1) * 4
+            # sub-8x8 chroma: the chroma block covers a pair/quad of
+            # luma blocks; each part is predicted with its own luma
+            # block's mv+ref (libaom build_inter_predictors_sub8x8),
+            # unless any covering block is intra (is_sub8x8_inter)
+            row_start = -1 if (h4 == 1 and ssy) else 0
+            col_start = -1 if (w4 == 1 and ssx) else 0
+            use_sub = (row_start or col_start) and all(
+                int(self.mvgrid.ref[r + dr, c + dc]) > 0
+                for dr in range(row_start, 1)
+                for dc in range(col_start, 1))
             for plane in (1, 2):
-                pred = inter_recon.predict_inter(
-                    refs[plane], cx0, cy0, cbw, cbh, mv, ssx, ssy,
-                    self.bd, interp)
+                if use_sub:
+                    pw, ph = (w4 * 4) >> ssx, (h4 * 4) >> ssy
+                    pred = np.zeros((cbh, cbw), np.int64)
+                    for j, dr in enumerate(range(row_start, 1)):
+                        for i, dc in enumerate(range(col_start, 1)):
+                            nref = int(self.mvgrid.ref[r + dr, c + dc])
+                            nmv = (int(self.mvgrid.mv_r[r + dr, c + dc]),
+                                   int(self.mvgrid.mv_c[r + dr, c + dc]))
+                            nfil = int(self.filters[r + dr, c + dc])
+                            if nfil >= 3:
+                                nfil = 0
+                            nslot = hdr.ref_frame_idx[
+                                nref - mvrefs.LAST_FRAME]
+                            nrefs = self.ref_planes[nslot]
+                            pred[j * ph:(j + 1) * ph,
+                                 i * pw:(i + 1) * pw] = \
+                                inter_recon.predict_inter(
+                                    nrefs[plane], cx0 + i * pw,
+                                    cy0 + j * ph, pw, ph, nmv, ssx, ssy,
+                                    self.bd, nfil)
+                else:
+                    pred = inter_recon.predict_inter(
+                        refs[plane], cx0, cy0, cbw, cbh, mv, ssx, ssy,
+                        self.bd, interp)
                 for ty in range(0, cbh, cth):
                     for tx_x in range(0, cbw, ctw):
                         self._txb_inter(plane, cx0 + tx_x, cy0 + ty,
@@ -702,13 +845,14 @@ class TileDecoder:
         if x >= ((self.mi_cols * 4) >> ssx) or \
                 y >= ((self.mi_rows * 4) >> ssy):
             return
+        self._bd_mark(plane, x, y, tw, th)
         if skip:
             frame[y:y + th, x:x + tw] = np.clip(
                 pred, 0, (1 << self.bd) - 1).astype(frame.dtype)
             self._set_ctx(plane, x, y, tw, th, 0, 0)
             return
-        eob, levels, tx_type, culdc = self._coeffs(plane, x, y, tx,
-                                                   DC_PRED, is_inter=True)
+        eob, levels, tx_type, culdc = self._coeffs(
+            plane, x, y, tx, DC_PRED, is_inter=True, mi_rc=(mi_r, mi_c))
         if eob == 0:
             frame[y:y + th, x:x + tw] = np.clip(
                 pred, 0, (1 << self.bd) - 1).astype(frame.dtype)
@@ -765,10 +909,10 @@ class TileDecoder:
                 angle_uv = self.r.read_adapt(
                     self.fc.angle_delta[uv_mode - V_PRED], 7) - 3
         # (palette, filter_intra: disabled by header/seq in scope)
-        # tx size
+        # tx size: intra blocks have allowSelect = !skip || !is_inter
+        # = 1, so the depth is coded even for skip blocks (5.11.15)
         tx = MAX_TX_SIZE_RECT[bsize]
-        if hdr.tx_mode == "TX_MODE_SELECT" and bsize > BLOCK_4X4 \
-                and not skip:
+        if hdr.tx_mode == "TX_MODE_SELECT" and bsize > BLOCK_4X4:
             tx = self._read_tx_size(r, c, bsize, avail_u, avail_l)
         elif hdr.tx_mode == "ONLY_4X4":
             tx = TX_4X4
@@ -910,11 +1054,13 @@ class TileDecoder:
         if x >= ((self.mi_cols * 4) >> ssx) or \
                 y >= ((self.mi_rows * 4) >> ssy):
             return
-        # prediction
+        # prediction; diagonal availability from the SB-local
+        # BlockDecoded map (spec transform_block -> predict_intra)
         have_left = x > ((self.mcs * 4) >> ssx)
         have_above = y > ((self.mrs * 4) >> ssy)
-        n_tr = self._n_top_right(plane, x, y, tw, th, mi_r, mi_c, bsize)
-        n_bl = self._n_bottom_left(plane, x, y, tw, th, mi_r, mi_c, bsize)
+        tr, bl = self._bd_have_tr_bl(plane, x, y, tw, th)
+        n_tr = tw if tr else 0
+        n_bl = th if bl else 0
         pred_mode = DC_PRED if (plane and mode == UV_CFL_PRED) else mode
         pred = recon.predict_intra(
             frame, x, y, tw, th, pred_mode, angle, self.bd,
@@ -925,6 +1071,7 @@ class TileDecoder:
             filt_type=self._filt_type(plane, mi_r, mi_c))
         if plane and mode == UV_CFL_PRED:
             pred = self._cfl_pred(plane, x, y, tw, th, pred)
+        self._bd_mark(plane, x, y, tw, th)
         if skip:
             frame[y:y + th, x:x + tw] = np.clip(
                 pred, 0, (1 << self.bd) - 1).astype(frame.dtype)
@@ -1005,7 +1152,8 @@ class TileDecoder:
         self.left_dcsign[plane][lr:lr + h4] = dcsign
 
     # --- coefficient parsing (spec 5.11.39) -------------------------------
-    def _coeffs(self, plane, x, y, tx, intra_dir, is_inter=False):
+    def _coeffs(self, plane, x, y, tx, intra_dir, is_inter=False,
+                mi_rc=None):
         r = self.r
         fc = self.fc
         tw, th = TX_SIZES_ALL[tx]
@@ -1016,14 +1164,29 @@ class TileDecoder:
         all_zero = r.read_adapt(fc.txb_skip[txs_ctx][ctx_skip], 2)
         if all_zero:
             self._set_ctx(plane, x, y, tw, th, 0, 0)
+            if plane == 0:
+                self.txtypes[y >> 2:(y + th) >> 2,
+                             x >> 2:(x + tw) >> 2] = recon.DCT_DCT
             return 0, None, recon.DCT_DCT, 0
         # transform type (spec compute_tx_type)
         tx_type = recon.DCT_DCT
         if plane == 0:
             tx_type = self._read_tx_type(tx, intra_dir, is_inter)
-            self._last_luma_txtype = tx_type
+            # TxTypes map: chroma-inter txbs re-read this at their
+            # co-located luma cell (spec compute_tx_type)
+            self.txtypes[y >> 2:(y + th) >> 2,
+                         x >> 2:(x + tw) >> 2] = tx_type
         elif is_inter:
-            tx_type = getattr(self, "_last_luma_txtype", recon.DCT_DCT)
+            # spec: TxTypes[Max(MiRow, blockY<<subY)][Max(MiCol,
+            # blockX<<subX)] — the TOP-LEFT co-located luma cell, NOT
+            # the last-parsed luma txb (var-tx blocks mix types;
+            # round-3 foreign-replay fix)
+            ssx = self.seq.subsampling_x
+            ssy = self.seq.subsampling_y
+            br, bc = mi_rc if mi_rc is not None else (0, 0)
+            ly4 = min(max(br, (y >> 2) << ssy), self.mi_rows - 1)
+            lx4 = min(max(bc, (x >> 2) << ssx), self.mi_cols - 1)
+            tx_type = int(self.txtypes[ly4, lx4])
         else:
             # intra chroma: derived from the UV prediction mode
             tx_type = MODE_TO_TXFM[min(intra_dir, 13)]
@@ -1071,7 +1234,9 @@ class TileDecoder:
                 lvl = r.read_adapt(
                     fc.coeff_base_eob[txs_ctx][ptype][cec], 3) + 1
             else:
-                bctx = _base_ctx(levels, rr, cc, si, bwl, tx_class)
+                tw_full, th_full = TX_SIZES_ALL[tx]
+                bctx = _base_ctx(levels, rr, cc, si, bwl, tx_class,
+                                 tw_full, th_full)
                 lvl = r.read_adapt(
                     fc.coeff_base[txs_ctx][ptype][bctx], 4)
             if lvl > 2:
@@ -1208,7 +1373,7 @@ def _base_eob_ctx(si, cw, ch):
     return 3
 
 
-def _base_ctx(levels, rr, cc, si, bwl, tx_class):
+def _base_ctx(levels, rr, cc, si, bwl, tx_class, cw=0, ch=0):
     if tx_class == TX_CLASS_2D:
         mag = (min(int(levels[rr, cc + 1]), 3) +
                min(int(levels[rr + 1, cc]), 3) +
@@ -1216,10 +1381,16 @@ def _base_ctx(levels, rr, cc, si, bwl, tx_class):
                min(int(levels[rr, cc + 2]), 3) +
                min(int(levels[rr + 2, cc]), 3))
         ctx = min((mag + 1) >> 1, 4)
-        # position-band offsets extracted from libaom's SIMD LUTs:
-        # r+c = 0 -> 0, 1 -> 1, 2..3 -> 6, >= 4 -> 21
+        # position-band offsets (libaom av1_nz_map_ctx_offset
+        # generator): DC -> 0; TALL txs use offset 11 for the top two
+        # rows, WIDE txs offset 16 for the left two columns (round-3
+        # rect fix); otherwise r+c bands 1 / 6 / 21
         if (rr | cc) == 0:
             return 0
+        if cw < ch and rr < 2:
+            return ctx + 11
+        if cw > ch and cc < 2:
+            return ctx + 16
         if rr + cc < 2:
             return ctx + 1
         if rr + cc < 4:

@@ -251,7 +251,9 @@ def write_inter_frame_header(w: int, h: int, qidx: int, *,
                              lf_level_uv: int = 0,
                              cdef: tuple | None = None,
                              lr_types: tuple | None = None,
-                             lr_unit_size: int = 256) -> BitWriter:
+                             lr_unit_size: int = 256,
+                             switchable_filter: bool = False,
+                             allow_hp: bool = False) -> BitWriter:
     """Uncompressed header for a shown INTER frame matching
     write_sequence_header's gates: primary_ref_frame NONE (default CDFs
     per frame), single-reference (reference_select 0), regular filter,
@@ -276,9 +278,12 @@ def write_inter_frame_header(w: int, h: int, qidx: int, *,
         b.f(render_size[1] - 1, 16)
     else:
         b.f(0, 1)
-    b.f(0, 1)              # allow_high_precision_mv
-    b.f(0, 1)              # is_filter_switchable
-    b.f(0, 2)              # interpolation_filter = EIGHTTAP_REGULAR
+    b.f(1 if allow_hp else 0, 1)   # allow_high_precision_mv
+    if switchable_filter:
+        b.f(1, 1)          # is_filter_switchable
+    else:
+        b.f(0, 1)          # is_filter_switchable
+        b.f(0, 2)          # interpolation_filter = EIGHTTAP_REGULAR
     b.f(0, 1)              # is_motion_mode_switchable
     b.f(1, 1)              # disable_frame_end_update_cdf
     _write_tile_info(b, w, h, tile_rows_log2)
@@ -340,6 +345,10 @@ class TileWriter:
         self.skips = np.zeros((mi_rows, mi_cols), np.int32)
         self.y_modes = np.zeros((mi_rows, mi_cols), np.int32)
         self.mi_size = np.zeros((mi_rows, mi_cols), np.int32)
+        self.filters = np.full((mi_rows, mi_cols), 3, np.int8)
+        # tx-size contexts (txfm_partition / tx depth reads)
+        self.above_txw = np.full(mi_cols, 64, np.int32)
+        self.left_txh = np.full(self.sb4, 64, np.int32)
         self.sb_row = 0
         # inter-frame state (mirrors TileDecoder's)
         self.mvgrid = mvrefs.MvGrid.create(mi_rows, mi_cols)
@@ -348,6 +357,7 @@ class TileWriter:
     def start_sb_row(self, mi_row: int) -> None:
         self.sb_row = mi_row
         self.left_part[:] = 0
+        self.left_txh[:] = 64
         for p in range(3):
             self.left_levels[p][:] = 0
             self.left_dcsign[p][:] = 0
@@ -387,6 +397,45 @@ class TileWriter:
             self.lib.ec_enc_bool(self.enc, bit, f)
             return
         self.sym(part, self.fc.partition[bsl - 1][ctx], nsyms)
+
+    def update_partition_ctx_rect(self, r: int, c: int, bsize: int,
+                                  part: int) -> None:
+        """Rect-partition node ctx: decoder writes _partition_context
+        of the SUBSIZE over the whole node."""
+        w4, h4 = T.BLOCK_SIZES[bsize]
+        sub = T._partition_subsize(part, bsize)
+        ac, lc = T._partition_context(sub)
+        self.above_part[c:c + w4] = ac
+        lr = (r - self.sb_row) & (self.sb4 - 1)
+        self.left_part[lr:lr + h4] = lc
+
+    def update_partition_ctx_ab(self, r: int, c: int, bsize: int,
+                                part: int) -> None:
+        """AB-partition node ctx (libaom update_ext_partition_context):
+        the rect half records the rect subsize, the split half the
+        split subsize, each over its own half's extent."""
+        w4, h4 = T.BLOCK_SIZES[bsize]
+        sub = T._partition_subsize(part, bsize)
+        ssub = T._partition_subsize(T.PARTITION_SPLIT, bsize)
+
+        def upd(rr, cc, size, rw4, rh4):
+            ac, lc = T._partition_context(size)
+            self.above_part[cc:cc + rw4] = ac
+            llr = (rr - self.sb_row) & (self.sb4 - 1)
+            self.left_part[llr:llr + rh4] = lc
+
+        if part == T.PARTITION_HORZ_A:
+            upd(r, c, ssub, w4, h4 >> 1)
+            upd(r + (h4 >> 1), c, sub, w4, h4 >> 1)
+        elif part == T.PARTITION_HORZ_B:
+            upd(r, c, sub, w4, h4 >> 1)
+            upd(r + (h4 >> 1), c, ssub, w4, h4 >> 1)
+        elif part == T.PARTITION_VERT_A:
+            upd(r, c, ssub, w4 >> 1, h4)
+            upd(r, c + (w4 >> 1), sub, w4 >> 1, h4)
+        else:  # VERT_B
+            upd(r, c, sub, w4 >> 1, h4)
+            upd(r, c + (w4 >> 1), ssub, w4 >> 1, h4)
 
     def update_partition_ctx(self, r: int, c: int, bsize: int) -> None:
         w4, h4 = T.BLOCK_SIZES[bsize]
@@ -453,25 +502,37 @@ class TileWriter:
 
     def block_inter(self, r: int, c: int, bsize: int, skip: int,
                     ref_frame: int, y_mode: int, mv: tuple,
-                    stack) -> None:
+                    stack, interp: int | None = None,
+                    var_tx_split=None, ref_mv_idx: int = 0,
+                    allow_hp: bool = False) -> None:
         """Emit one single-ref inter block (mode in NEARESTMV..NEWMV);
-        `stack` from self.mv_stack (computed BEFORE this call)."""
+        `stack` from self.mv_stack (computed BEFORE this call).
+        interp: the per-block filter when the frame header signals
+        SWITCHABLE (None = frame-uniform filter, no symbol)."""
         fc = self.fc
         self._skip_and_inter(r, c, skip, 1)
-        # read_ref_frames dual: LAST/LAST2/LAST3/GOLDEN supported
-        p1, p3, p4 = mvrefs.single_ref_ctxs(self.mvgrid, r, c,
-                                            self.tile)[:3]
-        assert mvrefs.LAST_FRAME <= ref_frame <= mvrefs.GOLDEN_FRAME
-        self.sym(0, fc.single_ref[p1][0], 2)
-        in_l3g = int(ref_frame in (mvrefs.LAST3_FRAME,
-                                   mvrefs.GOLDEN_FRAME))
-        self.sym(in_l3g, fc.single_ref[p3][2], 2)
-        if in_l3g:
-            self.sym(int(ref_frame == mvrefs.GOLDEN_FRAME),
-                     fc.single_ref[p3][4], 2)
+        # read_ref_frames dual (full single-ref tree, spec 5.11.25)
+        p1, p3, p4, p5, p2, p6 = mvrefs.single_ref_ctxs(
+            self.mvgrid, r, c, self.tile)
+        assert mvrefs.LAST_FRAME <= ref_frame <= mvrefs.ALTREF_FRAME
+        is_bwd = int(ref_frame >= mvrefs.BWDREF_FRAME)
+        self.sym(is_bwd, fc.single_ref[p1][0], 2)
+        if is_bwd:
+            is_alt = int(ref_frame == mvrefs.ALTREF_FRAME)
+            self.sym(is_alt, fc.single_ref[p2][1], 2)
+            if not is_alt:
+                self.sym(int(ref_frame == mvrefs.ALTREF2_FRAME),
+                         fc.single_ref[p6][5], 2)
         else:
-            self.sym(int(ref_frame == mvrefs.LAST2_FRAME),
-                     fc.single_ref[p4][3], 2)
+            in_l3g = int(ref_frame in (mvrefs.LAST3_FRAME,
+                                       mvrefs.GOLDEN_FRAME))
+            self.sym(in_l3g, fc.single_ref[p3][2], 2)
+            if in_l3g:
+                self.sym(int(ref_frame == mvrefs.GOLDEN_FRAME),
+                         fc.single_ref[p5][4], 2)
+            else:
+                self.sym(int(ref_frame == mvrefs.LAST2_FRAME),
+                         fc.single_ref[p4][3], 2)
         # inter mode tree
         self.sym(int(y_mode != T.NEWMV), fc.newmv[stack.new_mv_ctx], 2)
         if y_mode != T.NEWMV:
@@ -480,72 +541,235 @@ class TileWriter:
             if y_mode != T.GLOBALMV:
                 self.sym(int(y_mode != T.NEARESTMV),
                          fc.refmv[stack.ref_mv_ctx], 2)
-        # drl (the encoder always selects ref_mv_idx 0 for NEWMV and the
-        # first NEARMV entry)
+        # drl: ref_mv_idx selection (spec read_drl_idx)
         if y_mode == T.NEWMV:
-            if stack.num_mv_found > 1:
-                self.sym(0, fc.drl[stack.drl_ctx(0)], 2)
+            for idx in range(2):
+                if stack.num_mv_found > idx + 1:
+                    self.sym(int(ref_mv_idx != idx),
+                             fc.drl[stack.drl_ctx(idx)], 2)
+                    if ref_mv_idx == idx:
+                        break
         elif y_mode == T.NEARMV:
-            if stack.num_mv_found > 2:
-                self.sym(0, fc.drl[stack.drl_ctx(1)], 2)
+            for idx in range(1, 3):
+                if stack.num_mv_found > idx + 1:
+                    self.sym(int(ref_mv_idx != idx),
+                             fc.drl[stack.drl_ctx(idx)], 2)
+                    if ref_mv_idx == idx:
+                        break
         if y_mode == T.NEWMV:
-            pred = stack.ref_mv(0)
-            self._write_mv(mv[0] - pred[0], mv[1] - pred[1])
+            pred = stack.ref_mv(ref_mv_idx)
+            self._write_mv(mv[0] - pred[0], mv[1] - pred[1], allow_hp)
+        if interp is not None:
+            # read_interpolation_filter dual (5.11.27; dual_filter off).
+            # needs_interp_filter: large GLOBALMV blocks with identity
+            # global motion code NO symbol (filter forced EIGHTTAP)
+            w4_, h4_ = T.BLOCK_SIZES[bsize]
+            large = min(w4_, h4_) * 4 >= 8
+            if large and y_mode == T.GLOBALMV:
+                assert interp == 0, "GLOBALMV filter is forced EIGHTTAP"
+            else:
+                ictx = self._interp_filter_ctx(r, c, ref_frame, 0)
+                self.sym(interp, fc.switchable_interp[ictx], 3)
+        if var_tx_split is not None and not skip:
+            # tx_mode SELECT inter blocks code the var-tx split tree
+            tx = T.MAX_TX_SIZE_RECT[bsize]
+            tw_, th_ = T.TX_SIZES_ALL[tx]
+            w4, h4 = T.BLOCK_SIZES[bsize]
+            self._var_tx_block = True
+            for i in range(0, h4, th_ >> 2):
+                for j in range(0, w4, tw_ >> 2):
+                    self.write_var_tx_size(r + i, c + j, tx, 0, bsize,
+                                           var_tx_split)
         self._finish_block_common(r, c, bsize, skip, T.DC_PRED, ref_frame,
-                                  mv, y_mode == T.NEWMV)
+                                  mv, y_mode == T.NEWMV,
+                                  interp if interp is not None else 3)
+        self._var_tx_block = False
 
     def block_intra_interframe(self, r: int, c: int, bsize: int,
                                skip: int, y_mode: int,
-                               uv_mode: int) -> None:
+                               uv_mode: int, tx_depth: int | None = None,
+                               angle_y: int = 0, angle_uv: int = 0
+                               ) -> int:
+        """Returns the block's tx (depth coded when tx_depth given —
+        TX_MODE_SELECT non-skip intra blocks)."""
         fc = self.fc
         self._skip_and_inter(r, c, skip, 0)
         self.sym(y_mode, fc.if_y_mode[T.SIZE_GROUP[bsize]], 13)
         if bsize >= T.BLOCK_8X8 and T.V_PRED <= y_mode <= T.D67_PRED:
-            self.sym(3, fc.angle_delta[y_mode - T.V_PRED], 7)
-        cfl_allowed = int(max(T.BLOCK_SIZES[bsize]) * 4 <= 32)
-        self.sym(uv_mode, fc.uv_mode[cfl_allowed][y_mode],
-                 14 if cfl_allowed else 13)
-        if bsize >= T.BLOCK_8X8 and T.V_PRED <= uv_mode <= T.D67_PRED:
-            self.sym(3, fc.angle_delta[uv_mode - T.V_PRED], 7)
+            self.sym(angle_y + 3, fc.angle_delta[y_mode - T.V_PRED], 7)
+        w4, h4 = T.BLOCK_SIZES[bsize]
+        has_chroma = not ((w4 == 1 and (c & 1) == 0) or
+                          (h4 == 1 and (r & 1) == 0))  # 4:2:0
+        if has_chroma:
+            cfl_allowed = int(max(T.BLOCK_SIZES[bsize]) * 4 <= 32)
+            self.sym(uv_mode, fc.uv_mode[cfl_allowed][y_mode],
+                     14 if cfl_allowed else 13)
+            if bsize >= T.BLOCK_8X8 and T.V_PRED <= uv_mode <= T.D67_PRED:
+                self.sym(angle_uv + 3,
+                         fc.angle_delta[uv_mode - T.V_PRED], 7)
+        tx = T.MAX_TX_SIZE_RECT[bsize]
+        # allowSelect = !skip || !is_inter: intra blocks code the tx
+        # depth even when skip (spec 5.11.15)
+        if tx_depth is not None:
+            t_r0, _, t_c0, _ = self.tile
+            tx = self.write_tx_size(r, c, bsize, tx_depth,
+                                    r > t_r0, c > t_c0)
         self._finish_block_common(r, c, bsize, skip, y_mode, 0, (0, 0),
                                   False)
+        if tx_depth is not None:
+            # ctx records the coded tx dims, not the block dims
+            tw_, th_ = T.TX_SIZES_ALL[tx]
+            w4, h4 = T.BLOCK_SIZES[bsize]
+            bw4 = min(w4, self.mi_cols - c)
+            bh4 = min(h4, self.mi_rows - r)
+            self.above_txw[c:c + bw4] = tw_
+            lr = (r - self.sb_row) & (self.sb4 - 1)
+            self.left_txh[lr:lr + bh4] = th_
+        return tx
 
     def _finish_block_common(self, r, c, bsize, skip, store_y_mode,
-                             ref_frame, mv, is_newmv):
+                             ref_frame, mv, is_newmv, interp=3):
         w4, h4 = T.BLOCK_SIZES[bsize]
         bw4 = min(w4, self.mi_cols - c)
         bh4 = min(h4, self.mi_rows - r)
         self.skips[r:r + bh4, c:c + bw4] = skip
         self.y_modes[r:r + bh4, c:c + bw4] = store_y_mode
         self.mi_size[r:r + bh4, c:c + bw4] = bsize
+        self.filters[r:r + bh4, c:c + bw4] = interp
         self.mvgrid.set_block(r, c, bh4, bw4, ref_frame, mv, is_newmv)
+        if not getattr(self, "_var_tx_block", False):
+            # uniform square tx == block dims for this writer's sizes
+            # (spec compute_tx_size ctx update; skip-inter records
+            # block dims, identical here)
+            self.above_txw[c:c + bw4] = min(w4 * 4, 64)
+            lr = (r - self.sb_row) & (self.sb4 - 1)
+            self.left_txh[lr:lr + bh4] = min(h4 * 4, 64)
         if skip:
             self._reset_block_ctx(r, c, bw4, bh4)
 
-    def _write_mv(self, dr: int, dc: int) -> None:
-        """Write the NEWMV residual (quarter-pel: allow_hp 0 means all
-        frame MVs are even in 1/8 units)."""
+    def write_tx_size(self, r, c, bsize, depth: int,
+                      avail_u: bool, avail_l: bool) -> int:
+        """read_tx_size dual (intra blocks under TX_MODE_SELECT):
+        codes `depth` splits from the max rect tx; returns the tx."""
+        max_rect = T.MAX_TX_SIZE_RECT[bsize]
+        max_tx_w, max_tx_h = T.TX_SIZES_ALL[max_rect]
+        depth_max = T._max_tx_depth(bsize)
+        if depth_max == 0:
+            return max_rect
+        lr = (r - self.sb_row) & (self.sb4 - 1)
+        ctx = 0
+        if avail_u:
+            above = int(self.above_txw[c])
+            if int(self.mvgrid.ref[r - 1, c]) > 0:
+                above = int(self.mvgrid.n4_w[r - 1, c]) * 4
+            ctx += int(above >= max_tx_w)
+        if avail_l:
+            left = int(self.left_txh[lr])
+            if int(self.mvgrid.ref[r, c - 1]) > 0:
+                left = int(self.mvgrid.n4_h[r, c - 1]) * 4
+            ctx += int(left >= max_tx_h)
+        cat = T._tx_size_cat(bsize)
+        nsyms = min(depth_max, 2) + 1
+        assert 0 <= depth < nsyms
+        self.sym(depth, self.fc.tx_size[cat][ctx], nsyms)
+        tx = max_rect
+        for _ in range(depth):
+            tx = T.SPLIT_TX_SIZE[tx]
+        return tx
+
+    def write_var_tx_size(self, r, c, tx, depth, bsize,
+                          want_split) -> None:
+        """read_var_tx_size dual (spec 5.11.46).  want_split(r, c, tx,
+        depth) -> bool decides each node; leaves update the tx ctx."""
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        tw, th = T.TX_SIZES_ALL[tx]
+        if tx == T.TX_4X4 or depth == 2:
+            split = 0
+        else:
+            ctx = self._txfm_partition_ctx(r, c, bsize, tx)
+            split = int(bool(want_split(r, c, tx, depth)))
+            self.sym(split, self.fc.txfm_partition[ctx], 2)
+        lr = (r - self.sb_row) & (self.sb4 - 1)
+        if split:
+            sub = T.SPLIT_TX_SIZE[tx]
+            sw, sh = T.TX_SIZES_ALL[sub]
+            for i in range(0, th >> 2, sh >> 2):
+                for j in range(0, tw >> 2, sw >> 2):
+                    self.write_var_tx_size(r + i, c + j, sub, depth + 1,
+                                           bsize, want_split)
+        else:
+            h4, w4 = th >> 2, tw >> 2
+            self.above_txw[c:c + w4] = tw
+            self.left_txh[lr:lr + h4] = th
+
+    def _txfm_partition_ctx(self, r, c, bsize, tx):
+        tw, th = T.TX_SIZES_ALL[tx]
+        above = int(int(self.above_txw[c]) < tw)
+        left_r = (r - self.sb_row) & (self.sb4 - 1)
+        left = int(int(self.left_txh[left_r]) < th)
+        w4, h4 = T.BLOCK_SIZES[bsize]
+        maxdim = min(max(w4, h4) * 4, 64)
+        max_tx = {8: 1, 16: 2, 32: 3, 64: 4}[max(maxdim, 8)]
+        tx_sqr_up = T.tx_size_sqr_up(tx)
+        category = int(tx_sqr_up != max_tx and max_tx > 1) + \
+            (4 - max_tx) * 2
+        return category * 3 + above + left
+
+    def _interp_filter_ctx(self, r, c, ref_frame, dir_):
+        """TileDecoder._interp_filter_ctx dual on writer state."""
+        t_r0, _, t_c0, _ = self.tile
+        NONE = 3
+
+        def ref_filter(nr, nc):
+            if int(self.mvgrid.ref[nr, nc]) <= 0:
+                return NONE
+            if int(self.mvgrid.ref[nr, nc]) != ref_frame:
+                return NONE
+            f = int(self.filters[nr, nc])
+            return f if f < 3 else NONE
+
+        left = ref_filter(r, c - 1) if c > t_c0 else NONE
+        above = ref_filter(r - 1, c) if r > t_r0 else NONE
+        ctx = (dir_ & 1) * 4
+        if left == above:
+            ctx += left
+        elif left == NONE:
+            ctx += above
+        elif above == NONE:
+            ctx += left
+        else:
+            ctx += NONE
+        return ctx
+
+    def _write_mv(self, dr: int, dc: int, allow_hp: bool = False) -> None:
+        """Write the NEWMV residual (allow_hp 0: all frame MVs are even
+        in 1/8 units; allow_hp 1 codes the eighth-pel bit)."""
         joint = (2 if dr else 0) | (1 if dc else 0)
         assert joint != 0, "NEWMV with zero residual: use NEARESTMV"
         self.sym(joint, self.fc.mv_joint, 4)
         if dr:
-            self._write_mv_component(0, dr)
+            self._write_mv_component(0, dr, allow_hp)
         if dc:
-            self._write_mv_component(1, dc)
+            self._write_mv_component(1, dc, allow_hp)
 
-    def _write_mv_component(self, comp: int, d: int) -> None:
+    def _write_mv_component(self, comp: int, d: int,
+                            allow_hp: bool = False) -> None:
         m = self.fc.mv[comp]
         sign = int(d < 0)
         mag = -d if sign else d
         z = mag - 1
-        assert z & 1, "odd 1/8-pel MV with allow_high_precision_mv 0"
+        if not allow_hp:
+            assert z & 1, "odd 1/8-pel MV with allow_high_precision_mv 0"
         self.sym(sign, m.sign, 2)
         if z < 16:
             self.sym(0, m.classes, 11)
             bit = z >> 3
             self.sym(bit, m.class0, 2)
             self.sym((z >> 1) & 3, m.class0_fp[bit], 4)
-            # hp inferred 1 (allow_hp 0)
+            if allow_hp:
+                self.sym(z & 1, m.class0_hp, 2)
+            # else hp inferred 1
         else:
             cls = z.bit_length() - 4
             self.sym(cls, m.classes, 11)
@@ -554,6 +778,8 @@ class TileWriter:
             for i in range(cls):
                 self.sym((dbits >> i) & 1, m.bits[i], 2)
             self.sym((offset >> 1) & 3, m.fp, 4)
+            if allow_hp:
+                self.sym(z & 1, m.hp, 2)
 
     # --- coefficients ------------------------------------------------
     def coeffs(self, plane: int, x: int, y: int, tx: int,
@@ -610,7 +836,9 @@ class TileWriter:
                 self.sym(min(lvl, 3) - 1,
                          fc.coeff_base_eob[txs_ctx][ptype][cec], 3)
             else:
-                bctx = T._base_ctx(levels, rr, cc, si, bwl, tx_class)
+                tw_full, th_full = T.TX_SIZES_ALL[tx]
+                bctx = T._base_ctx(levels, rr, cc, si, bwl, tx_class,
+                                   tw_full, th_full)
                 self.sym(min(lvl, 3), fc.coeff_base[txs_ctx][ptype][bctx], 4)
             if lvl > 2:
                 brctx = T._br_ctx(levels, rr, cc, si, tx_class)

@@ -138,14 +138,8 @@ def _interior_mask(td, shape, ss):
     return mask
 
 
-@pytest.mark.xfail(
-    reason="moving-content foreign INTER replay has a residual symbol "
-           "desync (keyframe replay is bit-exact across the full "
-           "geometry/q sweep; candidate: inter-mode CDF rows whose "
-           "rodata recovery is ambiguous under the range coder's >>6 "
-           "quantization — tracked for round 3)", strict=False)
 @pytest.mark.parametrize("wh,cq", [((192, 128), 40), ((176, 144), 96),
-                                   ((320, 180), 40)])
+                                   ((320, 180), 40), ((128, 128), 72)])
 def test_replay_foreign_gop(wh, cq):
     w, h = wh
     frames = _frames(w, h, 4, motion=(2, 3), noise=2)

@@ -154,13 +154,17 @@ def test_transcode_reports_live_progress(tmp_path, monkeypatch):
     assert dones == sorted(dones) and max(dones) > 0
 
 
-def test_hdr_source_refused(tmp_path):
-    """PQ/HLG or >8-bit sources must fail cleanly (the 8-bit cv2 decode
-    path would silently destroy the grade), leaving the source alone."""
+def test_hdr_source_refused_without_native_decode(tmp_path, monkeypatch):
+    """PQ/HLG or >8-bit compressed sources decode natively via
+    libavcodec (media/avdec); when that decoder is UNAVAILABLE they
+    must fail cleanly (the 8-bit cv2 fallback would silently destroy
+    the grade), leaving the source alone."""
     from av1tpu.daemon.core import TranscodeError
+    from av1tpu.media import avdec
     from av1tpu.media import probe as probe_mod
     from av1tpu.spec_engine import SpecTpuEngine
 
+    monkeypatch.setattr(avdec, "available", lambda: False)
     vs = probe_mod.StreamInfo(index=0, codec_type="video",
                               codec_name="hevc", width=64, height=64)
     vs.color_transfer_code = 16  # SMPTE 2084 (PQ)
