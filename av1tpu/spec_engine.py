@@ -316,11 +316,9 @@ class SpecTpuEngine(TpuEngine):
                    bit_depth: int) -> int:
         """K P-frames per lax.scan dispatch, capped so the scan program
         stays inside the validated compile envelope (8 x 1080p).
-        Multi-chip striping uses single-frame dispatches (chunk+stripe
-        composition is future work)."""
-        ph = (height + 63) & ~63
-        if self._stripe_mesh(ph, height) is not None:
-            return 1
+        Multi-chip striping composes: the scan steps striped frame
+        encodes whose carry is the row-sharded reconstruction
+        (jax_sharded.encode_chunk_sharded)."""
         budget = 8 * 1920 * 1088
         px = width * height * (2 if bit_depth > 8 else 1)
         return max(1, budget // max(1, px))
@@ -400,6 +398,15 @@ class SpecTpuEngine(TpuEngine):
             ys = jax_sharded.shard_rows(mesh, yp2)
             us = jax_sharded.shard_rows(mesh, up2)
             vs = jax_sharded.shard_rows(mesh, vp2)
+            # refs are consumed row-sharded (halo exchange inside):
+            # keyframe recon is ph tall, stripe rows need ph_s — pad
+            # once per GOP (rows beyond the coded frame are remapped
+            # away by the halo clamp gather, so the fill is never read)
+            if refs[0].shape[0] != ph_s:
+                dpad = ph_s - refs[0].shape[0]
+                refs = (jnp.pad(refs[0], ((0, dpad), (0, 0))),
+                        jnp.pad(refs[1], ((0, dpad // 2), (0, 0))),
+                        jnp.pad(refs[2], ((0, dpad // 2), (0, 0))))
             out = jax_sharded.encode_inter_sharded(
                 mesh, ys, us, vs, refs[0], refs[1], refs[2], qindex,
                 bit_depth=bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
@@ -442,6 +449,22 @@ class SpecTpuEngine(TpuEngine):
         k = len(frames)
         ohs = [(self._order_hint + i) & 127 for i in range(k)]
         self._order_hint += k
+        mesh = self._stripe_mesh(ph, th)
+        if mesh is not None:
+            # chunk x stripe composition: pad each frame to the stripe
+            # height; the sharded scan carries the row-sharded recon
+            from av1tpu.specav1 import jax_sharded
+            n = mesh.shape["stripe"]
+            ph_s = jax_sharded.stripe_pad(ph, n)
+            if ph_s != ph:
+                planes = [
+                    (np.pad(y_, ((0, ph_s - ph), (0, 0)), mode="edge"),
+                     np.pad(u_, ((0, (ph_s - ph) // 2), (0, 0)),
+                            mode="edge"),
+                     np.pad(v_, ((0, (ph_s - ph) // 2), (0, 0)),
+                            mode="edge"))
+                    for (y_, u_, v_) in planes]
+                ph = ph_s
         total = ph * pw + 2 * (ph // 2) * (pw // 2)
         cap = k * (total // SPARSE_CAP_FRACTION)
         ref_prev = self._ref_dev
@@ -455,19 +478,27 @@ class SpecTpuEngine(TpuEngine):
 
         def worker():
             refs = ref_prev() if callable(ref_prev) else ref_prev
+            if refs[0].shape[0] != ph:
+                dpad = ph - refs[0].shape[0]
+                refs = (jnp.pad(refs[0], ((0, dpad), (0, 0))),
+                        jnp.pad(refs[1], ((0, dpad // 2), (0, 0))),
+                        jnp.pad(refs[2], ((0, dpad // 2), (0, 0))))
             packed = np.concatenate(
                 [np.stack([p[0] for p in planes]).ravel(),
                  np.stack([p[1] for p in planes]).ravel(),
                  np.stack([p[2] for p in planes]).ravel()])
-            return _encode_chunk(
-                jnp.asarray(packed), *refs,
-                jnp.asarray(qi, jnp.int32),
-                jnp.asarray([a for a, _ in lf], jnp.int32),
-                jnp.asarray([b for _, b in lf], jnp.int32),
-                jnp.asarray([d or 4 for d in damps], jnp.int32),
-                k=k, ph=ph, pw=pw,
-                bit_depth=bd, th=th, tw=tw, cap=cap, deblock=dbl,
-                qround=self._qround, cdef=use_cdef, lr=use_lr)
+            args = (jnp.asarray(packed), *refs,
+                    jnp.asarray(qi, jnp.int32),
+                    jnp.asarray([a for a, _ in lf], jnp.int32),
+                    jnp.asarray([b for _, b in lf], jnp.int32),
+                    jnp.asarray([d or 4 for d in damps], jnp.int32))
+            kw = dict(k=k, ph=ph, pw=pw, bit_depth=bd, th=th, tw=tw,
+                      cap=cap, deblock=dbl, qround=self._qround,
+                      cdef=use_cdef, lr=use_lr)
+            if mesh is not None:
+                from av1tpu.specav1 import jax_sharded as _js
+                return _js.encode_chunk_sharded(mesh, *args, **kw)
+            return _encode_chunk(*args, **kw)
 
         fut = self._dispatch_pool().submit(worker)
         self._ref_dev = lambda: fut.result()[0]
@@ -736,6 +767,17 @@ class SpecTpuEngine(TpuEngine):
                           lr=self._lr)[1][0].block_until_ready()
 
         jobs = [warm_intra, warm_inter] + ([warm_chunk] if k > 1 else [])
+
+        # the XLA CPU client is not compile-thread-safe when the
+        # persistent cache serializes an executable on one thread while
+        # another compiles (observed segfault in
+        # compilation_cache.put_executable_and_time under pytest's
+        # JAX_PLATFORMS=cpu); parallel prewarm is a TPU cold-start
+        # feature — run sequentially everywhere else
+        if _jax.default_backend() != "tpu":
+            for fn in jobs:
+                fn()
+            return
         errs = []
 
         def run(fn):

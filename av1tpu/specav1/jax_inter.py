@@ -79,13 +79,14 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
 @functools.partial(jax.jit,
                    static_argnames=("bit_depth", "refine", "th", "tw",
                                     "stripe", "deblock", "qround",
-                                    "cdef", "lr"))
+                                    "cdef", "lr", "local_ref"))
 def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                   bit_depth: int, refine: bool = True,
                   th: int = 0, tw: int = 0, stripe: bool = False,
                   row0=0, lf_y=0, lf_uv=0, deblock: bool = False,
                   qround: float = 0.70, cdef: bool = False,
-                  cdef_damping=4, lr: bool = False):
+                  cdef_damping=4, lr: bool = False,
+                  local_ref: bool = False):
     """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
     rec_y, rec_u, rec_v) for the SB-padded frame.
 
@@ -94,16 +95,21 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     there and edge-replicated back out before MC (0 = padded dims).
 
     stripe=True: y/u/v are a ROW STRIPE of a taller frame starting at
-    (traced) mi-independent pixel row ``row0``; ref planes carry the
-    FULL frame (multi-chip tile-row sharding: each chip encodes its
-    stripe against the replicated previous recon).  th/tw then are the
-    FRAME true dims."""
+    (traced) mi-independent pixel row ``row0``; th/tw are the FRAME
+    true dims (multi-chip tile-row sharding).  With local_ref=False
+    the ref planes carry the FULL frame (replicated); with
+    local_ref=True they are PREBUILT local padded windows of shape
+    (stripe_h + 2*PAD, pw + 2*PAD) covering padded-frame rows
+    [row0-PAD, row0+stripe_h+PAD) — assembled by the caller from a
+    row-sharded reference via ppermute halo exchange
+    (jax_sharded._halo_window), so per-frame ICI is O(halo) instead of
+    O(frame)."""
     H, Wd = y.shape
     n = 32
     gh, gw = H // n, Wd // n
     B = gh * gw
     pos = jnp.asarray(motion.block_positions(H, Wd, n))
-    if stripe:
+    if stripe and not local_ref:
         pos = pos + jnp.stack([jnp.full((B,), row0, jnp.int32),
                                jnp.zeros((B,), jnp.int32)], axis=1)
     cpos = pos // 2
@@ -116,15 +122,19 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         return jnp.pad(r, ((pad, pad + ref.shape[0] - t_h),
                            (pad, pad + ref.shape[1] - t_w)), mode="edge")
 
-    ref_pad_y = prep_ref(ref_y, th, tw, PAD)
-    ref_pad_u = prep_ref(ref_u, th // 2, tw // 2, PAD // 2)
-    ref_pad_v = prep_ref(ref_v, th // 2, tw // 2, PAD // 2)
+    if local_ref:
+        # prebuilt windows: block positions stay stripe-local
+        ref_pad_y, ref_pad_u, ref_pad_v = ref_y, ref_u, ref_v
+    else:
+        ref_pad_y = prep_ref(ref_y, th, tw, PAD)
+        ref_pad_u = prep_ref(ref_u, th // 2, tw // 2, PAD // 2)
+        ref_pad_v = prep_ref(ref_v, th // 2, tw // 2, PAD // 2)
 
     src_y = y.astype(jnp.int32)
     blocks = src_y.reshape(gh, n, gw, n).transpose(0, 2, 1, 3)
     blocks = blocks.reshape(B, n, n)
 
-    if stripe:
+    if stripe and not local_ref:
         # full-pel search sees the stripe-aligned reference window
         ref_search = jax.lax.dynamic_slice(
             ref_pad_y, (row0, 0), (H + 2 * PAD, ref_pad_y.shape[1]))

@@ -8,12 +8,17 @@ scaled by running parallel ffmpeg/VAAPI jobs,
 internal/daemon/daemon.go; we scale one frame across chips over ICI
 instead).
 
-Inter frames shard: the previous reconstruction is replicated (XLA
-all-gathers it over ICI when the producing computation was sharded)
-and each chip searches/compensates its stripe against the full frame,
-so motion is unrestricted across stripe boundaries and the bitstream
-is IDENTICAL to the single-chip encode.  Keyframes stay single-device:
-they are 1/keyint of the work and the intra wavefront is ~ms.
+Inter frames shard: the previous reconstruction stays ROW-SHARDED on
+the chips that produced it, and each chip assembles its local padded
+reference window with a ``lax.ppermute`` halo exchange — PAD (=64)
+boundary rows from each vertical neighbor, then a local gather that
+reproduces the spec's edge-replication clamp at the true frame dims.
+Per-frame ICI is therefore O(halo) = 2*PAD*width bytes per neighbor
+pair instead of O(frame) replication, while MVs remain unrestricted
+across stripe boundaries within the +-(PAD-8) search clamp and the
+bitstream is IDENTICAL to the single-chip encode.  Keyframes stay
+single-device: they are 1/keyint of the work and the intra wavefront
+is ~ms.
 
 Stripes are equal-sized (SPMD): the padded frame height must divide by
 n_stripes * 64.  spec_engine only enables sharding when the uniform
@@ -40,8 +45,9 @@ def make_mesh(n_devices: int = 0) -> Mesh:
 
 def stripe_pad(ph: int, n: int) -> int:
     """Padded height for n equal 32-row-aligned stripes.  Inter stripes
-    are a pure compute partition (reference is replicated; MVs are
-    unrestricted; entropy slices tile rows from the full-frame arrays
+    are a pure compute partition (each chip sees its reference stripe
+    plus PAD halo rows; MVs are unrestricted within the +-(PAD-8)
+    search clamp; entropy slices tile rows from the full-frame arrays
     on the host), so any 32-aligned split works — rows beyond the coded
     frame encode garbage that the host never reads."""
     unit = 32 * n
@@ -62,18 +68,48 @@ def shard_rows(mesh: Mesh, arr):
     return jax.device_put(arr, NamedSharding(mesh, P("stripe", None)))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("mesh", "bit_depth", "th", "tw",
-                                    "deblock", "qround", "cdef", "lr"))
-def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
-                         bit_depth: int, th: int, tw: int,
-                         lf_y=0, lf_uv=0, deblock: bool = False,
-                         qround: float = 0.70, cdef: bool = False,
-                         cdef_damping=4, lr: bool = False):
-    """y/u/v: (ph, pw) planes sharded P("stripe"); refs: full-frame
-    recon planes (replicated).  Returns jax_inter._encode_frame's
-    tuple, planes laid out full-frame (stripe outputs concatenated).
-    Bit-identical to the single-chip encode of the same frame."""
+def _halo_window(ref_l, n: int, pad: int, th_p: int, tw_p: int,
+                 row0, sh_p: int):
+    """Assemble one plane's local padded reference window inside a
+    shard_map body.
+
+    ref_l: (sh_p, pw) — this chip's rows [row0, row0+sh_p) of the
+    previous reconstruction.  Exchanges ``pad`` boundary rows with the
+    vertical neighbors over ICI (lax.ppermute; frame-edge chips receive
+    zeros, which the clamp gather below never reads), then remaps rows
+    and columns so window cell (i, j) equals the single-chip
+    jax_inter.prep_ref padded reference at (row0 + i, j): row i shows
+    true-ref row clamp(row0 - pad + i, 0, th_p - 1), column j shows
+    clamp(j - pad, 0, tw_p - 1).  Returns (sh_p + 2*pad, pw + 2*pad).
+    """
+    axis = "stripe"
+    top = jax.lax.ppermute(ref_l[-pad:], axis,
+                           [(i, i + 1) for i in range(n - 1)])
+    bot = jax.lax.ppermute(ref_l[:pad], axis,
+                           [(i + 1, i) for i in range(n - 1)])
+    win = jnp.concatenate([top, ref_l, bot], axis=0)
+    i = jnp.arange(sh_p + 2 * pad)
+    g = row0 - pad + i
+    src = jnp.clip(jnp.clip(g, 0, th_p - 1) - (row0 - pad),
+                   0, sh_p + 2 * pad - 1)
+    win = win[src]
+    cols = jnp.clip(jnp.arange(ref_l.shape[1]), 0, tw_p - 1)
+    win = win[:, cols]
+    return jnp.pad(win, ((0, 0), (pad, pad)), mode="edge")
+
+
+def _frame_step_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
+                        bit_depth: int, th: int, tw: int,
+                        lf_y=0, lf_uv=0, deblock: bool = False,
+                        qround: float = 0.70, cdef: bool = False,
+                        cdef_damping=4, lr: bool = False):
+    """One striped P-frame encode (traceable; callers jit).  y/u/v:
+    (ph, pw) planes sharded P("stripe"); refs: full-frame recon planes,
+    consumed ROW-SHARDED — each chip keeps its stripe and ppermutes PAD
+    halo rows to its neighbors, so per-frame ICI is O(halo), not
+    O(frame).  Returns jax_inter._encode_frame's tuple, planes laid out
+    full-frame (stripe outputs concatenated).  Bit-identical to the
+    single-chip encode of the same frame."""
     from jax.experimental.shard_map import shard_map
 
     n = mesh.shape["stripe"]
@@ -81,9 +117,14 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
 
     def body(ys, us, vs, ry, ru, rv, q):
         row0 = jax.lax.axis_index("stripe") * sh
+        ry_w = _halo_window(ry, n, jax_inter.PAD, th, tw, row0, sh)
+        ru_w = _halo_window(ru, n, jax_inter.PAD // 2, th // 2, tw // 2,
+                            row0 // 2, sh // 2)
+        rv_w = _halo_window(rv, n, jax_inter.PAD // 2, th // 2, tw // 2,
+                            row0 // 2, sh // 2)
         return jax_inter._encode_frame(
-            ys, us, vs, ry, ru, rv, q[0], bit_depth, th=th, tw=tw,
-            stripe=True, row0=row0, qround=qround)
+            ys, us, vs, ry_w, ru_w, rv_w, q[0], bit_depth, th=th, tw=tw,
+            stripe=True, row0=row0, qround=qround, local_ref=True)
 
     out_specs = (P("stripe"), P("stripe"), P("stripe", None),
                  P("stripe", None), P("stripe", None),
@@ -92,13 +133,15 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
     out = shard_map(
         body, mesh=mesh,
         in_specs=(P("stripe", None), P("stripe", None), P("stripe", None),
-                  P(None, None), P(None, None), P(None, None), P(None)),
+                  P("stripe", None), P("stripe", None), P("stripe", None),
+                  P(None)),
         out_specs=out_specs, check_rep=False)(
             y, u, v, ref_y, ref_u, ref_v,
             jnp.reshape(jnp.asarray(qindex, jnp.int32), (1,)))
-    # deblock + CDEF on the gathered full-frame recon (AV1 filters
-    # across tile boundaries, so stripe edges need both sides; XLA
-    # inserts the ICI halo exchange the boundary taps imply)
+    # deblock + CDEF on the full-frame recon (AV1 filters across tile
+    # boundaries, so stripe edges need both sides).  The arrays stay
+    # row-sharded: XLA's SPMD partitioner inserts the small boundary
+    # halo exchanges the filter taps imply — no gather
     fy, fu, fv = out[5], out[6], out[7]
     if deblock:
         from av1tpu.specav1 import loopfilter as _LF
@@ -120,3 +163,59 @@ def encode_inter_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
         fy, lr_choice = jax_lr.lr_search_apply(
             fy, pre_cdef_y, y, bit_depth=bit_depth, th=th, tw=tw)
     return out[0:5] + (fy, fu, fv, out[8], cdefs, lr_choice)
+
+
+encode_inter_sharded = functools.partial(jax.jit, static_argnames=(
+    "mesh", "bit_depth", "th", "tw", "deblock", "qround", "cdef",
+    "lr"))(_frame_step_sharded)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "k", "ph", "pw", "bit_depth",
+                                    "th", "tw", "cap", "deblock",
+                                    "qround", "cdef", "lr"))
+def encode_chunk_sharded(mesh, packed, ry, ru, rv, qindexes, lfys,
+                         lfuvs, damps, k: int, ph: int, pw: int,
+                         bit_depth: int, th: int, tw: int, cap: int,
+                         deblock: bool = False, qround: float = 0.70,
+                         cdef: bool = False, lr: bool = False):
+    """K consecutive P frames as one lax.scan of striped frame steps:
+    chunking (per-dispatch RTT amortization) COMPOSES with multi-chip
+    striping.  The scan carry is the row-sharded reconstruction, so
+    each step's reference traffic stays O(halo).  Mirrors
+    spec_engine._encode_chunk's packed-upload / sparse-output contract.
+    """
+    from av1tpu.engine_tpu import _unpack_planes_chunk
+
+    ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
+    spec3 = NamedSharding(mesh, P(None, "stripe", None))
+    ys = jax.lax.with_sharding_constraint(ys, spec3)
+    us = jax.lax.with_sharding_constraint(us, spec3)
+    vs = jax.lax.with_sharding_constraint(vs, spec3)
+
+    def step(carry, xs):
+        y, u, v, q, lfy, lfuv, damp = xs
+        out = _frame_step_sharded(
+            mesh, y, u, v, *carry, q, bit_depth, th=th, tw=tw,
+            lf_y=lfy, lf_uv=lfuv, deblock=deblock, qround=qround,
+            cdef=cdef, cdef_damping=damp, lr=lr)
+        return out[5:8], out[0:5] + (out[8], out[9], out[10])
+
+    carry, outs = jax.lax.scan(step, (ry, ru, rv),
+                               (ys, us, vs, qindexes, lfys, lfuvs,
+                                damps))
+    mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs, lrcs = outs
+    flat = jnp.concatenate([ylvs.reshape(k, -1),
+                            ulvs.reshape(k, -1),
+                            vlvs.reshape(k, -1)], axis=1).reshape(-1)
+    mask = flat != 0
+    count = mask.sum(dtype=jnp.int32)
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    vals = jnp.zeros((cap,), jnp.int16)
+    vals = vals.at[jnp.where(mask, idx, cap)].set(
+        jnp.clip(flat, -32768, 32767).astype(jnp.int16), mode="drop")
+    grids = jnp.concatenate([mv8s.reshape(-1), skips.reshape(-1),
+                             strips.reshape(-1), cdefs.reshape(-1),
+                             lrcs.reshape(-1)])
+    return carry, (jnp.packbits(mask), vals, count,
+                   grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)
