@@ -230,11 +230,14 @@ struct SpecTileWriter {
   std::vector<int32_t> skips;                 // [mi_rows*mi_cols]
   std::vector<int32_t> y_modes;
   std::vector<int32_t> mi_size;
-  // inter mode state on the uniform 32x32 grid (gh x gw cells)
+  // inter mode state, mi-granular (general spec 7.10.2 find_mv_stack —
+  // the fixed-32 fast path was retired when 32->16 SPLIT landed).
+  // mirror of specav1.mvrefs.MvGrid
   int gw = 0, gh = 0;
-  std::vector<int8_t> g_ref;    // 0 intra, -1 uncoded, 1 LAST
-  std::vector<int32_t> g_mvr, g_mvc;
-  std::vector<uint8_t> g_newmv;
+  std::vector<int8_t> mi_ref;   // 0 intra, -1 uncoded, 1.. = ref frame
+  std::vector<int32_t> mi_mvr, mi_mvc;
+  std::vector<int8_t> mi_n4w, mi_n4h;  // coding-block dims in mi units
+  std::vector<uint8_t> mi_newmv;
   int sb_row = 0;
   // tile-row placement: this writer's first mi row within the frame,
   // and the FRAME's total mi rows (spec MV clamping is frame-relative
@@ -459,7 +462,8 @@ void update_partition_ctx(SpecTileWriter *w, int r, int c, int bsize) {
 // ---- block header ---------------------------------------------------------
 
 void write_block_intra(SpecTileWriter *w, int r, int c, int bsize, int skip,
-                       int y_mode, int uv_mode) {
+                       int y_mode, int uv_mode, int angle_y = 0,
+                       int angle_uv = 0) {
   int ctx = 0;
   if (r > 0) ctx += w->skips[(r - 1) * w->mi_cols + c];
   if (c > 0) ctx += w->skips[r * w->mi_cols + c - 1];
@@ -469,20 +473,24 @@ void write_block_intra(SpecTileWriter *w, int r, int c, int bsize, int skip,
   sym(w, y_mode, kf_y_mode_cdf(w, kIntraModeContext[am],
                                kIntraModeContext[lm]), 13);
   if (bsize >= BLOCK_8X8 && y_mode >= V_PRED && y_mode <= D67_PRED)
-    sym(w, 3, angle_delta_cdf(w, y_mode - V_PRED), 7);  // delta 0
+    sym(w, angle_y + 3, angle_delta_cdf(w, y_mode - V_PRED), 7);
   int maxd = imax(kBlockSizes[bsize].w4, kBlockSizes[bsize].h4) * 4;
   int cfl_allowed = maxd <= 32 ? 1 : 0;
   sym(w, uv_mode, uv_mode_cdf(w, cfl_allowed, y_mode),
       cfl_allowed ? 14 : 13);
   if (bsize >= BLOCK_8X8 && uv_mode >= V_PRED && uv_mode <= D67_PRED)
-    sym(w, 3, angle_delta_cdf(w, uv_mode - V_PRED), 7);
+    sym(w, angle_uv + 3, angle_delta_cdf(w, uv_mode - V_PRED), 7);
   int bw4 = imin(kBlockSizes[bsize].w4, w->mi_cols - c);
   int bh4 = imin(kBlockSizes[bsize].h4, w->mi_rows - r);
   for (int i = 0; i < bh4; ++i)
     for (int j = 0; j < bw4; ++j) {
-      w->skips[(r + i) * w->mi_cols + c + j] = skip;
-      w->y_modes[(r + i) * w->mi_cols + c + j] = y_mode;
-      w->mi_size[(r + i) * w->mi_cols + c + j] = bsize;
+      size_t mi = (size_t)(r + i) * w->mi_cols + c + j;
+      w->skips[mi] = skip;
+      w->y_modes[mi] = y_mode;
+      w->mi_size[mi] = bsize;
+      w->mi_ref[mi] = 0;  // intra
+      w->mi_n4w[mi] = (int8_t)kBlockSizes[bsize].w4;
+      w->mi_n4h[mi] = (int8_t)kBlockSizes[bsize].h4;
     }
   if (skip) {  // reset entropy ctx over block area, all planes
     int lr = (r - w->sb_row) & 15;
@@ -618,10 +626,18 @@ void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
   }
   sym(w, 0, txb_skip_cdf(w, txs, ctx_skip), 2);
   // luma tx_type: intra 32x32 is DCTONLY (no symbol); inter 32x32 is
-  // TX_SET_INTER_3 {IDTX, DCT} -> signal DCT (index 1)
+  // TX_SET_INTER_3 {IDTX, DCT} -> signal DCT (index 1); inter 16x16 is
+  // EXT_TX_SET_DTT9_IDTX_1DDCT (12 syms, DCT_DCT = index 3); inter 8x8
+  // is EXT_TX_SET_ALL16 (16 syms, DCT_DCT = index 7)
   if (plane == 0 && is_inter && tx_size_sqr_up(tx) == 3) {
     int sqr = tx_size_sqr(tx);
     sym(w, 1, w->tbl(TBL_INTER_EXT_TX, (3 * 4 + sqr) * 17), 2);
+  } else if (plane == 0 && is_inter && tx_size_sqr_up(tx) == 2) {
+    int sqr = tx_size_sqr(tx);
+    sym(w, 3, w->tbl(TBL_INTER_EXT_TX, (2 * 4 + sqr) * 17), 12);
+  } else if (plane == 0 && is_inter && tx_size_sqr_up(tx) <= 1) {
+    int sqr = tx_size_sqr(tx);
+    sym(w, 7, w->tbl(TBL_INTER_EXT_TX, (1 * 4 + sqr) * 17), 16);
   } else if (plane == 0 && !is_inter && tx_size_sqr_up(tx) == 2) {
     // intra 16x16: TX_SET_DTT4_IDTX (5 syms), DCT_DCT = index 1
     int sqr = tx_size_sqr(tx);
@@ -724,61 +740,202 @@ inline void stack_add(MvStack *s, int mvr, int mvc, int weight) {
   }
 }
 
-// has_top_right for 32x32 blocks inside 64x64 SBs (square path)
-inline bool has_tr32(int mi_row, int mi_col) {
+// has_top_right, rect-aware (port of mvrefs._has_top_right; sb_mi=16)
+inline bool has_top_right_g(int mi_row, int mi_col, int bw4, int bh4) {
+  int bs = imax(bw4, bh4);
+  if (bs > 16) return false;
   int mask_row = mi_row & 15, mask_col = mi_col & 15;
-  return !((mask_row & 8) && (mask_col & 8));
+  bool has_tr = !((mask_row & bs) && (mask_col & bs));
+  for (int b = bs; b < 16; b <<= 1) {
+    if (mask_col & b) {
+      if ((mask_col & (2 * b)) && (mask_row & (2 * b))) {
+        has_tr = false;
+        break;
+      }
+    } else {
+      break;
+    }
+  }
+  if (bw4 < bh4) {                       // vertical rectangle
+    bool is_sec = ((mi_col + bw4) & (bh4 - 1)) == 0;
+    if (!is_sec) has_tr = true;
+  } else if (bw4 > bh4) {                // horizontal rectangle
+    if (mi_row & (bw4 - 1)) has_tr = false;
+  }
+  return has_tr;
 }
 
-void find_mv_stack32(SpecTileWriter *w, int gr, int gc, MvStack *s) {
-  const int gw = w->gw;
+// general spec 7.10.2 MV stack (port of specav1.mvrefs.find_mv_stack,
+// which is fuzz-validated against libaom across mixed partition trees).
+// Rows/cols are TILE-LOCAL; MV clamping is frame-relative vertically
+// via w->row0 / w->frame_mi_rows (full-width tile rows).
+struct ScanState {
+  MvStack *s;
   int row_match = 0, col_match = 0, newmv_count = 0;
-  auto cell = [&](int r, int c) { return r * gw + c; };
-  bool up = gr > 0, left = gc > 0;
-  // nearest: above row (one 8-wide candidate), left col, top-right pt
-  if (up && w->g_ref[cell(gr - 1, gc)] > 0) {
-    stack_add(s, w->g_mvr[cell(gr - 1, gc)], w->g_mvc[cell(gr - 1, gc)],
-              8 * 6);
-    row_match = 1;
-    newmv_count += w->g_newmv[cell(gr - 1, gc)];
+};
+
+constexpr int kMvrefRowCols = 3;
+
+inline void add_candidate_g(SpecTileWriter *w, ScanState *st, int cr,
+                            int cc, int ref_frame, int weight,
+                            bool is_row, bool count_newmv) {
+  size_t ci = (size_t)cr * w->mi_cols + cc;
+  int cand_ref = w->mi_ref[ci];
+  if (cand_ref <= 0) return;             // intra or uncoded
+  if (cand_ref != ref_frame) return;
+  if (is_row) st->row_match += 1; else st->col_match += 1;
+  if (count_newmv && w->mi_newmv[ci]) st->newmv_count += 1;
+  stack_add(st->s, w->mi_mvr[ci], w->mi_mvc[ci], weight);
+}
+
+inline int scan_row_g(SpecTileWriter *w, ScanState *st, int mi_row,
+                      int mi_col, int bw4, int bh4, int row_offset,
+                      int ref_frame, int max_row_offset,
+                      bool count_newmv) {
+  (void)bh4;
+  int end_mi = imin(imin(bw4, w->mi_cols - mi_col), 16);
+  int col_offset = 0;
+  if (row_offset < -1 || row_offset > 1) {
+    col_offset = 1;
+    if ((mi_col & 1) && bw4 < 2) col_offset -= 1;
   }
-  if (left && w->g_ref[cell(gr, gc - 1)] > 0) {
-    stack_add(s, w->g_mvr[cell(gr, gc - 1)], w->g_mvc[cell(gr, gc - 1)],
-              8 * 6);
-    col_match = 1;
-    newmv_count += w->g_newmv[cell(gr, gc - 1)];
+  bool use_step_16 = bw4 >= 16;
+  int processed_rows = 0;
+  int row = mi_row + row_offset;
+  if (row < 0 || row >= w->mi_rows) return processed_rows;
+  for (int i = 0; i < end_mi;) {
+    int cc = mi_col + col_offset + i;
+    if (cc < 0 || cc >= w->mi_cols) break;
+    int n4w = w->mi_n4w[(size_t)row * w->mi_cols + cc];
+    if (n4w <= 0) break;
+    int length = imin(bw4, n4w);
+    if (use_step_16) length = imax(4, length);
+    else if (row_offset < -1 || row_offset > 1) length = imax(length, 2);
+    int weight = 2;
+    if (bw4 >= 2 && bw4 <= n4w) {
+      int inc = imin(-max_row_offset + row_offset + 1,
+                     (int)w->mi_n4h[(size_t)row * w->mi_cols + cc]);
+      weight = imax(weight, inc);
+      processed_rows = inc - row_offset - 1;
+    }
+    add_candidate_g(w, st, row, cc, ref_frame, length * weight,
+                    /*is_row=*/true, count_newmv);
+    i += length;
   }
-  if (up && gc + 1 < gw && has_tr32(gr * 8, gc * 8) &&
-      w->g_ref[cell(gr - 1, gc + 1)] > 0) {
-    stack_add(s, w->g_mvr[cell(gr - 1, gc + 1)],
-              w->g_mvc[cell(gr - 1, gc + 1)], 2 * 2);
-    row_match = 1;
-    newmv_count += w->g_newmv[cell(gr - 1, gc + 1)];
+  return processed_rows;
+}
+
+inline int scan_col_g(SpecTileWriter *w, ScanState *st, int mi_row,
+                      int mi_col, int bw4, int bh4, int col_offset_arg,
+                      int ref_frame, int max_col_offset,
+                      bool count_newmv) {
+  (void)bw4;
+  int end_mi = imin(imin(bh4, w->mi_rows - mi_row), 16);
+  int row_offset = 0;
+  if (col_offset_arg < -1 || col_offset_arg > 1) {
+    row_offset = 1;
+    if ((mi_row & 1) && bh4 < 2) row_offset -= 1;
   }
-  int close_matches = row_match + col_match;
-  s->nearest_n = s->n;
-  for (int i = 0; i < s->nearest_n; ++i) s->wgt[i] += kRefCat;
-  // outer area: top-left point (newmv not counted)
-  if (up && left && w->g_ref[cell(gr - 1, gc - 1)] > 0) {
-    stack_add(s, w->g_mvr[cell(gr - 1, gc - 1)],
-              w->g_mvc[cell(gr - 1, gc - 1)], 2 * 2);
-    row_match = 1;
+  bool use_step_16 = bh4 >= 16;
+  int processed_cols = 0;
+  int col = mi_col + col_offset_arg;
+  if (col < 0 || col >= w->mi_cols) return processed_cols;
+  for (int i = 0; i < end_mi;) {
+    int cr = mi_row + row_offset + i;
+    if (cr < 0 || cr >= w->mi_rows) break;
+    int n4h = w->mi_n4h[(size_t)cr * w->mi_cols + col];
+    if (n4h <= 0) break;
+    int length = imin(bh4, n4h);
+    if (use_step_16) length = imax(4, length);
+    else if (col_offset_arg < -1 || col_offset_arg > 1)
+      length = imax(length, 2);
+    int weight = 2;
+    if (bh4 >= 2 && bh4 <= n4h) {
+      int inc = imin(-max_col_offset + col_offset_arg + 1,
+                     (int)w->mi_n4w[(size_t)cr * w->mi_cols + col]);
+      weight = imax(weight, inc);
+      processed_cols = inc - col_offset_arg - 1;
+    }
+    add_candidate_g(w, st, cr, col, ref_frame, length * weight,
+                    /*is_row=*/false, count_newmv);
+    i += length;
   }
-  int total_matches = (row_match > 0) + (col_match > 0);
-  // spec mode-context composition (CloseMatches/TotalMatches)
+  return processed_cols;
+}
+
+inline void scan_point_g(SpecTileWriter *w, ScanState *st, int mi_row,
+                         int mi_col, int dr, int dc, int ref_frame,
+                         bool count_newmv) {
+  int r = mi_row + dr, c = mi_col + dc;
+  if (r < 0 || r >= w->mi_rows || c < 0 || c >= w->mi_cols) return;
+  if (w->mi_n4w[(size_t)r * w->mi_cols + c] <= 0) return;
+  add_candidate_g(w, st, r, c, ref_frame, 2 * 2, /*is_row=*/true,
+                  count_newmv);
+}
+
+void find_mv_stack_g(SpecTileWriter *w, int mi_row, int mi_col, int bw4,
+                     int bh4, int ref_frame, MvStack *s) {
+  s->n = 0;
+  ScanState st;
+  st.s = s;
+  bool up_available = mi_row > 0;
+  bool left_available = mi_col > 0;
+  int row_adj = (bh4 < 2 && (mi_row & 1)) ? 1 : 0;
+  int col_adj = (bw4 < 2 && (mi_col & 1)) ? 1 : 0;
+  int max_row_offset = 0;
+  if (up_available) {
+    max_row_offset = -(kMvrefRowCols << 1) + row_adj;
+    if (bh4 < 2) max_row_offset = -(2 << 1) + row_adj;
+    max_row_offset = imax(max_row_offset, -mi_row);
+  }
+  int max_col_offset = 0;
+  if (left_available) {
+    max_col_offset = -(kMvrefRowCols << 1) + col_adj;
+    if (bw4 < 2) max_col_offset = -(2 << 1) + col_adj;
+    max_col_offset = imax(max_col_offset, -mi_col);
+  }
+  int processed_rows = 0, processed_cols = 0;
+  if (max_row_offset <= -1)
+    processed_rows = scan_row_g(w, &st, mi_row, mi_col, bw4, bh4, -1,
+                                ref_frame, max_row_offset, true);
+  if (max_col_offset <= -1)
+    processed_cols = scan_col_g(w, &st, mi_row, mi_col, bw4, bh4, -1,
+                                ref_frame, max_col_offset, true);
+  if (has_top_right_g(w->row0 + mi_row, mi_col, bw4, bh4))
+    scan_point_g(w, &st, mi_row, mi_col, -1, bw4, ref_frame, true);
+
+  int close_matches = (st.row_match > 0) + (st.col_match > 0);
+  int nearest_count = s->n;
+  s->nearest_n = nearest_count;
+  for (int i = 0; i < nearest_count; ++i) s->wgt[i] += kRefCat;
+
+  scan_point_g(w, &st, mi_row, mi_col, -1, -1, ref_frame, false);
+  for (int idx = 2; idx <= kMvrefRowCols; ++idx) {
+    int row_offset = -(idx << 1) + 1 + row_adj;
+    int col_offset = -(idx << 1) + 1 + col_adj;
+    if (-row_offset <= -max_row_offset && -row_offset > processed_rows)
+      scan_row_g(w, &st, mi_row, mi_col, bw4, bh4, row_offset,
+                 ref_frame, max_row_offset, false);
+    if (-col_offset <= -max_col_offset && -col_offset > processed_cols)
+      scan_col_g(w, &st, mi_row, mi_col, bw4, bh4, col_offset,
+                 ref_frame, max_col_offset, false);
+  }
+
+  int total_matches = (st.row_match > 0) + (st.col_match > 0);
   if (close_matches == 0) {
     s->newmv_ctx = imin(total_matches, 1);
     s->refmv_ctx = total_matches;
   } else if (close_matches == 1) {
-    s->newmv_ctx = 3 - imin(newmv_count, 1);
+    s->newmv_ctx = 3 - imin(st.newmv_count, 1);
     s->refmv_ctx = 2 + total_matches;
   } else {
-    s->newmv_ctx = 5 - imin(newmv_count, 1);
+    s->newmv_ctx = 5 - imin(st.newmv_count, 1);
     s->refmv_ctx = 5;
   }
   s->zeromv_ctx = 0;
-  // sort by weight: nearest segment, then the rest (bubble per spec)
-  int ln = s->nearest_n;
+
+  // sort by weight (two bubble passes: nearest region, then rest)
+  int ln = nearest_count;
   while (ln > 0) {
     int nr = 0;
     for (int i = 1; i < ln; ++i)
@@ -791,9 +948,9 @@ void find_mv_stack32(SpecTileWriter *w, int gr, int gc, MvStack *s) {
     ln = nr;
   }
   ln = s->n;
-  while (ln > s->nearest_n) {
-    int nr = s->nearest_n;
-    for (int i = s->nearest_n + 1; i < ln; ++i)
+  while (ln > nearest_count) {
+    int nr = nearest_count;
+    for (int i = nearest_count + 1; i < ln; ++i)
       if (s->wgt[i - 1] < s->wgt[i]) {
         std::swap(s->wgt[i - 1], s->wgt[i]);
         std::swap(s->mv[i - 1][0], s->mv[i][0]);
@@ -802,34 +959,52 @@ void find_mv_stack32(SpecTileWriter *w, int gr, int gc, MvStack *s) {
       }
     ln = nr;
   }
-  // single-ref extension (any inter ref; all ours share direction)
+
+  // single-ref extension when short (spec 7.10.2.12 extra search):
+  // accepts ANY inter ref; both passes walk at most min(w4, h4) units
   if (s->n < 2) {
-    if (up && w->g_ref[cell(gr - 1, gc)] > 0)
-      stack_add(s, w->g_mvr[cell(gr - 1, gc)],
-                w->g_mvc[cell(gr - 1, gc)], 2);
-    if (s->n < 2 && left && w->g_ref[cell(gr, gc - 1)] > 0)
-      stack_add(s, w->g_mvr[cell(gr, gc - 1)],
-                w->g_mvc[cell(gr, gc - 1)], 2);
+    auto process_single = [&](int cr, int cc) {
+      size_t ci = (size_t)cr * w->mi_cols + cc;
+      if (w->mi_ref[ci] <= 0) return;
+      stack_add(s, w->mi_mvr[ci], w->mi_mvc[ci], 2);
+    };
+    int num4x4 = imin(imin(16, bw4), imin(16, bh4));
+    for (int i = 0; max_row_offset <= -1 && i < num4x4 && s->n < 2;) {
+      int cc = mi_col + i;
+      if (cc >= w->mi_cols ||
+          w->mi_n4w[(size_t)(mi_row - 1) * w->mi_cols + cc] <= 0)
+        break;
+      process_single(mi_row - 1, cc);
+      i += w->mi_n4w[(size_t)(mi_row - 1) * w->mi_cols + cc];
+    }
+    for (int i = 0; max_col_offset <= -1 && i < num4x4 && s->n < 2;) {
+      int cr = mi_row + i;
+      if (cr >= w->mi_rows ||
+          w->mi_n4h[(size_t)cr * w->mi_cols + mi_col - 1] <= 0)
+        break;
+      process_single(cr, mi_col - 1);
+      i += w->mi_n4h[(size_t)cr * w->mi_cols + mi_col - 1];
+    }
   }
-  // clamp to the frame-relative MV bounds (mi position is global:
-  // this writer may be a tile row starting at w->row0)
-  int mi_row = w->row0 + gr * 8, mi_col = gc * 8;
-  int bw8 = 8 * 32, bh8 = 8 * 32;  // block dims in 1/8 pel
+
+  // clamp to the frame-relative MV bounds (tile rows are full-width;
+  // vertical bounds use the FRAME mi extent via row0/frame_mi_rows)
+  int g_row = w->row0 + mi_row;
+  int bw8 = bw4 * 32, bh8 = bh4 * 32;
   int lo_c = -(mi_col * 32) - bw8 - 128;
-  int hi_c = (w->mi_cols - 8 - mi_col) * 32 + bw8 + 128;
-  int lo_r = -(mi_row * 32) - bh8 - 128;
-  int hi_r = (w->frame_mi_rows - 8 - mi_row) * 32 + bh8 + 128;
+  int hi_c = (w->mi_cols - bw4 - mi_col) * 32 + bw8 + 128;
+  int lo_r = -(g_row * 32) - bh8 - 128;
+  int hi_r = (w->frame_mi_rows - bh4 - g_row) * 32 + bh8 + 128;
   for (int i = 0; i < s->n; ++i) {
     s->mv[i][0] = imin(imax(s->mv[i][0], lo_r), hi_r);
     s->mv[i][1] = imin(imax(s->mv[i][1], lo_c), hi_c);
   }
 }
 
-inline int intra_inter_ctx32(SpecTileWriter *w, int gr, int gc) {
-  const int gw = w->gw;
-  bool has_a = gr > 0, has_l = gc > 0;
-  bool ai = has_a && w->g_ref[(gr - 1) * gw + gc] == 0;
-  bool li = has_l && w->g_ref[gr * gw + gc - 1] == 0;
+inline int intra_inter_ctx_g(SpecTileWriter *w, int r, int c) {
+  bool has_a = r > 0, has_l = c > 0;
+  bool ai = has_a && w->mi_ref[(size_t)(r - 1) * w->mi_cols + c] == 0;
+  bool li = has_l && w->mi_ref[(size_t)r * w->mi_cols + c - 1] == 0;
   if (has_a && has_l) return (ai && li) ? 3 : (int)(ai || li);
   if (has_a || has_l) return 2 * (int)(has_a ? ai : li);
   return 0;
@@ -840,12 +1015,11 @@ inline int balance_ctx(int c0, int c1) {
   return c0 < c1 ? 0 : 2;
 }
 
-void single_ref_ctxs32(SpecTileWriter *w, int gr, int gc, int *p1, int *p3,
+void single_ref_ctxs_g(SpecTileWriter *w, int r, int c, int *p1, int *p3,
                        int *p4) {
-  const int gw = w->gw;
   int last = 0;
-  if (gr > 0 && w->g_ref[(gr - 1) * gw + gc] == 1) ++last;
-  if (gc > 0 && w->g_ref[gr * gw + gc - 1] == 1) ++last;
+  if (r > 0 && w->mi_ref[(size_t)(r - 1) * w->mi_cols + c] == 1) ++last;
+  if (c > 0 && w->mi_ref[(size_t)r * w->mi_cols + c - 1] == 1) ++last;
   *p1 = balance_ctx(last, 0);  // fwd vs bwd
   *p3 = balance_ctx(last, 0);  // LAST+LAST2 vs LAST3+GOLDEN
   *p4 = balance_ctx(last, 0);  // LAST vs LAST2
@@ -900,41 +1074,43 @@ void reset_coef_ctx_block(SpecTileWriter *w, int r, int c, int bw4, int bh4) {
   }
 }
 
-void finish_block_common32(SpecTileWriter *w, int r, int c, int skip,
-                           int store_mode, int ref, int mvr, int mvc,
-                           int is_newmv) {
-  int gr = r / 8, gc = c / 8;
-  int gi = gr * w->gw + gc;
-  w->g_ref[gi] = (int8_t)ref;
-  w->g_mvr[gi] = mvr;
-  w->g_mvc[gi] = mvc;
-  w->g_newmv[gi] = (uint8_t)is_newmv;
-  int bh4 = imin(8, w->mi_rows - r), bw4 = imin(8, w->mi_cols - c);
+void finish_block_common_g(SpecTileWriter *w, int r, int c, int bsize,
+                           int skip, int store_mode, int ref, int mvr,
+                           int mvc, int is_newmv) {
+  int w4 = kBlockSizes[bsize].w4, h4 = kBlockSizes[bsize].h4;
+  int bh4 = imin(h4, w->mi_rows - r), bw4 = imin(w4, w->mi_cols - c);
   for (int i = 0; i < bh4; ++i)
     for (int j = 0; j < bw4; ++j) {
-      w->skips[(r + i) * w->mi_cols + c + j] = skip;
-      w->y_modes[(r + i) * w->mi_cols + c + j] = store_mode;
-      w->mi_size[(r + i) * w->mi_cols + c + j] = BLOCK_32X32;
+      size_t mi = (size_t)(r + i) * w->mi_cols + c + j;
+      w->skips[mi] = skip;
+      w->y_modes[mi] = store_mode;
+      w->mi_size[mi] = bsize;
+      w->mi_ref[mi] = (int8_t)ref;
+      w->mi_mvr[mi] = mvr;
+      w->mi_mvc[mi] = mvc;
+      w->mi_n4w[mi] = (int8_t)w4;
+      w->mi_n4h[mi] = (int8_t)h4;
+      w->mi_newmv[mi] = (uint8_t)is_newmv;
     }
   if (skip) reset_coef_ctx_block(w, r, c, bw4, bh4);
 }
 
 void write_skip_and_inter(SpecTileWriter *w, int r, int c, int skip,
-                          int is_inter, int gr, int gc) {
+                          int is_inter) {
   int ctx = 0;
   if (r > 0) ctx += w->skips[(r - 1) * w->mi_cols + c];
   if (c > 0) ctx += w->skips[r * w->mi_cols + c - 1];
   sym(w, skip, skip_cdf(w, ctx), 2);
-  int ii = intra_inter_ctx32(w, gr, gc);
+  int ii = intra_inter_ctx_g(w, r, c);
   sym(w, is_inter, w->tbl(TBL_INTRA_INTER, ii * 3), 2);
 }
 
-void write_block_inter32(SpecTileWriter *w, int r, int c, int skip,
-                         int y_mode, int mvr, int mvc, const MvStack *s) {
-  int gr = r / 8, gc = c / 8;
-  write_skip_and_inter(w, r, c, skip, 1, gr, gc);
+void write_block_inter_g(SpecTileWriter *w, int r, int c, int bsize,
+                         int skip, int y_mode, int mvr, int mvc,
+                         const MvStack *s) {
+  write_skip_and_inter(w, r, c, skip, 1);
   int p1, p3, p4;
-  single_ref_ctxs32(w, gr, gc, &p1, &p3, &p4);
+  single_ref_ctxs_g(w, r, c, &p1, &p3, &p4);
   sym(w, 0, w->tbl(TBL_SINGLE_REF, (p1 * 6 + 0) * 3), 2);
   sym(w, 0, w->tbl(TBL_SINGLE_REF, (p3 * 6 + 2) * 3), 2);
   sym(w, 0, w->tbl(TBL_SINGLE_REF, (p4 * 6 + 3) * 3), 2);
@@ -957,22 +1133,22 @@ void write_block_inter32(SpecTileWriter *w, int r, int c, int skip,
     s->refmv(0, &pr, &pc);
     write_mv(w, mvr - pr, mvc - pc);
   }
-  finish_block_common32(w, r, c, skip, /*DC*/ 0, 1, mvr, mvc,
+  finish_block_common_g(w, r, c, bsize, skip, /*DC*/ 0, 1, mvr, mvc,
                         y_mode == NEWMV);
 }
 
-void write_block_intra_if32(SpecTileWriter *w, int r, int c, int skip,
-                            int y_mode, int uv_mode) {
-  int gr = r / 8, gc = c / 8;
-  write_skip_and_inter(w, r, c, skip, 0, gr, gc);
-  // SIZE_GROUP[32x32] = 3
-  sym(w, y_mode, w->tbl(TBL_IF_Y_MODE, 3 * 14), 13);
+void write_block_intra_if_g(SpecTileWriter *w, int r, int c, int bsize,
+                            int skip, int y_mode, int uv_mode) {
+  write_skip_and_inter(w, r, c, skip, 0);
+  // SIZE_GROUP: {16x16}=2, {32x32}=3 (spec size_group_lookup)
+  int sg = bsize >= BLOCK_32X32 ? 3 : 2;
+  sym(w, y_mode, w->tbl(TBL_IF_Y_MODE, sg * 14), 13);
   if (y_mode >= V_PRED && y_mode <= D67_PRED)
     sym(w, 3, angle_delta_cdf(w, y_mode - V_PRED), 7);
   sym(w, uv_mode, uv_mode_cdf(w, 1, y_mode), 14);
   if (uv_mode >= V_PRED && uv_mode <= D67_PRED)
     sym(w, 3, angle_delta_cdf(w, uv_mode - V_PRED), 7);
-  finish_block_common32(w, r, c, skip, y_mode, 0, 0, 0, 0);
+  finish_block_common_g(w, r, c, bsize, skip, y_mode, 0, 0, 0, 0);
 }
 
 void start_sb_row(SpecTileWriter *w, int mi_row);
@@ -998,28 +1174,22 @@ void write_strip_block(SpecTileWriter *w, int r, int c, int skip,
     if (r > 0) ctx += w->skips[(r - 1) * w->mi_cols + c];
     if (c > 0) ctx += w->skips[r * w->mi_cols + c - 1];
     sym(w, skip, skip_cdf(w, ctx), 2);
-    int gr = r / 8, gc = c / 8;
-    bool has_a = r > 0, has_l = c > 0;
-    // left neighbor is always a strip block (intra); above from grid
-    bool ai = has_a && w->g_ref[(gr - 1) * w->gw + gc] == 0;
-    bool li = has_l;  // strip blocks are all intra
-    int ii;
-    if (has_a && has_l) ii = (ai && li) ? 3 : (int)(ai || li);
-    else if (has_a || has_l) ii = 2 * (int)(has_a ? ai : li);
-    else ii = 0;
+    int ii = intra_inter_ctx_g(w, r, c);
     sym(w, 0, w->tbl(TBL_INTRA_INTER, ii * 3), 2);
     // SIZE_GROUP[BLOCK_16X16] = 2
     sym(w, V, w->tbl(TBL_IF_Y_MODE, 2 * 14), 13);
     sym(w, 3, angle_delta_cdf(w, V - V_PRED), 7);
     sym(w, V, uv_mode_cdf(w, 1, V), 14);
     sym(w, 3, angle_delta_cdf(w, V - V_PRED), 7);
-    int gi = gr * w->gw + gc;
-    w->g_ref[gi] = 0;  // intra
     for (int i = 0; i < 4; ++i)
       for (int j = 0; j < 4; ++j) {
-        w->skips[(r + i) * w->mi_cols + c + j] = skip;
-        w->y_modes[(r + i) * w->mi_cols + c + j] = V;
-        w->mi_size[(r + i) * w->mi_cols + c + j] = BLOCK_16X16;
+        size_t mi = (size_t)(r + i) * w->mi_cols + c + j;
+        w->skips[mi] = skip;
+        w->y_modes[mi] = V;
+        w->mi_size[mi] = BLOCK_16X16;
+        w->mi_ref[mi] = 0;  // intra
+        w->mi_n4w[mi] = 4;
+        w->mi_n4h[mi] = 4;
       }
     if (skip) reset_coef_ctx_block(w, r, c, 4, 4);
   }
@@ -1072,10 +1242,12 @@ SpecTileWriter *stw_create(int mi_cols, int mi_rows, int base_q_idx) {
   w->mi_size.assign(mi_rows * mi_cols, 0);
   w->gw = (mi_cols + 7) / 8;
   w->gh = (mi_rows + 7) / 8;
-  w->g_ref.assign(w->gw * w->gh, -1);
-  w->g_mvr.assign(w->gw * w->gh, 0);
-  w->g_mvc.assign(w->gw * w->gh, 0);
-  w->g_newmv.assign(w->gw * w->gh, 0);
+  w->mi_ref.assign((size_t)mi_rows * mi_cols, -1);
+  w->mi_mvr.assign((size_t)mi_rows * mi_cols, 0);
+  w->mi_mvc.assign((size_t)mi_rows * mi_cols, 0);
+  w->mi_n4w.assign((size_t)mi_rows * mi_cols, 0);
+  w->mi_n4h.assign((size_t)mi_rows * mi_cols, 0);
+  w->mi_newmv.assign((size_t)mi_rows * mi_cols, 0);
   build_zigzag(32, 32, &w->scan32_r, &w->scan32_c);
   build_zigzag(16, 16, &w->scan16_r, &w->scan16_c);
   build_zigzag(8, 8, &w->scan8_r, &w->scan8_c);
@@ -1127,7 +1299,8 @@ int stw_get_cdf(SpecTileWriter *w, int table_id, uint16_t *out, int n_u16) {
 // ulv/vlv at 4:2:0 half resolution with stride cstride.
 // Returns tile byte count written to out, or -1 if cap is too small.
 int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
-                           const int32_t *uv_modes, const int32_t *skips,
+                           const int32_t *uv_modes, const int32_t *angles,
+                           const int32_t *skips,
                            const int32_t *strip_skip,
                            const int32_t *ylv, int ystride,
                            const int32_t *ulv, const int32_t *vlv,
@@ -1164,7 +1337,7 @@ int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
         int skip = skips[gi];
         write_partition(w, br, bc, BLOCK_32X32, PARTITION_NONE);
         write_block_intra(w, br, bc, BLOCK_32X32, skip, y_modes[gi],
-                          uv_modes[gi]);
+                          uv_modes[gi], angles ? angles[gi] : 0);
         if (!skip) {
           int x0 = bc * 4, y0 = br * 4;
           write_coeffs(w, 0, x0, y0, TX_32X32, &ylv[y0 * ystride + x0],
@@ -1192,15 +1365,62 @@ int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
 // interleaved per cell).  The inter Y mode per block is derived from
 // the MV-prediction stack: NEARESTMV when the MV equals the stack
 // head, GLOBALMV when (0,0), else NEWMV (residual vs the stack head).
+// One inter coding unit (32x32 NONE or a 16x16 SPLIT quadrant): mode
+// derivation from the MV stack, block header, coefficients.
+static void encode_inter_unit(SpecTileWriter *w, int br, int bc,
+                              int bsize, int is_inter, int skip,
+                              int mvr, int mvc, const int32_t *ylv,
+                              int ystride, const int32_t *ulv,
+                              const int32_t *vlv, int cstride) {
+  if (is_inter) {
+    MvStack s;
+    int b4 = kBlockSizes[bsize].w4;
+    find_mv_stack_g(w, br, bc, b4, b4, /*LAST*/ 1, &s);
+    int pr, pc;
+    s.refmv(0, &pr, &pc);
+    int ym;
+    if (mvr == pr && mvc == pc) ym = NEARESTMV;
+    else if (mvr == 0 && mvc == 0) ym = GLOBALMV;
+    else ym = NEWMV;
+    write_block_inter_g(w, br, bc, bsize, skip, ym, mvr, mvc, &s);
+  } else {
+    write_block_intra_if_g(w, br, bc, bsize, skip, /*DC*/ 0, /*DC*/ 0);
+  }
+  if (!skip) {
+    int x0 = bc * 4, y0 = br * 4;
+    int ytx = bsize == BLOCK_32X32 ? TX_32X32 : TX_16X16;
+    int ctx_ = bsize == BLOCK_32X32 ? TX_16X16 : TX_8X8;
+    write_coeffs(w, 0, x0, y0, ytx, &ylv[y0 * ystride + x0],
+                 ystride, 1, 1, is_inter);
+    int cx = x0 >> 1, cy = y0 >> 1;
+    write_coeffs(w, 1, cx, cy, ctx_, &ulv[cy * cstride + cx],
+                 cstride, 1, 1, is_inter);
+    write_coeffs(w, 2, cx, cy, ctx_, &vlv[cy * cstride + cx],
+                 cstride, 1, 1, is_inter);
+  }
+}
+
+// Encode one single-reference inter tile on the 32x32 grid with
+// optional per-block 32->16 SPLIT.  modes[gi]: 0 = intra DC fallback,
+// 1 = inter.  mvs: [gh*gw*2] final 32-block MVs (1/8 pel).
+// splits[gi] (nullable): 1 = code this 32 block as four 16x16 inter
+// blocks using mvs16 [gh*gw*4*2] (z-order quadrants) and skips16
+// [gh*gw*4].  The per-block Y mode is derived from the spec MV stack:
+// NEARESTMV when the MV equals the stack head, GLOBALMV when (0,0),
+// else NEWMV (residual vs the stack head).
 int64_t stw_encode_inter32(SpecTileWriter *w, const int32_t *modes,
                            const int32_t *mvs, const int32_t *skips,
                            const int32_t *strip_skip,
                            const int32_t *ylv, int ystride,
                            const int32_t *ulv, const int32_t *vlv,
-                           int cstride, uint8_t *out, int64_t cap) {
+                           int cstride, uint8_t *out, int64_t cap,
+                           const int32_t *splits, const int32_t *mvs16,
+                           const int32_t *skips16) {
   if (w->enc) ec_enc_destroy(w->enc);
   w->enc = ec_enc_create();
-  std::fill(w->g_ref.begin(), w->g_ref.end(), (int8_t)-1);
+  std::fill(w->mi_ref.begin(), w->mi_ref.end(), (int8_t)-1);
+  std::fill(w->mi_n4w.begin(), w->mi_n4w.end(), (int8_t)0);
+  std::fill(w->mi_n4h.begin(), w->mi_n4h.end(), (int8_t)0);
   int gw = w->gw;
   for (int sb_r = 0; sb_r < w->mi_rows; sb_r += 16) {
     start_sb_row(w, sb_r);
@@ -1227,33 +1447,28 @@ int64_t stw_encode_inter32(SpecTileWriter *w, const int32_t *modes,
         }
         int gr = br / 8, gc = bc / 8;
         int gi = gr * gw + gc;
-        int skip = skips[gi];
-        write_partition(w, br, bc, BLOCK_32X32, PARTITION_NONE);
         int is_inter = modes[gi] != 0;
-        if (is_inter) {
-          MvStack s;
-          find_mv_stack32(w, gr, gc, &s);
-          int mvr = mvs[gi * 2], mvc = mvs[gi * 2 + 1];
-          int pr, pc;
-          s.refmv(0, &pr, &pc);
-          int ym;
-          if (mvr == pr && mvc == pc) ym = NEARESTMV;
-          else if (mvr == 0 && mvc == 0) ym = GLOBALMV;
-          else ym = NEWMV;
-          write_block_inter32(w, br, bc, skip, ym, mvr, mvc, &s);
-        } else {
-          write_block_intra_if32(w, br, bc, skip, /*DC*/ 0, /*DC*/ 0);
+        if (splits && splits[gi] && is_inter) {
+          // 32 -> four 16x16 quadrants (z-order), each its own MV
+          write_partition(w, br, bc, BLOCK_32X32, PARTITION_SPLIT);
+          const int q[4][2] = {{0, 0}, {0, 4}, {4, 0}, {4, 4}};
+          for (int qi = 0; qi < 4; ++qi) {
+            int qr = br + q[qi][0], qc = bc + q[qi][1];
+            if (qr >= w->mi_rows || qc >= w->mi_cols) continue;
+            write_partition(w, qr, qc, BLOCK_16X16, PARTITION_NONE);
+            encode_inter_unit(w, qr, qc, BLOCK_16X16, 1,
+                              skips16[gi * 4 + qi],
+                              mvs16[(gi * 4 + qi) * 2],
+                              mvs16[(gi * 4 + qi) * 2 + 1],
+                              ylv, ystride, ulv, vlv, cstride);
+            update_partition_ctx(w, qr, qc, BLOCK_16X16);
+          }
+          continue;
         }
-        if (!skip) {
-          int x0 = bc * 4, y0 = br * 4;
-          write_coeffs(w, 0, x0, y0, TX_32X32, &ylv[y0 * ystride + x0],
-                       ystride, 1, 1, is_inter);
-          int cx = x0 >> 1, cy = y0 >> 1;
-          write_coeffs(w, 1, cx, cy, TX_16X16, &ulv[cy * cstride + cx],
-                       cstride, 1, 1, is_inter);
-          write_coeffs(w, 2, cx, cy, TX_16X16, &vlv[cy * cstride + cx],
-                       cstride, 1, 1, is_inter);
-        }
+        write_partition(w, br, bc, BLOCK_32X32, PARTITION_NONE);
+        encode_inter_unit(w, br, bc, BLOCK_32X32, is_inter, skips[gi],
+                          mvs[gi * 2], mvs[gi * 2 + 1], ylv, ystride,
+                          ulv, vlv, cstride);
         update_partition_ctx(w, br, bc, BLOCK_32X32);
       }
     }

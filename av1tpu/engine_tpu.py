@@ -98,6 +98,13 @@ def _enable_compilation_cache() -> None:
     global _cache_enabled
     if _cache_enabled:
         return
+    if os.environ.get("AV1TPU_NO_COMPILE_CACHE") == "1":
+        # test processes opt out: executable.serialize() segfaults in
+        # long-lived processes with hundreds of live programs (see
+        # tests/conftest.py); short-lived daemon/bench processes keep
+        # the cache
+        _cache_enabled = True
+        return
     try:
         import jax
         cache_dir = os.path.expanduser("~/.cache/av1tpu/jax")

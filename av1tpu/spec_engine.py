@@ -100,12 +100,14 @@ def _encode_chunk_jit():
                                           lf_uv=lfuv, deblock=deblock,
                                           qround=qround, cdef=cdef,
                                           cdef_damping=damp, lr=lr)
-            return out[5:8], out[0:5] + (out[8], out[9], out[10])
+            return out[5:8], out[0:5] + (out[8], out[9], out[10],
+                                          out[11], out[12], out[13])
 
         carry, outs = jax.lax.scan(step, (ry, ru, rv),
                                    (ys, us, vs, qindexes, lfys, lfuvs,
                                     damps))
-        mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs, lrcs = outs
+        (mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs, lrcs,
+         splits, mv16s, skip16s) = outs
         # frame-major y|u|v flattening so per-frame slices are
         # byte-aligned contiguous runs on the host
         flat = jnp.concatenate([ylvs.reshape(k, -1),
@@ -119,7 +121,8 @@ def _encode_chunk_jit():
             jnp.clip(flat, -32768, 32767).astype(jnp.int16), mode="drop")
         grids = jnp.concatenate([mv8s.reshape(-1), skips.reshape(-1),
                                  strips.reshape(-1), cdefs.reshape(-1),
-                                 lrcs.reshape(-1)])
+                                 lrcs.reshape(-1), splits.reshape(-1),
+                                 mv16s.reshape(-1), skip16s.reshape(-1)])
         return carry, (jnp.packbits(mask), vals, count,
                        grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)
 
@@ -377,7 +380,8 @@ class SpecTpuEngine(TpuEngine):
                                      out[8].reshape(-1),
                                      out[9].reshape(-1),
                                      out[10].reshape(-1),
-                                     out[11].reshape(-1)])
+                                     out[11].reshape(-1),
+                                     out[12].reshape(-1)])
             pk = _pack_outputs(out[3], out[4], out[5], grids, cap)
             return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
                     refresh, out, pk, cap, lfy, lfuv, damp, self._lr)
@@ -430,7 +434,10 @@ class SpecTpuEngine(TpuEngine):
                                  out[1].reshape(-1),
                                  out[8].reshape(-1),
                                  out[9].reshape(-1),
-                                 out[10].reshape(-1)])
+                                 out[10].reshape(-1),
+                                 out[11].reshape(-1),
+                                 out[12].reshape(-1),
+                                 out[13].reshape(-1)])
         pk = _pack_outputs(out[2], out[3], out[4], grids, cap)
         return ("inter", qindex, w, h, th, tw, ph, pw, bd, oh,
                 refresh, out, pk, cap, lfy, lfuv, damp, self._lr)
@@ -534,7 +541,14 @@ class SpecTpuEngine(TpuEngine):
         cdefss = grids[k * (3 * B + nsc):
                        k * (3 * B + nsc + 4)].reshape(k, 4)
         urows, ucols = _lr_nru(th, tw)
-        lrcs = grids[k * (3 * B + nsc + 4):].reshape(k, urows * ucols)
+        nru = urows * ucols
+        p0 = k * (3 * B + nsc + 4)
+        lrcs = grids[p0:p0 + k * nru].reshape(k, nru)
+        p0 += k * nru
+        splitss = grids[p0:p0 + k * B].reshape(k, B)
+        mv16ss = grids[p0 + k * B:p0 + k * 9 * B].reshape(k, B, 4, 2)
+        skip16ss = grids[p0 + k * 9 * B:
+                         p0 + k * 13 * B].reshape(k, B, 4)
         lr_taps = _lr_taps() if lr_on else None
         modes = np.ones((gh_t, gw_t), np.int32)
 
@@ -556,7 +570,10 @@ class SpecTpuEngine(TpuEngine):
                 ylv, ulv, vlv,
                 strip_skip=stripss[i] if strip else None,
                 lr=(256, lrcs[i].reshape(urows, ucols), lr_taps)
-                if lr_on else None)
+                if lr_on else None,
+                split3=(splitss[i].reshape(gh, gw)[:gh_t, :gw_t],
+                        mv16ss[i].reshape(gh, gw, 4, 2)[:gh_t, :gw_t],
+                        skip16ss[i].reshape(gh, gw, 4)[:gh_t, :gw_t]))
             ch = None
             if damps[i] is not None:
                 ch = (damps[i],) + tuple(int(x) for x in cdefss[i])
@@ -600,10 +617,19 @@ class SpecTpuEngine(TpuEngine):
         lvs = _unpack_levels(maskbytes, vals, count, shapes)
         strip = (th % 32) == 16
         nsc = 2 * gw
-        # grid tail: [cdef strengths (4)][lr choice (urows*ucols)]
+        B = gh * gw
         urows, ucols = _lr_nru(th, tw)
         nru = urows * ucols
-        lr_choice = grids[-nru:].reshape(urows, ucols)
+        # layouts -- key:   [mode B][uv B][skip B][angle B][strip nsc]
+        #                   [cdefs 4][lr nru]
+        #            inter: [mv8 2B][skip B][strip nsc][cdefs 4][lr nru]
+        #                   [split B][mv16 8B][skip16 4B]
+        if kind == "key":
+            cdef_off = 4 * B + nsc
+        else:
+            cdef_off = 3 * B + nsc
+        lr_choice = grids[cdef_off + 4:cdef_off + 4 + nru].reshape(
+            urows, ucols)
         lr_kw = {}
         lr_arg = None
         if lr_on:
@@ -611,7 +637,7 @@ class SpecTpuEngine(TpuEngine):
             lr_kw["lr_types"] = (1, 0, 0)
         cdef_hdr = None
         if cdamp is not None:
-            cs = [int(x) for x in grids[-nru - 4:-nru]]
+            cs = [int(x) for x in grids[cdef_off:cdef_off + 4]]
             cdef_hdr = (cdamp, cs[0], cs[1], cs[2], cs[3])
         if kind == "key":
             if lvs is None:
@@ -623,12 +649,14 @@ class SpecTpuEngine(TpuEngine):
             g_mode = grids[:ng].reshape(gh, gw)
             g_uv = grids[ng:2 * ng].reshape(gh, gw)
             g_skip = grids[2 * ng:3 * ng].reshape(gh, gw)
-            strip_skip = grids[3 * ng:3 * ng + nsc] if strip else None
+            g_angle = grids[3 * ng:4 * ng].reshape(gh, gw)
+            strip_skip = grids[4 * ng:4 * ng + nsc] if strip else None
             tiles = native.encode_tile_rows(
                 "key", qindex, mi_cols, mi_rows, spans,
                 (g_mode[:gh_t, :gw_t], g_uv[:gh_t, :gw_t],
                  g_skip[:gh_t, :gw_t]), lv_y, lv_u, lv_v,
-                strip_skip=strip_skip, lr=lr_arg)
+                strip_skip=strip_skip, lr=lr_arg,
+                angles=g_angle[:gh_t, :gw_t])
             hdr = W.write_key_frame_header(tw, th, qindex,
                                            order_hint=oh, render_size=rs,
                                            tile_rows_log2=trl2,
@@ -647,16 +675,21 @@ class SpecTpuEngine(TpuEngine):
                              for a in _jax.device_get(out[2:5]))
         else:
             ylv, ulv, vlv = lvs
-        B = gh * gw
         mv8 = grids[:2 * B].reshape(B, 2)
         skip = grids[2 * B:3 * B]
         strip_skip = grids[3 * B:3 * B + nsc] if strip else None
+        tail = cdef_off + 4 + nru
+        splits = grids[tail:tail + B].reshape(gh, gw)
+        mvs16 = grids[tail + B:tail + 9 * B].reshape(gh, gw, 4, 2)
+        skips16 = grids[tail + 9 * B:tail + 13 * B].reshape(gh, gw, 4)
         modes = np.ones((gh_t, gw_t), np.int32)
         tiles = native.encode_tile_rows(
             "inter", qindex, mi_cols, mi_rows, spans,
             (modes, np.asarray(mv8).reshape(gh, gw, 2)[:gh_t, :gw_t],
              np.asarray(skip).reshape(gh, gw)[:gh_t, :gw_t]),
-            ylv, ulv, vlv, strip_skip=strip_skip, lr=lr_arg)
+            ylv, ulv, vlv, strip_skip=strip_skip, lr=lr_arg,
+            split3=(splits[:gh_t, :gw_t], mvs16[:gh_t, :gw_t],
+                    skips16[:gh_t, :gw_t]))
         hdr = W.write_inter_frame_header(
             tw, th, qindex, order_hint=oh,
             refresh_frame_flags=0x01 if refresh else 0x00,
@@ -729,13 +762,14 @@ class SpecTpuEngine(TpuEngine):
                                            lf_uv=jnp.int32(0),
                                            qround=self._qround,
                                            cdef=self._cdef, lr=self._lr)
-            # the exact packer shape _submit uses (6-part grid concat)
+            # the exact packer shape _submit uses (7-part grid concat)
             gk = jnp.concatenate([kout[6].reshape(-1),
                                   kout[7].reshape(-1),
                                   kout[8].reshape(-1),
                                   kout[9].reshape(-1),
                                   kout[10].reshape(-1),
-                                  kout[11].reshape(-1)])
+                                  kout[11].reshape(-1),
+                                  kout[12].reshape(-1)])
             _jax.device_get(
                 _pack_outputs(kout[3], kout[4], kout[5], gk, cap))
 

@@ -79,16 +79,24 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
 @functools.partial(jax.jit,
                    static_argnames=("bit_depth", "refine", "th", "tw",
                                     "stripe", "deblock", "qround",
-                                    "cdef", "lr", "local_ref"))
+                                    "cdef", "lr", "local_ref", "split16"))
 def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                   bit_depth: int, refine: bool = True,
                   th: int = 0, tw: int = 0, stripe: bool = False,
                   row0=0, lf_y=0, lf_uv=0, deblock: bool = False,
                   qround: float = 0.70, cdef: bool = False,
                   cdef_damping=4, lr: bool = False,
-                  local_ref: bool = False):
+                  local_ref: bool = False, split16: bool = True):
     """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
-    rec_y, rec_u, rec_v) for the SB-padded frame.
+    rec_y, rec_u, rec_v, strip_skip, cdefs, lr_choice, split (B,),
+    mv16 (B,4,2), skip16 (B,4)) for the SB-padded frame.
+
+    split16: per-32-block RD decision between one 32x32 MV and a
+    PARTITION_SPLIT into four 16x16 blocks with their own MVs (spec
+    32->16 partition; the moving-object boundary case).  Forced off
+    when deblocking is on (the uniform-grid device deblocker doesn't
+    model the extra 16px tx edges a split introduces) and for blocks
+    not fully inside the coded frame.
 
     th/tw: the true (coded) frame dims.  The spec clamps reference
     reads to the coded frame, so the padded-recon reference is cropped
@@ -190,58 +198,163 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         mag = (jnp.abs(lv) * dq) & 0xFFFFFF
         return jnp.sign(lv) * (mag >> shift)
 
-    def plane_pipe(src, preds, nn, shift, fm):
-        sblk = src.astype(jnp.int32).reshape(
-            gh, nn, gw, nn).transpose(0, 2, 1, 3).reshape(B, nn, nn)
-        resid = (sblk - preds).astype(jnp.float32)
-        coef = jnp.einsum("ij,bjk,lk->bil", fm, resid, fm)
+    def blockify(src, nn, nbh, nbw):
+        return src.astype(jnp.int32).reshape(
+            nbh, nn, nbw, nn).transpose(0, 2, 1, 3).reshape(
+            nbh * nbw, nn, nn)
+
+    def plane_pipe(src, preds, nn, shift, fmat, nbh, nbw):
+        sb = blockify(src, nn, nbh, nbw)
+        resid = (sb - preds).astype(jnp.float32)
+        coef = jnp.einsum("ij,bjk,lk->bil", fmat, resid, fmat)
         lv = quant(coef, nn, shift)
         rec = inv_dct2d_add(dequant(lv, nn, shift), preds, bit_depth)
         return lv, rec
 
-    lv_y, rec_y_b = plane_pipe(y, pred_y, 32, 1, fm32)
-    lv_u, rec_u_b = plane_pipe(u, pred_u, 16, 0, fm16)
-    lv_v, rec_v_b = plane_pipe(v, pred_v, 16, 0, fm16)
-
-    # per-block skip RDO: zero a block's residual when the distortion
-    # saved by coding it doesn't pay for its coefficient bits
-    # (cost = D + lambda*R with R ~ 3 bits/nonzero, lambda ~ q^2 scaled)
-    def sblk(src, nn):
-        return src.astype(jnp.int32).reshape(
-            gh, nn, gw, nn).transpose(0, 2, 1, 3).reshape(B, nn, nn)
-
-    yb, ub, vb = sblk(y, 32), sblk(u, 16), sblk(v, 16)
-    d_skip = (((yb - pred_y) ** 2).sum((1, 2)) +
-              ((ub - pred_u) ** 2).sum((1, 2)) +
-              ((vb - pred_v) ** 2).sum((1, 2)))
-    d_code = (((yb - rec_y_b) ** 2).sum((1, 2)) +
-              ((ub - rec_u_b) ** 2).sum((1, 2)) +
-              ((vb - rec_v_b) ** 2).sum((1, 2)))
-    nnz = ((lv_y != 0).sum((1, 2)) + (lv_u != 0).sum((1, 2)) +
-           (lv_v != 0).sum((1, 2)))
     lam = (acq.astype(jnp.int64) * acq.astype(jnp.int64)) >> 7
-    force = d_skip.astype(jnp.int64) <         d_code.astype(jnp.int64) + lam * (3 * nnz.astype(jnp.int64))
-    fm = force[:, None, None]
-    lv_y = jnp.where(fm, 0, lv_y)
-    lv_u = jnp.where(fm, 0, lv_u)
-    lv_v = jnp.where(fm, 0, lv_v)
-    rec_y_b = jnp.where(fm, pred_y, rec_y_b)
-    rec_u_b = jnp.where(fm, pred_u, rec_u_b)
-    rec_v_b = jnp.where(fm, pred_v, rec_v_b)
 
-    skip = ((lv_y == 0).all(axis=(1, 2)) & (lv_u == 0).all(axis=(1, 2)) &
-            (lv_v == 0).all(axis=(1, 2))).astype(jnp.int32)
+    def skip_rdo(src3, preds3, lvs3, recs3):
+        """Per-block skip decision over the 3 planes; returns the
+        (lv, rec) selections plus final (d, nnz, skip)."""
+        d_skip = sum(((s - p) ** 2).sum((1, 2))
+                     for s, p in zip(src3, preds3))
+        d_code = sum(((s - r) ** 2).sum((1, 2))
+                     for s, r in zip(src3, recs3))
+        nnz = sum((l != 0).sum((1, 2)) for l in lvs3)
+        force = d_skip.astype(jnp.int64) < \
+            d_code.astype(jnp.int64) + lam * (3 * nnz.astype(jnp.int64))
+        fmask = force[:, None, None]
+        lvs = [jnp.where(fmask, 0, l) for l in lvs3]
+        recs = [jnp.where(fmask, p, r) for p, r in zip(preds3, recs3)]
+        d = jnp.where(force, d_skip, d_code).astype(jnp.int64)
+        nnz = jnp.where(force, 0, nnz)
+        skip = ((lvs[0] == 0).all(axis=(1, 2)) &
+                (lvs[1] == 0).all(axis=(1, 2)) &
+                (lvs[2] == 0).all(axis=(1, 2))).astype(jnp.int32)
+        return lvs, recs, d, nnz, skip
 
-    def to_plane(b, nn, ph, pw):
-        return b.reshape(gh, gw, nn, nn).transpose(0, 2, 1, 3).reshape(
-            ph, pw)
+    lv_y, rec_y_b = plane_pipe(y, pred_y, 32, 1, fm32, gh, gw)
+    lv_u, rec_u_b = plane_pipe(u, pred_u, 16, 0, fm16, gh, gw)
+    lv_v, rec_v_b = plane_pipe(v, pred_v, 16, 0, fm16, gh, gw)
 
-    rec_y_p = to_plane(rec_y_b, 32, H, Wd)
-    rec_u_p = to_plane(rec_u_b, 16, H // 2, Wd // 2)
-    rec_v_p = to_plane(rec_v_b, 16, H // 2, Wd // 2)
-    lv_y_p = to_plane(lv_y, 32, H, Wd)
-    lv_u_p = to_plane(lv_u, 16, H // 2, Wd // 2)
-    lv_v_p = to_plane(lv_v, 16, H // 2, Wd // 2)
+    yb, ub, vb = (blockify(y, 32, gh, gw), blockify(u, 16, gh, gw),
+                  blockify(v, 16, gh, gw))
+    (lv_y, lv_u, lv_v), (rec_y_b, rec_u_b, rec_v_b), d32, nnz32, skip = \
+        skip_rdo((yb, ub, vb), (pred_y, pred_u, pred_v),
+                 (lv_y, lv_u, lv_v), (rec_y_b, rec_u_b, rec_v_b))
+
+    def to_plane(b, nn, nbh, nbw):
+        return b.reshape(nbh, nbw, nn, nn).transpose(0, 2, 1, 3).reshape(
+            nbh * nn, nbw * nn)
+
+    rec_y_p = to_plane(rec_y_b, 32, gh, gw)
+    rec_u_p = to_plane(rec_u_b, 16, gh, gw)
+    rec_v_p = to_plane(rec_v_b, 16, gh, gw)
+    lv_y_p = to_plane(lv_y, 32, gh, gw)
+    lv_u_p = to_plane(lv_u, 16, gh, gw)
+    lv_v_p = to_plane(lv_v, 16, gh, gw)
+
+    # ---- 32 -> 16 partition RD (spec PARTITION_SPLIT) ----------------
+    # deblock's uniform-grid device filter can't model split tx edges;
+    # gated off together (the GOP classifier enables deblock only on
+    # smooth content where splits rarely pay anyway)
+    do_split = split16 and not deblock
+    if do_split:
+        g16h, g16w = H // 16, Wd // 16
+        B16 = g16h * g16w
+        pos16 = jnp.asarray(motion.block_positions(H, Wd, 16))
+        if stripe and not local_ref:
+            pos16 = pos16 + jnp.stack(
+                [jnp.full((B16,), row0, jnp.int32),
+                 jnp.zeros((B16,), jnp.int32)], axis=1)
+        cpos16 = pos16 // 2
+        mv16_fp = motion.search_v3(src_y, ref_search, 16)
+        mv16_fp = jnp.clip(mv16_fp, -_MAX_FP, _MAX_FP)
+        mv16 = mv16_fp * 8
+        blocks16 = blockify(y, 16, g16h, g16w)
+        if refine:
+            cands = [(dr, dc) for dr in (-2, 0, 2) for dc in (-2, 0, 2)]
+            costs16 = []
+            preds16 = []
+            for dr, dc in cands:
+                mvc = mv16 + jnp.asarray([dr, dc], jnp.int32)[None]
+                p = _mc_blocks(ref_pad_y, pos16, mvc, 16, 0, bit_depth)
+                preds16.append(p)
+                costs16.append(((blocks16 - p) ** 2).sum(axis=(1, 2)))
+            costs16 = jnp.stack(costs16)
+            pidx16 = jnp.argmin(costs16, axis=0)
+            offs = jnp.asarray(cands, jnp.int32)
+            mv16 = mv16 + offs[pidx16]
+            pred16_y = jnp.stack(preds16, 0)[pidx16, jnp.arange(B16)]
+        else:
+            pred16_y = _mc_blocks(ref_pad_y, pos16, mv16, 16, 0,
+                                  bit_depth)
+        pred16_u = _mc_blocks(ref_pad_u, cpos16, mv16, 8, 1, bit_depth)
+        pred16_v = _mc_blocks(ref_pad_v, cpos16, mv16, 8, 1, bit_depth)
+        fm16f = jnp.asarray(_fwd_mat(16))
+        fm8 = jnp.asarray(_fwd_mat(8))
+        lv16_y, rec16_y = plane_pipe(y, pred16_y, 16, 0, fm16f,
+                                     g16h, g16w)
+        lv16_u, rec16_u = plane_pipe(u, pred16_u, 8, 0, fm8, g16h, g16w)
+        lv16_v, rec16_v = plane_pipe(v, pred16_v, 8, 0, fm8, g16h, g16w)
+        u16b = blockify(u, 8, g16h, g16w)
+        v16b = blockify(v, 8, g16h, g16w)
+        (lv16s, rec16s, d16, nnz16, skip16) = skip_rdo(
+            (blocks16, u16b, v16b), (pred16_y, pred16_u, pred16_v),
+            (lv16_y, lv16_u, lv16_v), (rec16_y, rec16_u, rec16_v))
+        lv16_y, lv16_u, lv16_v = lv16s
+        rec16_y, rec16_u, rec16_v = rec16s
+
+        # aggregate the four quadrants onto the 32 grid (z-order)
+        def quads(a):
+            # (B16,) -> (B, 4) [(0,0),(0,1),(1,0),(1,1)]
+            g = a.reshape(gh, 2, gw, 2)
+            return jnp.stack([g[:, 0, :, 0], g[:, 0, :, 1],
+                              g[:, 1, :, 0], g[:, 1, :, 1]],
+                             axis=-1).reshape(B, 4)
+
+        d16_sum = quads(d16).sum(-1)
+        nnz16_sum = quads(nnz16).sum(-1)
+        # header-bit model: ~8 bits per coded unit (skip+mode+mv
+        # residual average), +2 for the extra partition symbol
+        HB = 8
+        cost32 = d32 + lam * (3 * nnz32.astype(jnp.int64) + HB)
+        cost16 = d16_sum + lam * (3 * nnz16_sum.astype(jnp.int64)
+                                  + 4 * HB + 2)
+        # only blocks fully inside the coded mi grid may split
+        mi_rows_t = 2 * ((th + 7) >> 3)
+        mi_cols_t = 2 * ((tw + 7) >> 3)
+        bi = jnp.arange(B) // gw
+        bj = jnp.arange(B) % gw
+        if stripe:
+            bi = bi + row0 // 32
+        inside = ((bi + 1) * 8 <= mi_rows_t) & ((bj + 1) * 8 <= mi_cols_t)
+        split = (cost16 < cost32) & inside
+        sm = split.reshape(gh, gw)
+
+        def sel_plane(p32, b16, nn16):
+            p16 = to_plane(b16, nn16, g16h, g16w)
+            m = jnp.repeat(jnp.repeat(sm, 2 * nn16, 0), 2 * nn16, 1)
+            return jnp.where(m, p16, p32)
+
+        rec_y_p = sel_plane(rec_y_p, rec16_y, 16)
+        rec_u_p = sel_plane(rec_u_p, rec16_u, 8)
+        rec_v_p = sel_plane(rec_v_p, rec16_v, 8)
+        lv_y_p = sel_plane(lv_y_p, lv16_y, 16)
+        lv_u_p = sel_plane(lv_u_p, lv16_u, 8)
+        lv_v_p = sel_plane(lv_v_p, lv16_v, 8)
+        mv16_z = jnp.stack(
+            [mv16.reshape(gh, 2, gw, 2, 2)[:, 0, :, 0],
+             mv16.reshape(gh, 2, gw, 2, 2)[:, 0, :, 1],
+             mv16.reshape(gh, 2, gw, 2, 2)[:, 1, :, 0],
+             mv16.reshape(gh, 2, gw, 2, 2)[:, 1, :, 1]],
+            axis=2).reshape(B, 4, 2)
+        skip16_z = quads(skip16)
+        split = split.astype(jnp.int32)
+    else:
+        split = jnp.zeros((B,), jnp.int32)
+        mv16_z = jnp.zeros((B, 4, 2), jnp.int32)
+        skip16_z = jnp.zeros((B, 4), jnp.int32)
     # 16px bottom strip (height % 32 == 16): intra V_PRED 16x16 blocks
     # with coded luma residual, chroma prediction-only — identical to
     # the keyframe strip (strip blocks are intra in every frame)
@@ -291,7 +404,7 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         # returned for the host's cdef_params header
         from av1tpu.specav1 import jax_cdef
         skip8 = build_skip8(skip.reshape(gh, gw), strip_skip,
-                            th, tw, Wd)
+                            th, tw, Wd, split=split, skip16=skip16_z)
         rec_y_p, rec_u_p, rec_v_p, cdefs = jax_cdef.cdef_search_apply(
             rec_y_p, rec_u_p, rec_v_p, y, u, v, skip8, cdef_damping,
             bit_depth=bit_depth, th=th, tw=tw)
@@ -309,16 +422,29 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                _NL.count_units_in_frame(256, tw or rec_y_p.shape[1]))
         lr_choice = jnp.full((nru,), -1, jnp.int32)
     return (mv8, skip, lv_y_p, lv_u_p, lv_v_p,
-            rec_y_p, rec_u_p, rec_v_p, strip_skip, cdefs, lr_choice)
+            rec_y_p, rec_u_p, rec_v_p, strip_skip, cdefs, lr_choice,
+            split, mv16_z, skip16_z)
 
 
-def build_skip8(skip_blocks, strip_skip, th: int, tw: int, pw: int):
+def build_skip8(skip_blocks, strip_skip, th: int, tw: int, pw: int,
+                split=None, skip16=None):
     """(uh, uw) per-8x8-unit coded-skip grid for CDEF from the 32x32
-    block skip grid (+ 16x16 strip block skips when th % 32 == 16)."""
+    block skip grid (+ 16x16 strip block skips when th % 32 == 16;
+    + per-quadrant skips for 32->16 SPLIT blocks when split/skip16
+    given — the decoder's CDEF skip test is per coded block)."""
     fh8 = ((th + 7) >> 3) << 3
     fw8 = ((tw + 7) >> 3) << 3
     sk8 = jnp.repeat(jnp.repeat(skip_blocks.astype(jnp.int32), 4, 0),
                      4, 1)
+    if split is not None:
+        gh, gw = skip_blocks.shape
+        # skip16: (B, 4) z-order -> (2gh, 2gw) -> per-8 repeat
+        s16 = skip16.reshape(gh, gw, 2, 2).transpose(0, 2, 1, 3).reshape(
+            2 * gh, 2 * gw)
+        s16_8 = jnp.repeat(jnp.repeat(s16.astype(jnp.int32), 2, 0), 2, 1)
+        m = jnp.repeat(jnp.repeat(
+            split.reshape(gh, gw).astype(bool), 4, 0), 4, 1)
+        sk8 = jnp.where(m, s16_8, sk8)
     if th % 32 == 16:
         nsc = 2 * (pw // 32)
         srow = (th - 16) // 8
@@ -342,8 +468,12 @@ def encode_interframe_device(y, u, v, ref_planes, qindex: int,
                         ref_planes[0], ref_planes[1], ref_planes[2],
                         qindex, bit_depth, th=th, tw=tw)
     mv8, skip, ylv, ulv, vlv, ry, ru, rv = out[0:8]
+    split, mv16, skip16 = out[11], out[12], out[13]
     mvs = np.asarray(mv8).reshape(gh, gw, 2)
     skips = np.asarray(skip).reshape(gh, gw)
     modes = np.ones((gh, gw), np.int32)
+    split3 = (np.asarray(split).reshape(gh, gw),
+              np.asarray(mv16).reshape(gh, gw, 4, 2),
+              np.asarray(skip16).reshape(gh, gw, 4))
     return (modes, mvs, skips, np.asarray(ylv), np.asarray(ulv),
-            np.asarray(vlv)), (ry, ru, rv)
+            np.asarray(vlv), split3), (ry, ru, rv)

@@ -47,6 +47,37 @@ _MODE_IDS = np.array([recon.DC_PRED, recon.V_PRED, recon.H_PRED,
                      np.int32)
 _DIRECTIONAL = np.array([0, 1, 1, 0, 0, 1, 1, 1, 1], bool)  # V/H count too
 
+# full luma candidate set: every directional mode at every legal
+# angle_delta (-3..3, 3 degrees per step; seq header disables the
+# intra edge filter so prediction is a pure two-tap table gather),
+# plus the non-directional modes at delta 0
+_CAND_MODE = []
+_CAND_DELTA = []
+for _m, _d in zip(_MODE_IDS, _DIRECTIONAL):
+    if _d:
+        for _dl in range(-3, 4):
+            _CAND_MODE.append(int(_m))
+            _CAND_DELTA.append(_dl)
+    else:
+        _CAND_MODE.append(int(_m))
+        _CAND_DELTA.append(0)
+_CAND_MODE = np.array(_CAND_MODE, np.int32)       # (45,)
+_CAND_DELTA = np.array(_CAND_DELTA, np.int32)
+_CAND_DIR = np.array([recon.MODE_ANGLE.get(int(m), 0) != 0
+                      for m in _CAND_MODE], bool)
+# candidates whose prediction angle exceeds 180 read the BELOW-LEFT
+# edge (zone 3) — banned on the strip-sharing SB row (see strip_same_sb)
+_CAND_READS_BL = np.array(
+    [recon.MODE_ANGLE.get(int(m), 0) + 3 * int(d) > 180 if dirn else False
+     for m, d, dirn in zip(_CAND_MODE, _CAND_DELTA, _CAND_DIR)], bool)
+
+# chroma candidate modes (uv_mode is one symbol for both planes; the
+# derived tx type follows the mode: DC->DCT_DCT, V->ADST_DCT,
+# H->DCT_ADST — spec compute_tx_type, reduced chroma sets)
+_UV_MODE_IDS = np.array([recon.DC_PRED, recon.V_PRED, recon.H_PRED],
+                        np.int32)
+_UV_TX_KINDS = (("dct", "dct"), ("dct", "adst"), ("adst", "dct"))
+
 
 # ---------------------------------------------------------------------------
 # static plans
@@ -118,14 +149,17 @@ def plan_waves(nbr: int, nbc: int, tile_row_starts: tuple = ()):
 
 
 @functools.lru_cache(maxsize=None)
-def _dir_tables(mode: int, size: int):
-    """Static gather tables for a directional predictor at angle_delta 0.
+def _dir_tables(mode: int, size: int, delta: int = 0):
+    """Static gather tables for a directional predictor at angle_delta
+    ``delta`` (prediction angle = base + 3*delta; the sequence header
+    disables the intra edge filter, so every angle is a pure two-tap
+    gather).
 
     Returns (sel, i0, i1, w1) int32 (size, size) arrays: prediction =
     round2(src[i0]*(32-w1) + src[i1]*w1, 5) where src is ar_full when
     sel==0 else lc_full (length 2*size+1, index 0 = corner).
     """
-    p_angle = recon.MODE_ANGLE[mode]
+    p_angle = recon.MODE_ANGLE[mode] + 3 * delta
     w = h = size
     mx = w + h - 1
     sel = np.zeros((h, w), np.int32)
@@ -272,9 +306,120 @@ def _jidct_odd(O, full, clamp):
     return s
 
 
-def inv_dct2d_add(dq, pred, bit_depth: int):
+def _jiadst(T, clamp):
+    """Spec-exact inverse ADST (port of recon.iadst1d, jnp int32).
+    T: list of n (batched) lanes; n in {4, 8, 16}."""
+    n = len(T)
+    if n == 4:
+        s1, s2, s3, s4 = (int(x) for x in recon.SINPI[1:5])
+        x0, x1, x2, x3 = T
+        a0 = s1 * x0 + s4 * x2 + s2 * x3
+        a1 = s2 * x0 - s1 * x2 - s4 * x3
+        a2 = s3 * (x0 - x2 + x3)
+        a3 = s3 * x1
+        return [_round2(o, 12) for o in (a0 + a3, a1 + a3, a2,
+                                         a0 + a1 - a3)]
+    angles = recon._IADST8_ANGLES if n == 8 else recon._IADST16_ANGLES
+    s = []
+    for k in range(n // 2):
+        s.append(T[n - 1 - 2 * k])
+        s.append(T[2 * k])
+    t = [None] * n
+    for k in range(n // 2):
+        a = angles[k]
+        ca, cb = recon.cos128(a), recon.cos128(64 - a)
+        t[2 * k] = clamp(_jbtf(ca, s[2 * k], cb, s[2 * k + 1]))
+        t[2 * k + 1] = clamp(_jbtf(cb, s[2 * k], -ca, s[2 * k + 1]))
+    s = t
+    t = [None] * n
+    for i in range(n // 2):
+        t[i] = clamp(s[i] + s[i + n // 2])
+        t[i + n // 2] = clamp(s[i] - s[i + n // 2])
+    s = t
+    t = list(s)
+    if n == 8:
+        t[4] = clamp(_jbtf(recon.cos128(16), s[4], recon.cos128(48), s[5]))
+        t[5] = clamp(_jbtf(recon.cos128(48), s[4], -recon.cos128(16),
+                           s[5]))
+        t[6] = clamp(_jbtf(-recon.cos128(48), s[6], recon.cos128(16),
+                           s[7]))
+        t[7] = clamp(_jbtf(recon.cos128(16), s[6], recon.cos128(48),
+                           s[7]))
+        s = t
+        t = [None] * n
+        for base in (0, 4):
+            for i in range(2):
+                t[base + i] = clamp(s[base + i] + s[base + 2 + i])
+                t[base + 2 + i] = clamp(s[base + i] - s[base + 2 + i])
+        s = t
+        t = list(s)
+        for base in (2, 6):
+            t[base] = clamp(_jbtf(recon.cos128(32), s[base],
+                                  recon.cos128(32), s[base + 1]))
+            t[base + 1] = clamp(_jbtf(recon.cos128(32), s[base],
+                                      -recon.cos128(32), s[base + 1]))
+        s = t
+        return [s[0], -s[4], s[6], -s[2], s[3], -s[7], s[5], -s[1]]
+    # n == 16
+    t[8] = clamp(_jbtf(recon.cos128(8), s[8], recon.cos128(56), s[9]))
+    t[9] = clamp(_jbtf(recon.cos128(56), s[8], -recon.cos128(8), s[9]))
+    t[10] = clamp(_jbtf(recon.cos128(40), s[10], recon.cos128(24), s[11]))
+    t[11] = clamp(_jbtf(recon.cos128(24), s[10], -recon.cos128(40),
+                        s[11]))
+    t[12] = clamp(_jbtf(-recon.cos128(56), s[12], recon.cos128(8), s[13]))
+    t[13] = clamp(_jbtf(recon.cos128(8), s[12], recon.cos128(56), s[13]))
+    t[14] = clamp(_jbtf(-recon.cos128(24), s[14], recon.cos128(40),
+                        s[15]))
+    t[15] = clamp(_jbtf(recon.cos128(40), s[14], recon.cos128(24),
+                        s[15]))
+    s = t
+    t = [None] * n
+    for base in (0, 8):
+        for i in range(4):
+            t[base + i] = clamp(s[base + i] + s[base + 4 + i])
+            t[base + 4 + i] = clamp(s[base + i] - s[base + 4 + i])
+    s = t
+    t = list(s)
+    for base in (4, 12):
+        t[base] = clamp(_jbtf(recon.cos128(16), s[base],
+                              recon.cos128(48), s[base + 1]))
+        t[base + 1] = clamp(_jbtf(recon.cos128(48), s[base],
+                                  -recon.cos128(16), s[base + 1]))
+        t[base + 2] = clamp(_jbtf(-recon.cos128(48), s[base + 2],
+                                  recon.cos128(16), s[base + 3]))
+        t[base + 3] = clamp(_jbtf(recon.cos128(16), s[base + 2],
+                                  recon.cos128(48), s[base + 3]))
+    s = t
+    t = [None] * n
+    for base in (0, 4, 8, 12):
+        for i in range(2):
+            t[base + i] = clamp(s[base + i] + s[base + 2 + i])
+            t[base + 2 + i] = clamp(s[base + i] - s[base + 2 + i])
+    s = t
+    t = list(s)
+    for base in (2, 6, 10, 14):
+        t[base] = clamp(_jbtf(recon.cos128(32), s[base],
+                              recon.cos128(32), s[base + 1]))
+        t[base + 1] = clamp(_jbtf(recon.cos128(32), s[base],
+                                  -recon.cos128(32), s[base + 1]))
+    s = t
+    return [s[0], -s[8], s[12], -s[4], s[6], -s[14], s[10], -s[2],
+            s[3], -s[11], s[15], -s[7], s[5], -s[13], s[9], -s[1]]
+
+
+def _japply_1d(kind: str, T, clamp):
+    if kind == "dct":
+        return _jidct(T, clamp)
+    assert kind == "adst"
+    return _jiadst(T, clamp)
+
+
+def inv_tx2d_add(dq, pred, bit_depth: int, row_kind: str = "dct",
+                 col_kind: str = "dct"):
     """dq: (B, n, n) int32 levels*dqv; pred: (B, n, n) int32.  Returns
-    spec-exact reconstructed pixels (B, n, n) int32."""
+    spec-exact reconstructed pixels (B, n, n) int32.  row_kind/col_kind
+    select the 1-D transforms (spec TX_1D map; flip variants unused —
+    the encoder never picks FLIPADST types)."""
     n = dq.shape[-1]
     cb = bit_depth + 8
     lo, hi = -(1 << (cb - 1)), (1 << (cb - 1)) - 1
@@ -284,15 +429,43 @@ def inv_dct2d_add(dq, pred, bit_depth: int):
 
     buf = clamp(dq)
     cols = [buf[:, :, i] for i in range(n)]
-    row_out = _jidct(cols, clamp)
+    row_out = _japply_1d(row_kind, cols, clamp)
     buf = jnp.stack(row_out, axis=2)
     rs = recon._ROW_SHIFT[(n.bit_length() - 1, n.bit_length() - 1)]
     buf = clamp(_round2(buf, rs))
     rows = [buf[:, i, :] for i in range(n)]
-    col_out = _jidct(rows, clamp)
+    col_out = _japply_1d(col_kind, rows, clamp)
     buf = jnp.stack(col_out, axis=1)
     res = _round2(buf, 4)
     return jnp.clip(pred + res, 0, (1 << bit_depth) - 1)
+
+
+def inv_dct2d_add(dq, pred, bit_depth: int):
+    """DCT_DCT specialization (the inter path's hot transform)."""
+    return inv_tx2d_add(dq, pred, bit_depth)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_mat_kind(kind: str, n: int) -> np.ndarray:
+    """Forward 1-D transform matrix for quantization, derived as the
+    scaled numeric inverse of the spec integer inverse transform (the
+    reconstruction uses the exact integer inverse, so the forward only
+    needs to be its approximate inverse; sqrt of the 2-D descale is
+    folded into each side like _fwd_mat)."""
+    if kind == "dct":
+        return _fwd_mat(n)
+    # extract the integer inverse's linear map (no clamp; scaled input
+    # to wash out rounding)
+    scale_in = 1 << 12
+    A = np.zeros((n, n), np.float64)
+    for j in range(n):
+        e = [np.int64(0)] * n
+        e[j] = np.int64(scale_in)
+        out = recon.iadst1d(e, lambda x: x)
+        A[:, j] = np.asarray(out, np.float64) / scale_in
+    rs = recon._ROW_SHIFT[(n.bit_length() - 1, n.bit_length() - 1)]
+    s = math.sqrt(float(1 << (rs + 4)))
+    return (s * np.linalg.inv(A)).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -325,14 +498,27 @@ def _gather_edges(rec, y0, x0, have_a, have_l, ntr, nbl, size, base,
     return ar, lc, corner
 
 
-def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes):
+def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes,
+                 deltas=None):
     """All candidate predictions, stacked (n_modes, size, size) int32.
-    ar/lc: (2*size+1,) with [0]=corner."""
+    ar/lc: (2*size+1,) with [0]=corner.  deltas: per-candidate
+    angle_delta for directional modes (None = all zero)."""
     above = ar[1:1 + size]
     left = lc[1:1 + size]
     n2 = size.bit_length() - 1
+    if deltas is None:
+        deltas = [0] * len(modes)
     preds = []
-    for m in modes:
+    for m, dl in zip(modes, deltas):
+        if dl != 0:
+            # directional at nonzero delta (incl. V/H whose delta-0
+            # forms use the exact-copy branches below)
+            sel, i0, i1, w1 = _dir_tables(m, size, dl)
+            v0 = jnp.where(sel == 0, ar[i0], lc[i0])
+            v1 = jnp.where(sel == 0, ar[i1], lc[i1])
+            w1j = jnp.asarray(w1, jnp.int32)
+            preds.append(_round2(v0 * (32 - w1j) + v1 * w1j, 5))
+            continue
         if m == recon.DC_PRED:
             s_a = above.sum()
             s_l = left.sum()
@@ -365,8 +551,8 @@ def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes):
             s = (i * above[None, :] + (256 - i) * br +
                  j * left[:, None] + (256 - j) * rt)
             preds.append(_round2(s, 9))
-        else:  # directional, angle_delta 0
-            sel, i0, i1, w1 = _dir_tables(m, size)
+        else:  # directional at angle_delta dl
+            sel, i0, i1, w1 = _dir_tables(m, size, dl)
             v0 = jnp.where(sel == 0, ar[i0], lc[i0])
             v1 = jnp.where(sel == 0, ar[i1], lc[i1])
             w1j = jnp.asarray(w1, jnp.int32)
@@ -440,11 +626,17 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     # when the 16px strip shares its SB with the last main block row
     # (th % 64 == 48), the DECODER sees bottom-left pixels for that
     # row's SB-aligned blocks (the previous SB's strip decodes first in
-    # z-order) that this planner does not model — ban the one mode that
-    # reads them (D203) on that row so encoder and decoder predictions
-    # agree
+    # z-order) that this planner does not model — ban every candidate
+    # that reads them (prediction angle > 180) on that row so encoder
+    # and decoder predictions agree
     strip_same_sb = strip and (nbr_main * 32) % 64 == 32
-    d203_lane = jnp.asarray(_MODE_IDS == recon.D203_PRED)
+    reads_bl_lane = jnp.asarray(_CAND_READS_BL)
+    fm16a = jnp.asarray(_fwd_mat_kind("adst", 16))
+    # nonzero angle deltas cost ~2 extra bits: charge the same
+    # lambda*bits the skip RDO uses so flat ties stay at delta 0
+    lam = (acq.astype(jnp.int32) * acq.astype(jnp.int32)) >> 7
+    delta_cost = (lam * 2 * (jnp.asarray(_CAND_DELTA) != 0)).astype(
+        jnp.int32)
 
     def block_fn(rec_y, rec_u, rec_v, r, c, have_a, have_l, ntr, nbl):
         y0, x0 = r * 32, c * 32
@@ -453,54 +645,101 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         ar, lcv, corner = _gather_edges(rec_y, y0, x0, ha, hl, ntr, nbl,
                                         32, base, fdims=(fh8, fw8))
         preds = _predict_all(ar, lcv, corner, ha, hl, 32, base,
-                             list(_MODE_IDS))
+                             list(_CAND_MODE), list(_CAND_DELTA))
         rows = y0 + jnp.arange(32)[:, None]
         cols = x0 + jnp.arange(32)[None, :]
         sy = src_y[rows, cols]
-        sse = ((sy[None] - preds) ** 2).sum(axis=(1, 2))  # < 2^27, int32-safe
-        penalty = jnp.where(jnp.asarray(_DIRECTIONAL) & ~(ha | hl),
-                            jnp.int32(1 << 30), jnp.int32(0))
+        # full-RD mode decision in the transform domain: forward DCT +
+        # quant for every candidate (batched 32x32 matmuls — MXU-cheap),
+        # cost = quantization error (~= pixel distortion x 2^(rs+4)=64,
+        # Parseval) + lambda*rate.  Prediction-SSE ranking mis-orders
+        # candidates whose residual quantizes better despite a worse
+        # fit (measured -0.04 dB Y on diagonal content).
+        resids = (sy[None] - preds).astype(jnp.float32)
+        coefs = jnp.einsum("ij,bjk,lk->bil", fm32, resids, fm32)
+        lvs = quant(coefs, 32, 1)
+        deqs = dequant(lvs, 32, 1).astype(jnp.float32)
+        qerr = ((coefs - deqs) ** 2).sum(axis=(1, 2)) / 64.0
+        nnzs = (lvs != 0).sum(axis=(1, 2))
+        rd = qerr + lam.astype(jnp.float32) * (3.0 * nnzs) \
+            + delta_cost.astype(jnp.float32)
+        rd = rd + jnp.where(jnp.asarray(_CAND_DIR) & ~(ha | hl),
+                            jnp.float32(1e18), jnp.float32(0))
         if strip_same_sb:
-            penalty = penalty + jnp.where(
-                d203_lane & (r == nbr_main - 1), jnp.int32(1 << 30),
-                jnp.int32(0))
-        mi = jnp.argmin(sse + penalty)
-        mode = jnp.asarray(_MODE_IDS)[mi]
+            rd = rd + jnp.where(
+                reads_bl_lane & (r == nbr_main - 1), jnp.float32(1e18),
+                jnp.float32(0))
+        mi = jnp.argmin(rd)
+        mode = jnp.asarray(_CAND_MODE)[mi]
+        angle = jnp.asarray(_CAND_DELTA)[mi]
         pred = preds[mi]
-        coef = fm32 @ (sy - pred).astype(jnp.float32) @ fm32.T
-        lvy = quant(coef, 32, 1)
+        lvy = lvs[mi]
         rec_blk_y = inv_dct2d_add(dequant(lvy, 32, 1)[None], pred[None],
                                   bit_depth)[0]
-        # chroma: DC_PRED, 16x16
+        # chroma: one shared uv_mode from {DC, V, H} by joint prediction
+        # SSE; the derived tx follows the mode (DCT / ADST_DCT /
+        # DCT_ADST — spec compute_tx_type), so recon runs all three
+        # transforms and selects
         cy0, cx0 = y0 // 2, x0 // 2
         crows = cy0 + jnp.arange(16)[:, None]
         ccols = cx0 + jnp.arange(16)[None, :]
-        out_c = []
+        cpreds = []
+        csrcs = []
         for rec_p, src_p in ((rec_u, src_u), (rec_v, src_v)):
             arc, lcc, cornc = _gather_edges(
                 rec_p, cy0, cx0, ha, hl, ntr // 2, nbl // 2, 16, base,
                 fdims=(fh8 // 2, fw8 // 2))
-            predc = _predict_all(arc, lcc, cornc, ha, hl, 16, base,
-                                 [recon.DC_PRED])[0]
-            sc = src_p[crows, ccols]
-            coefc = fm16 @ (sc - predc).astype(jnp.float32) @ fm16.T
-            lvc = quant(coefc, 16, 0)
-            recc = inv_dct2d_add(dequant(lvc, 16, 0)[None], predc[None],
-                                 bit_depth)[0]
-            out_c.append((lvc, recc))
-        (lvu, rec_blk_u), (lvv, rec_blk_v) = out_c
+            cpreds.append(_predict_all(arc, lcc, cornc, ha, hl, 16,
+                                       base, list(_UV_MODE_IDS)))
+            csrcs.append(src_p[crows, ccols])
+        # full RD per candidate: all three coded paths are computed
+        # (they're needed for the select anyway), so the decision uses
+        # post-quantization distortion + lambda*rate, not prediction
+        # SSE — a smooth-gradient prediction can still transform worse
+        lv_all = []   # [plane][cand]
+        rec_all = []
+        for p in range(2):
+            lv_k = []
+            rec_k = []
+            for k, (rk, ck) in enumerate(_UV_TX_KINDS):
+                predc = cpreds[p][k]
+                resid = (csrcs[p] - predc).astype(jnp.float32)
+                fr = fm16 if rk == "dct" else fm16a
+                fc = fm16 if ck == "dct" else fm16a
+                coefc = fc @ resid @ fr.T
+                lvc = quant(coefc, 16, 0)
+                recc = inv_tx2d_add(dequant(lvc, 16, 0)[None],
+                                    predc[None], bit_depth,
+                                    row_kind=rk, col_kind=ck)[0]
+                lv_k.append(lvc)
+                rec_k.append(recc)
+            lv_all.append(jnp.stack(lv_k))
+            rec_all.append(jnp.stack(rec_k))
+        cdist = sum(((s[None] - r) ** 2).sum(axis=(1, 2))
+                    for r, s in zip(rec_all, csrcs))
+        cnnz = sum((l != 0).sum(axis=(1, 2)) for l in lv_all)
+        cpen = jnp.where(
+            jnp.asarray([recon.MODE_ANGLE.get(int(m), 0) != 0
+                         for m in _UV_MODE_IDS]) & ~(ha | hl),
+            jnp.int32(1 << 30), jnp.int32(0))
+        uvmi = jnp.argmin(cdist + lam * (3 * cnnz) + cpen)
+        uv_mode = jnp.asarray(_UV_MODE_IDS)[uvmi]
+        lvu, rec_blk_u = lv_all[0][uvmi], rec_all[0][uvmi]
+        lvv, rec_blk_v = lv_all[1][uvmi], rec_all[1][uvmi]
         skip = ((lvy == 0).all() & (lvu == 0).all() &
                 (lvv == 0).all()).astype(jnp.int32)
-        return rec_blk_y, rec_blk_u, rec_blk_v, lvy, lvu, lvv, mode, skip
+        return (rec_blk_y, rec_blk_u, rec_blk_v, lvy, lvu, lvv, mode,
+                uv_mode, angle, skip)
 
     def wave_step(carry, xs):
-        rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, g_mode, g_uv, g_skip = carry
+        (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, g_mode, g_uv, g_skip,
+         g_angle) = carry
         outs = jax.vmap(
             lambda r, c, a, l, t, b: block_fn(rec_y, rec_u, rec_v, r, c,
                                               a, l, t, b)
         )(xs["r"], xs["c"], xs["have_a"], xs["have_l"], xs["ntr"],
           xs["nbl"])
-        rby, rbu, rbv, lvy, lvu, lvv, mode, skip = outs
+        rby, rbu, rbv, lvy, lvu, lvv, mode, uv_mode, angle, skip = outs
         # scatter: invalid lanes get out-of-range coords -> dropped
         r_eff = jnp.where(xs["valid"] == 1, xs["r"], nbr + 1)
         c_eff = xs["c"]
@@ -515,10 +754,11 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         lv_u = lv_u.at[cyx, cxx].set(lvu, mode="drop")
         lv_v = lv_v.at[cyx, cxx].set(lvv, mode="drop")
         g_mode = g_mode.at[r_eff, c_eff].set(mode, mode="drop")
-        g_uv = g_uv.at[r_eff, c_eff].set(jnp.zeros_like(mode), mode="drop")
+        g_uv = g_uv.at[r_eff, c_eff].set(uv_mode, mode="drop")
         g_skip = g_skip.at[r_eff, c_eff].set(skip, mode="drop")
+        g_angle = g_angle.at[r_eff, c_eff].set(angle, mode="drop")
         return (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, g_mode, g_uv,
-                g_skip), None
+                g_skip, g_angle), None
 
     init = (jnp.zeros((H, Wd), jnp.int32),
             jnp.zeros((H // 2, Wd // 2), jnp.int32),
@@ -526,6 +766,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
             jnp.zeros((H, Wd), jnp.int32),
             jnp.zeros((H // 2, Wd // 2), jnp.int32),
             jnp.zeros((H // 2, Wd // 2), jnp.int32),
+            jnp.zeros((nbr, nbc), jnp.int32),
             jnp.zeros((nbr, nbc), jnp.int32),
             jnp.zeros((nbr, nbc), jnp.int32),
             jnp.zeros((nbr, nbc), jnp.int32))
@@ -615,9 +856,10 @@ def encode_keyframe_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                         jnp.int32(qindex), nbr=nbr, nbc=nbc,
                         bit_depth=bit_depth)
     (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v,
-     g_mode, g_uv, g_skip) = jax.device_get(out[0:9])
+     g_mode, g_uv, g_skip, g_angle) = jax.device_get(out[0:10])
     tile = native.encode_intra32_tile(qindex, pw // 4, ph // 4, g_mode,
-                                      g_uv, g_skip, lv_y, lv_u, lv_v)
+                                      g_uv, g_skip, lv_y, lv_u, lv_v,
+                                      angles=g_angle)
     tu = W.assemble_keyframe(pw, ph, qindex, tile,
                              render_size=(w, h) if (ph, pw) != (h, w)
                              else None)

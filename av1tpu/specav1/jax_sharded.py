@@ -129,7 +129,8 @@ def _frame_step_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
     out_specs = (P("stripe"), P("stripe"), P("stripe", None),
                  P("stripe", None), P("stripe", None),
                  P("stripe", None), P("stripe", None), P("stripe", None),
-                 P(None), P(None), P(None))
+                 P(None), P(None), P(None),
+                 P("stripe"), P("stripe"), P("stripe"))
     out = shard_map(
         body, mesh=mesh,
         in_specs=(P("stripe", None), P("stripe", None), P("stripe", None),
@@ -153,7 +154,8 @@ def _frame_step_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
         from av1tpu.specav1 import jax_cdef
         gh, gw = y.shape[0] // 32, y.shape[1] // 32
         skip8 = jax_inter.build_skip8(out[1].reshape(gh, gw), out[8],
-                                      th, tw, y.shape[1])
+                                      th, tw, y.shape[1],
+                                      split=out[11], skip16=out[13])
         fy, fu, fv, cdefs = jax_cdef.cdef_search_apply(
             fy, fu, fv, y, u, v, skip8, cdef_damping,
             bit_depth=bit_depth, th=th, tw=tw)
@@ -162,7 +164,8 @@ def _frame_step_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
         from av1tpu.specav1 import jax_lr
         fy, lr_choice = jax_lr.lr_search_apply(
             fy, pre_cdef_y, y, bit_depth=bit_depth, th=th, tw=tw)
-    return out[0:5] + (fy, fu, fv, out[8], cdefs, lr_choice)
+    return out[0:5] + (fy, fu, fv, out[8], cdefs, lr_choice,
+                       out[11], out[12], out[13])
 
 
 encode_inter_sharded = functools.partial(jax.jit, static_argnames=(
@@ -199,12 +202,14 @@ def encode_chunk_sharded(mesh, packed, ry, ru, rv, qindexes, lfys,
             mesh, y, u, v, *carry, q, bit_depth, th=th, tw=tw,
             lf_y=lfy, lf_uv=lfuv, deblock=deblock, qround=qround,
             cdef=cdef, cdef_damping=damp, lr=lr)
-        return out[5:8], out[0:5] + (out[8], out[9], out[10])
+        return out[5:8], out[0:5] + (out[8], out[9], out[10],
+                                      out[11], out[12], out[13])
 
     carry, outs = jax.lax.scan(step, (ry, ru, rv),
                                (ys, us, vs, qindexes, lfys, lfuvs,
                                 damps))
-    mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs, lrcs = outs
+    (mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs, lrcs,
+     splits, mv16s, skip16s) = outs
     flat = jnp.concatenate([ylvs.reshape(k, -1),
                             ulvs.reshape(k, -1),
                             vlvs.reshape(k, -1)], axis=1).reshape(-1)
@@ -216,6 +221,7 @@ def encode_chunk_sharded(mesh, packed, ry, ru, rv, qindexes, lfys,
         jnp.clip(flat, -32768, 32767).astype(jnp.int16), mode="drop")
     grids = jnp.concatenate([mv8s.reshape(-1), skips.reshape(-1),
                              strips.reshape(-1), cdefs.reshape(-1),
-                             lrcs.reshape(-1)])
+                             lrcs.reshape(-1), splits.reshape(-1),
+                             mv16s.reshape(-1), skip16s.reshape(-1)])
     return carry, (jnp.packbits(mask), vals, count,
                    grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)

@@ -45,7 +45,7 @@ def _lib() -> ctypes.CDLL:
         lib.stw_encode_intra32.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int64]
@@ -56,7 +56,8 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int64]
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.stw_encode_inter32.restype = ctypes.c_int64
         lib.stw_set_tile_row.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                          ctypes.c_int]
@@ -141,12 +142,15 @@ def _pool():
 
 def encode_tile_rows(kind: str, qindex: int, mi_cols: int, mi_rows: int,
                      spans: list, grid_args: tuple, ylv, ulv, vlv,
-                     strip_skip=None, lr=None) -> list:
+                     strip_skip=None, lr=None, angles=None,
+                     split3=None) -> list:
     """Encode one spec tile per (mi_row0, mi_row1) span, in parallel
     (the C++ walker releases the GIL).  grid_args: the per-frame grid
     arrays of encode_intra32_tile / encode_inter32_tile; each tile gets
     the matching row slice.  strip_skip goes to the LAST tile (the 16px
-    bottom strip lives there).  Returns the list of per-tile bytes."""
+    bottom strip lives there).  angles: per-block luma angle_delta grid
+    (key frames).  split3: (splits, mvs16, skips16) grids for the
+    inter 32->16 SPLIT path.  Returns the list of per-tile bytes."""
     enc = encode_intra32_tile if kind == "key" else encode_inter32_tile
 
     def one(span):
@@ -154,10 +158,17 @@ def encode_tile_rows(kind: str, qindex: int, mi_cols: int, mi_rows: int,
         g0, g1 = mi0 // 8, (mi1 + 7) // 8
         sliced = tuple(g[g0:g1] for g in grid_args)
         ss = strip_skip if mi1 == spans[-1][1] else None
+        kw = {}
+        if angles is not None and kind == "key":
+            kw["angles"] = angles[g0:g1]
+        if split3 is not None and kind != "key":
+            kw["splits"] = split3[0][g0:g1]
+            kw["mvs16"] = split3[1][g0:g1]
+            kw["skips16"] = split3[2][g0:g1]
         return enc(qindex, mi_cols, mi1 - mi0, *sliced,
                    ylv[mi0 * 4:], ulv[mi0 * 2:], vlv[mi0 * 2:],
                    tile_row0=mi0, frame_mi_rows=mi_rows, strip_skip=ss,
-                   lr=lr)
+                   lr=lr, **kw)
 
     if len(spans) == 1:
         return [one(spans[0])]
@@ -171,11 +182,18 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
                         tile_row0: int = 0,
                         frame_mi_rows: int = 0,
                         strip_skip: np.ndarray | None = None,
-                        lr=None) -> bytes:
-    """Emit one spec tile for a fixed-32x32-grid single-ref inter frame.
+                        lr=None, splits: np.ndarray | None = None,
+                        mvs16: np.ndarray | None = None,
+                        skips16: np.ndarray | None = None) -> bytes:
+    """Emit one spec tile for a 32x32-grid single-ref inter frame with
+    optional per-block 32->16 SPLIT.
 
     modes: (gh, gw) int32, 0 = intra-DC fallback, 1 = inter.
     mvs: (gh, gw, 2) int32 final MVs in (row, col) 1/8-pel (even).
+    splits: (gh, gw) int32, 1 = code the block as four 16x16 inter
+    quadrants using mvs16 (gh, gw, 4, 2) and skips16 (gh, gw, 4)
+    (z-order quadrants; luma TX_16X16 + chroma TX_8X8 levels are read
+    from the same level planes at quadrant offsets).
     The inter Y mode is derived from the MV stack in native code.
     tile_row0/frame_mi_rows place this tile as one row of a taller
     frame (MV clamping is frame-relative)."""
@@ -190,6 +208,10 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
     modes = as32(modes, (gh, gw))
     mvs = as32(mvs, (gh, gw, 2))
     skips = as32(skips, (gh, gw))
+    if splits is not None:
+        splits = as32(splits, (gh, gw))
+        mvs16 = as32(mvs16, (gh, gw, 4, 2))
+        skips16 = as32(skips16, (gh, gw, 4))
     # level planes are SB-padded; mi dims are the true coded dims
     ylv = np.ascontiguousarray(np.asarray(ylv, np.int32))
     ulv = np.ascontiguousarray(np.asarray(ulv, np.int32))
@@ -235,7 +257,13 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
             ylv.ctypes.data_as(ctypes.c_void_p), ystride,
             ulv.ctypes.data_as(ctypes.c_void_p),
             vlv.ctypes.data_as(ctypes.c_void_p), cstride,
-            out.ctypes.data_as(ctypes.c_void_p), cap)
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+            splits.ctypes.data_as(ctypes.c_void_p)
+            if splits is not None else None,
+            mvs16.ctypes.data_as(ctypes.c_void_p)
+            if splits is not None else None,
+            skips16.ctypes.data_as(ctypes.c_void_p)
+            if splits is not None else None)
         if sz < 0:
             raise RuntimeError("tile buffer too small")
         return out[:sz].tobytes()
@@ -250,12 +278,15 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
                         tile_row0: int = 0,
                         frame_mi_rows: int = 0,
                         strip_skip: np.ndarray | None = None,
-                        lr=None) -> bytes:
+                        lr=None, angles: np.ndarray | None = None
+                        ) -> bytes:
     """Emit one spec tile for a fixed-32x32-grid intra frame.
 
     y_modes/uv_modes/skips: (gh, gw) int32 with gw = mi_cols//8.
-    ylv: (mi_rows*4, mi_cols*4) int32 quantized levels; ulv/vlv at
-    half resolution.  mi dims must be multiples of 16 (SB-padded).
+    angles: (gh, gw) int32 luma angle_delta per block (None = all 0;
+    only read for directional y modes).  ylv: (mi_rows*4, mi_cols*4)
+    int32 quantized levels; ulv/vlv at half resolution.  mi dims must
+    be multiples of 16 (SB-padded).
     """
     lib = _lib()
     gh, gw = (mi_rows + 7) // 8, (mi_cols + 7) // 8
@@ -268,6 +299,7 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
     y_modes = as32(y_modes, (gh, gw))
     uv_modes = as32(uv_modes, (gh, gw))
     skips = as32(skips, (gh, gw))
+    angles = as32(angles, (gh, gw)) if angles is not None else None
     ylv = np.ascontiguousarray(np.asarray(ylv, np.int32))
     ulv = np.ascontiguousarray(np.asarray(ulv, np.int32))
     vlv = np.ascontiguousarray(np.asarray(vlv, np.int32))
@@ -306,6 +338,8 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
         sz = lib.stw_encode_intra32(
             w, y_modes.ctypes.data_as(ctypes.c_void_p),
             uv_modes.ctypes.data_as(ctypes.c_void_p),
+            angles.ctypes.data_as(ctypes.c_void_p)
+            if angles is not None else None,
             skips.ctypes.data_as(ctypes.c_void_p),
             sstrip.ctypes.data_as(ctypes.c_void_p)
             if sstrip is not None else None,

@@ -38,9 +38,10 @@ def test_device_gop_10bit_bitexact_in_libaom():
         jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]),
         jnp.asarray(frames[0][2]), jnp.int32(Q),
         nbr=SZ // 32, nbc=SZ // 32, bit_depth=10)
-    got = jax.device_get(out[3:9])
+    got = jax.device_get(out[3:10])
     tile = native.encode_intra32_tile(Q, mi, mi, got[3], got[4], got[5],
-                                      got[0], got[1], got[2])
+                                      got[0], got[1], got[2],
+                                      angles=got[6])
     hdr = W.write_key_frame_header(SZ, SZ, Q)
     hdr.byte_align()
     tus = [obu_mod.temporal_delimiter() +
@@ -53,11 +54,15 @@ def test_device_gop_10bit_bitexact_in_libaom():
             jnp.asarray(frames[i][0]), jnp.asarray(frames[i][1]),
             jnp.asarray(frames[i][2]), ref[0], ref[1], ref[2], Q, 10)
         mv8, skip, ylv, ulv, vlv = jax.device_get(out[0:5])
+        spl, mv16, sk16 = jax.device_get(out[11:14])
         g = SZ // 32
         tile = native.encode_inter32_tile(
             Q, mi, mi, np.ones((g, g), np.int32),
             np.asarray(mv8).reshape(g, g, 2),
-            np.asarray(skip).reshape(g, g), ylv, ulv, vlv)
+            np.asarray(skip).reshape(g, g), ylv, ulv, vlv,
+            splits=np.asarray(spl).reshape(g, g),
+            mvs16=np.asarray(mv16).reshape(g, g, 4, 2),
+            skips16=np.asarray(sk16).reshape(g, g, 4))
         ih = W.write_inter_frame_header(SZ, SZ, Q, order_hint=i)
         ih.byte_align()
         tus.append(obu_mod.temporal_delimiter() + obu_mod.make_obu(

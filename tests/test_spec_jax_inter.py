@@ -29,10 +29,13 @@ def _gop(size, nframes, qindex, seed=5, motion=(3, 5)):
     tus, recons = [tu], [tuple(np.asarray(p) for p in rec_kf)]
     ref = tuple(jnp.asarray(np.asarray(p, np.int32)) for p in rec_kf)
     for i in range(1, nframes):
-        (modes, mvs, skips, ylv, ulv, vlv), rec_dev = \
+        (modes, mvs, skips, ylv, ulv, vlv, split3), rec_dev = \
             jax_inter.encode_interframe_device(*frames[i], ref, qindex)
         tile = native.encode_inter32_tile(qindex, size // 4, size // 4,
-                                          modes, mvs, skips, ylv, ulv, vlv)
+                                          modes, mvs, skips, ylv, ulv,
+                                          vlv, splits=split3[0],
+                                          mvs16=split3[1],
+                                          skips16=split3[2])
         tus.append(W.assemble_interframe(size, size, qindex, tile,
                                          order_hint=i & 127))
         recons.append(tuple(np.asarray(p) for p in rec_dev))
@@ -76,10 +79,10 @@ def test_device_gop_true_dims_overhang():
         jnp.asarray(pad(y, PH, PW)), jnp.asarray(pad(u, PH // 2, PW // 2)),
         jnp.asarray(pad(v, PH // 2, PW // 2)), jnp.int32(80),
         nbr=PH // 32, nbc=PW // 32, bit_depth=8, th=TH, tw=TW)
-    got = jax.device_get(out[3:9])
+    got = jax.device_get(out[3:10])
     tile = native.encode_intra32_tile(80, mi_cols, mi_rows, got[3],
                                       got[4], got[5], got[0], got[1],
-                                      got[2])
+                                      got[2], angles=got[6])
     hdr = W.write_key_frame_header(TW, TH, 80)
     hdr.byte_align()
     tus.append(obu_mod.temporal_delimiter() +
@@ -96,11 +99,15 @@ def test_device_gop_true_dims_overhang():
             jnp.asarray(pad(v, PH // 2, PW // 2)),
             ref[0], ref[1], ref[2], 80, 8, th=TH, tw=TW)
         mv8, skip, ylv, ulv, vlv = jax.device_get(out[0:5])
+        spl, mv16, sk16 = jax.device_get(out[11:14])
         gh, gw = PH // 32, PW // 32
         tile = native.encode_inter32_tile(
             80, mi_cols, mi_rows, np.ones((gh, gw), np.int32),
             np.asarray(mv8).reshape(gh, gw, 2),
-            np.asarray(skip).reshape(gh, gw), ylv, ulv, vlv)
+            np.asarray(skip).reshape(gh, gw), ylv, ulv, vlv,
+            splits=np.asarray(spl).reshape(gh, gw),
+            mvs16=np.asarray(mv16).reshape(gh, gw, 4, 2),
+            skips16=np.asarray(sk16).reshape(gh, gw, 4))
         ih = W.write_inter_frame_header(TW, TH, 80, order_hint=i)
         ih.byte_align()
         tus.append(obu_mod.temporal_delimiter() + obu_mod.make_obu(
