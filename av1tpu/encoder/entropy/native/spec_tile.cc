@@ -136,7 +136,7 @@ inline int base_eob_ctx(int si, int cw, int ch) {
 }
 
 // levels buffer: (ch+4) x (cw+4), row stride cw+4 (padded below/right)
-inline int base_ctx_2d(const int32_t *lv, int stride, int rr, int cc) {
+inline int base_ctx_2d(const uint8_t *lv, int stride, int rr, int cc) {
   int mag = imin(lv[rr * stride + cc + 1], 3) +
             imin(lv[(rr + 1) * stride + cc], 3) +
             imin(lv[(rr + 1) * stride + cc + 1], 3) +
@@ -149,7 +149,7 @@ inline int base_ctx_2d(const int32_t *lv, int stride, int rr, int cc) {
   return ctx + 21;
 }
 
-inline int br_ctx_2d(const int32_t *lv, int stride, int rr, int cc) {
+inline int br_ctx_2d(const uint8_t *lv, int stride, int rr, int cc) {
   int mag = imin(lv[rr * stride + cc + 1], 15) +
             imin(lv[(rr + 1) * stride + cc], 15) +
             imin(lv[(rr + 1) * stride + cc + 1], 15);
@@ -250,11 +250,15 @@ struct SpecTileWriter {
   std::vector<int32_t> lr_choice;
   std::vector<int32_t> lr_taps;
   int lr_ref[2][3] = {{3, -7, 15}, {3, -7, 15}};
-  // scans
+  // scans (+ inverse: raster position -> scan index, for the linear
+  // eob sweep — ~900 random gathers per 32x32 txb replaced by one
+  // sequential pass)
   std::vector<int> scan32_r, scan32_c, scan16_r, scan16_c;
   std::vector<int> scan8_r, scan8_c;
-  // per-txb scratch (hoisted: a fresh vector per txb dominated profile)
-  std::vector<int32_t> lvl_scratch;
+  std::vector<int> inv32, inv16, inv8;
+  // per-txb scratch (hoisted: a fresh vector per txb dominated
+  // profile; uint8 keeps the 36x36 halo inside one L1 page)
+  std::vector<uint8_t> lvl_scratch;
 
   uint16_t *tbl(TableId id, int idx) { return &tables[id][idx]; }
 };
@@ -614,11 +618,24 @@ void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
       (cw == 32) ? w->scan32_c : (cw == 16 ? w->scan16_c : w->scan8_c);
   int n = cw * ch;
   int eob = 0;
-  for (int si = n - 1; si >= 0; --si)
-    if (vals[sr[si] * stride + sc[si]] != 0) {
-      eob = si + 1;
-      break;
+  if (cw == ch) {
+    // linear sweep + inverse scan: sequential loads instead of up to
+    // n random gathers (identical eob by construction)
+    const std::vector<int> &inv =
+        (cw == 32) ? w->inv32 : (cw == 16 ? w->inv16 : w->inv8);
+    for (int rr = 0; rr < ch; ++rr) {
+      const int32_t *row = vals + (size_t)rr * stride;
+      const int *irow = inv.data() + rr * cw;
+      for (int cc = 0; cc < cw; ++cc)
+        if (row[cc] != 0 && irow[cc] >= eob) eob = irow[cc] + 1;
     }
+  } else {
+    for (int si = n - 1; si >= 0; --si)
+      if (vals[sr[si] * stride + sc[si]] != 0) {
+        eob = si + 1;
+        break;
+      }
+  }
   if (eob == 0) {
     sym(w, 1, txb_skip_cdf(w, txs, ctx_skip), 2);
     set_coef_ctx(w, plane, x, y, tw, th, 0, 0, ssx, ssy);
@@ -660,8 +677,8 @@ void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
   int lstride = cw + 4;
   size_t lsize = (size_t)(ch + 4) * lstride;
   if (w->lvl_scratch.size() < lsize) w->lvl_scratch.resize(lsize);
-  std::vector<int32_t> &levels = w->lvl_scratch;
-  std::memset(levels.data(), 0, lsize * sizeof(int32_t));
+  std::vector<uint8_t> &levels = w->lvl_scratch;
+  std::memset(levels.data(), 0, lsize);
   for (int si = eob - 1; si >= 0; --si) {
     int rr = sr[si], cc = sc[si];
     int v = vals[rr * stride + cc];
@@ -1251,6 +1268,15 @@ SpecTileWriter *stw_create(int mi_cols, int mi_rows, int base_q_idx) {
   build_zigzag(32, 32, &w->scan32_r, &w->scan32_c);
   build_zigzag(16, 16, &w->scan16_r, &w->scan16_c);
   build_zigzag(8, 8, &w->scan8_r, &w->scan8_c);
+  auto invert = [](const std::vector<int> &sr, const std::vector<int> &sc,
+                   int cw, std::vector<int> *inv) {
+    inv->assign(sr.size(), -1);
+    for (size_t si = 0; si < sr.size(); ++si)
+      (*inv)[sr[si] * cw + sc[si]] = static_cast<int>(si);
+  };
+  invert(w->scan32_r, w->scan32_c, 32, &w->inv32);
+  invert(w->scan16_r, w->scan16_c, 16, &w->inv16);
+  invert(w->scan8_r, w->scan8_c, 8, &w->inv8);
   return w;
 }
 
@@ -1478,6 +1504,51 @@ int64_t stw_encode_inter32(SpecTileWriter *w, const int32_t *modes,
   ec_enc_destroy(w->enc);
   w->enc = nullptr;
   return sz;
+}
+
+// Scatter the device's sparse level transfer (MSB-first bitmask +
+// packed int16 values in position order — spec_engine._pack_outputs)
+// into a dense int32 plane buffer.  Replaces numpy's
+// unpackbits→astype→fancy-index chain (~9 ms/frame at 1080p, three
+// 8x-expanded temporaries) with one pass that skips zero 64-bit mask
+// words.  `out` must hold `nbits` int32s; trailing pad bits of the
+// final partial byte are guaranteed zero by packbits.
+// `pre_zeroed`: caller allocated `out` with calloc-fresh pages (numpy
+// np.zeros) — skip the 4*nbits memset; only pages holding nonzeros
+// fault in.
+void stw_densify(const uint8_t *maskbytes, int64_t nbits,
+                 const int16_t *vals, int32_t *out, int pre_zeroed) {
+  if (!pre_zeroed) std::memset(out, 0, (size_t)nbits * sizeof(int32_t));
+  int64_t nbytes = (nbits + 7) / 8;
+  int64_t full = nbits / 8;  // bytes whose 8 bits are all in-range
+  int64_t vi = 0;
+  int64_t i = 0;
+  for (; i + 8 <= full; i += 8) {
+    uint64_t w8;
+    std::memcpy(&w8, maskbytes + i, 8);
+    if (w8 == 0) continue;
+    for (int b = 0; b < 8; ++b) {
+      uint32_t byte = maskbytes[i + b];
+      if (!byte) continue;
+      int64_t base = (i + b) * 8;
+      do {
+        int bit = __builtin_clz(byte << 24);  // MSB-first within byte
+        out[base + bit] = vals[vi++];
+        byte &= ~(0x80000000u >> (bit + 24));
+      } while (byte);
+    }
+  }
+  for (; i < nbytes; ++i) {
+    uint32_t byte = maskbytes[i];
+    if (!byte) continue;
+    int64_t base = i * 8;
+    do {
+      int bit = __builtin_clz(byte << 24);
+      int64_t pos = base + bit;
+      if (pos < nbits) out[pos] = vals[vi++];
+      byte &= ~(0x80000000u >> (bit + 24));
+    } while (byte);
+  }
 }
 
 }  // extern "C"

@@ -145,9 +145,7 @@ def _unpack_levels(maskbytes, vals, count, shapes):
     total = sum(h * w for h, w in shapes)
     if int(count) > vals.shape[0]:
         return None
-    mask = np.unpackbits(np.asarray(maskbytes))[:total].astype(bool)
-    flat = np.zeros(total, np.int32)
-    flat[mask] = np.asarray(vals, np.int32)[:int(count)]
+    flat = native.densify(np.asarray(maskbytes), np.asarray(vals), total)
     out = []
     off = 0
     for hh, ww in shapes:
@@ -526,12 +524,10 @@ class SpecTpuEngine(TpuEngine):
         ntot = ph * pw + 2 * (ph // 2) * (pw // 2)
         trl2, spans, _ = _tile_plan(th)
         maskbytes, vals, count, grids = _jax.device_get(pk)
-        mask = np.unpackbits(np.asarray(maskbytes))[:k * ntot]
         overflow = int(count) > vals.shape[0]
         if not overflow:
-            flat = np.zeros(k * ntot, np.int32)
-            flat[mask.astype(bool)] = \
-                np.asarray(vals, np.int32)[:int(count)]
+            flat = native.densify(np.asarray(maskbytes),
+                                  np.asarray(vals), k * ntot)
         strip = (th % 32) == 16
         nsc = 2 * gw
         grids = np.asarray(grids)

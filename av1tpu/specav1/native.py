@@ -65,8 +65,30 @@ def _lib() -> ctypes.CDLL:
                                    ctypes.c_int, ctypes.c_int,
                                    ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_int]
+        lib.stw_densify.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int]
         _configured = True
     return lib
+
+
+def densify(maskbytes: np.ndarray, vals: np.ndarray,
+            nbits: int) -> np.ndarray:
+    """Scatter the sparse level transfer (spec_engine._pack_outputs
+    wire format: MSB-first bitmask bytes + int16 values in position
+    order) into a dense int32 flat array of length `nbits`."""
+    lib = _lib()
+    mb = np.ascontiguousarray(maskbytes, np.uint8)
+    vv = np.ascontiguousarray(vals, np.int16)
+    # np.empty + C-side memset: measured faster than np.zeros' lazily
+    # zeroed pages (page-fault cost exceeds a streaming memset here)
+    out = np.empty(nbits, np.int32)
+    lib.stw_densify(mb.ctypes.data_as(ctypes.c_void_p),
+                    ctypes.c_int64(nbits),
+                    vv.ctypes.data_as(ctypes.c_void_p),
+                    out.ctypes.data_as(ctypes.c_void_p),
+                    ctypes.c_int(0))
+    return out
 
 
 def _fc_tables(fc: FrameContext) -> list[tuple[int, np.ndarray]]:

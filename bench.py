@@ -87,12 +87,28 @@ def child_main() -> int:
     warm_done = threading.Event()
 
     def _warm_channel():
-        try:
-            import jax
-            import jax.numpy as jnp
-            jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
-        except Exception as e:
-            _prog(stage="warm_error", error=repr(e))
+        # The claim of a pool chip can block for minutes (shared-pool
+        # queue) or RAISE (e.g. a just-killed predecessor's session
+        # lock not yet released).  A raise must not end the attempt:
+        # retry inside the same process until the parent's budget says
+        # stop — re-execing re-enters the queue at the back.
+        while rem() > 15:
+            try:
+                import jax
+                import jax.numpy as jnp
+                jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
+                break
+            except Exception as e:
+                _prog(stage="warm_error", error=repr(e)[:200],
+                      t=round(time.monotonic() - t0, 1))
+                # a failed init is cached by xla_bridge — clear it or
+                # every retry re-raises instantly
+                try:
+                    import jax
+                    jax.extend.backend.clear_backends()
+                except Exception:
+                    pass
+                time.sleep(5.0)
         warm_done.set()
         _prog(stage="warm_ok", t=round(time.monotonic() - t0, 1))
 
@@ -224,9 +240,14 @@ def parent_main() -> int:
             warm_deadline = max(20.0, wd.rem() - 90.0)
         env = dict(os.environ)
         env["AV1TPU_BENCH_CHILD_BUDGET"] = str(max(30.0, wd.rem() - 10.0))
+        err_path = f"/tmp/av1tpu_bench_child{attempt}.err"
+        try:
+            err_f = open(err_path, "w")
+        except OSError:
+            err_f = subprocess.DEVNULL
         wd.child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child"],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            stdout=subprocess.PIPE, stderr=err_f,
             text=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         lines: queue.Queue = queue.Queue()
