@@ -81,6 +81,12 @@ class Decoder:
                 off += hdr.tile_size_bytes
                 tile_data = data[off:off + sz]
                 off += sz
+            if tn > tg_start:
+                # spec 5.11.2 init_symbol: every tile starts from the
+                # frame-initial CDF state; carrying tile 1's adapted
+                # CDFs into tile 2 desyncs msac (caught by the fast
+                # full-HD multi-tile conformance test)
+                td.fc = FrameContext(hdr.base_q_idx)
             td.decode_tile(tile_data,
                            hdr.mi_row_starts[tr], hdr.mi_row_starts[tr + 1],
                            hdr.mi_col_starts[tc], hdr.mi_col_starts[tc + 1])
