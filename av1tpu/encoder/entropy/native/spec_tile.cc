@@ -1033,13 +1033,24 @@ inline int balance_ctx(int c0, int c1) {
 }
 
 void single_ref_ctxs_g(SpecTileWriter *w, int r, int c, int *p1, int *p3,
-                       int *p4) {
-  int last = 0;
-  if (r > 0 && w->mi_ref[(size_t)(r - 1) * w->mi_cols + c] == 1) ++last;
-  if (c > 0 && w->mi_ref[(size_t)r * w->mi_cols + c - 1] == 1) ++last;
-  *p1 = balance_ctx(last, 0);  // fwd vs bwd
-  *p3 = balance_ctx(last, 0);  // LAST+LAST2 vs LAST3+GOLDEN
-  *p4 = balance_ctx(last, 0);  // LAST vs LAST2
+                       int *p4, int *p5) {
+  // mirror of mvrefs.single_ref_ctxs / _neighbor_ref_counts: the
+  // above and left mi (tile-local r/c, so >0 IS the tile condition)
+  int n[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  if (r > 0) {
+    int ref = w->mi_ref[(size_t)(r - 1) * w->mi_cols + c];
+    if (ref > 0) ++n[ref];
+  }
+  if (c > 0) {
+    int ref = w->mi_ref[(size_t)r * w->mi_cols + c - 1];
+    if (ref > 0) ++n[ref];
+  }
+  int fwd = n[1] + n[2] + n[3] + n[4];
+  int bwd = n[5] + n[6] + n[7];
+  *p1 = balance_ctx(fwd, bwd);          // fwd vs bwd
+  *p3 = balance_ctx(n[1] + n[2], n[3] + n[4]);  // L+L2 vs L3+GOLDEN
+  *p4 = balance_ctx(n[1], n[2]);        // LAST vs LAST2
+  *p5 = balance_ctx(n[3], n[4]);        // LAST3 vs GOLDEN
 }
 
 // spec YMode ids continuing intra numbering (tile.py)
@@ -1124,13 +1135,20 @@ void write_skip_and_inter(SpecTileWriter *w, int r, int c, int skip,
 
 void write_block_inter_g(SpecTileWriter *w, int r, int c, int bsize,
                          int skip, int y_mode, int mvr, int mvc,
-                         const MvStack *s) {
+                         const MvStack *s, int ref = 1) {
   write_skip_and_inter(w, r, c, skip, 1);
-  int p1, p3, p4;
-  single_ref_ctxs_g(w, r, c, &p1, &p3, &p4);
+  int p1, p3, p4, p5;
+  single_ref_ctxs_g(w, r, c, &p1, &p3, &p4, &p5);
+  // single-reference tree (tile.py read_ref_frames mirror):
+  // b1=0 forward group; b3 selects {LAST,LAST2} vs {LAST3,GOLDEN};
+  // then b4 (LAST vs LAST2) or b5 (LAST3 vs GOLDEN)
+  int golden = ref == 4;
   sym(w, 0, w->tbl(TBL_SINGLE_REF, (p1 * 6 + 0) * 3), 2);
-  sym(w, 0, w->tbl(TBL_SINGLE_REF, (p3 * 6 + 2) * 3), 2);
-  sym(w, 0, w->tbl(TBL_SINGLE_REF, (p4 * 6 + 3) * 3), 2);
+  sym(w, golden, w->tbl(TBL_SINGLE_REF, (p3 * 6 + 2) * 3), 2);
+  if (golden)
+    sym(w, 1, w->tbl(TBL_SINGLE_REF, (p5 * 6 + 4) * 3), 2);
+  else
+    sym(w, 0, w->tbl(TBL_SINGLE_REF, (p4 * 6 + 3) * 3), 2);
   sym(w, y_mode != NEWMV ? 1 : 0, w->tbl(TBL_NEWMV, s->newmv_ctx * 3), 2);
   if (y_mode != NEWMV) {
     sym(w, y_mode != GLOBALMV ? 1 : 0,
@@ -1150,7 +1168,7 @@ void write_block_inter_g(SpecTileWriter *w, int r, int c, int bsize,
     s->refmv(0, &pr, &pc);
     write_mv(w, mvr - pr, mvc - pc);
   }
-  finish_block_common_g(w, r, c, bsize, skip, /*DC*/ 0, 1, mvr, mvc,
+  finish_block_common_g(w, r, c, bsize, skip, /*DC*/ 0, ref, mvr, mvc,
                         y_mode == NEWMV);
 }
 
@@ -1397,18 +1415,19 @@ static void encode_inter_unit(SpecTileWriter *w, int br, int bc,
                               int bsize, int is_inter, int skip,
                               int mvr, int mvc, const int32_t *ylv,
                               int ystride, const int32_t *ulv,
-                              const int32_t *vlv, int cstride) {
+                              const int32_t *vlv, int cstride,
+                              int ref = 1) {
   if (is_inter) {
     MvStack s;
     int b4 = kBlockSizes[bsize].w4;
-    find_mv_stack_g(w, br, bc, b4, b4, /*LAST*/ 1, &s);
+    find_mv_stack_g(w, br, bc, b4, b4, ref, &s);
     int pr, pc;
     s.refmv(0, &pr, &pc);
     int ym;
     if (mvr == pr && mvc == pc) ym = NEARESTMV;
     else if (mvr == 0 && mvc == 0) ym = GLOBALMV;
     else ym = NEWMV;
-    write_block_inter_g(w, br, bc, bsize, skip, ym, mvr, mvc, &s);
+    write_block_inter_g(w, br, bc, bsize, skip, ym, mvr, mvc, &s, ref);
   } else {
     write_block_intra_if_g(w, br, bc, bsize, skip, /*DC*/ 0, /*DC*/ 0);
   }
@@ -1473,7 +1492,10 @@ int64_t stw_encode_inter32(SpecTileWriter *w, const int32_t *modes,
         }
         int gr = br / 8, gc = bc / 8;
         int gi = gr * gw + gc;
+        // modes[gi]: 0 = intra DC fallback, 1 = inter LAST,
+        // 4 = inter GOLDEN (spec ref ids; SPLIT quadrants inherit)
         int is_inter = modes[gi] != 0;
+        int ref = modes[gi] == 4 ? 4 : 1;
         if (splits && splits[gi] && is_inter) {
           // 32 -> four 16x16 quadrants (z-order), each its own MV
           write_partition(w, br, bc, BLOCK_32X32, PARTITION_SPLIT);
@@ -1486,7 +1508,7 @@ int64_t stw_encode_inter32(SpecTileWriter *w, const int32_t *modes,
                               skips16[gi * 4 + qi],
                               mvs16[(gi * 4 + qi) * 2],
                               mvs16[(gi * 4 + qi) * 2 + 1],
-                              ylv, ystride, ulv, vlv, cstride);
+                              ylv, ystride, ulv, vlv, cstride, ref);
             update_partition_ctx(w, qr, qc, BLOCK_16X16);
           }
           continue;
@@ -1494,7 +1516,7 @@ int64_t stw_encode_inter32(SpecTileWriter *w, const int32_t *modes,
         write_partition(w, br, bc, BLOCK_32X32, PARTITION_NONE);
         encode_inter_unit(w, br, bc, BLOCK_32X32, is_inter, skips[gi],
                           mvs[gi * 2], mvs[gi * 2 + 1], ylv, ystride,
-                          ulv, vlv, cstride);
+                          ulv, vlv, cstride, ref);
         update_partition_ctx(w, br, bc, BLOCK_32X32);
       }
     }
