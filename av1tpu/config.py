@@ -47,6 +47,13 @@ class TpuEncoderConfig:
     # filter pays for its syntax.  BASELINE config #4 names loop
     # restoration alongside CDEF.
     lr: bool = True
+    # per-block LAST/GOLDEN reference selection: slot 1 holds the GOP
+    # keyframe, and each 32-block (with its SPLIT quadrants) may code
+    # against it when that beats the previous frame by a rate-aware
+    # margin (occlusion reveals, flashes, grain accumulation).  The
+    # reference's av1_vaapi uses multi-reference prediction inside
+    # ffmpeg (internal/ffmpeg/transcode.go:119-123).
+    golden: bool = True
     lowres_decode: bool = False
     # startup self-test frame (VerifyFFmpeg analog is 1280x720;
     # binary.go:282-295). Smaller sizes cut first-compile cost on

@@ -172,6 +172,7 @@ class TpuEngine:
         self._ref_dev = None      # (y, u, v) uint8 recon planes ON DEVICE
         self._frame_idx = 0
         self._prev_thumb = None   # scene-cut detector state
+        self._golden_thumb = None  # GOP-keyframe thumb (golden-aware cut)
         _enable_compilation_cache()
 
     @property
@@ -188,6 +189,7 @@ class TpuEngine:
         self._golden_dev = None
         self._frame_idx = 0
         self._prev_thumb = None
+        self._golden_thumb = None
 
     # Speed ladder (the reference's `compression_level 2` analog,
     # transcode.go:119-123): lower = slower/better.
@@ -276,7 +278,15 @@ class TpuEngine:
         the pre-cut scene): coded as a NON-REFERENCE inter frame
         (refresh=0) so the following frame predicts from the pre-flash
         reference — replacing the two consecutive keyframes the plain
-        detector would emit (strobes, lightning, photo flashes)."""
+        detector would emit (strobes, lightning, photo flashes).
+
+        Golden-aware cuts: a cut whose content matches the GOP keyframe
+        (cut BACK to the scene the GOP opened on — strobes longer than
+        one frame, cross-cut dialogue, flash photography runs) codes as
+        a regular inter frame instead of a new key: the per-block
+        LAST/GOLDEN selection predicts it from the keyframe at P-frame
+        cost.  Only when the engine codes multi-reference streams
+        (spec engine with cfg.golden)."""
         keyint = max(1, self.cfg.keyint)
         thumb = frame.y[::16, ::16].astype(np.int32)
         prev = self._prev_thumb
@@ -296,7 +306,16 @@ class TpuEngine:
                 # frame is compared (and predicted) against it
                 return "flash"
         self._prev_thumb = thumb
-        return "key" if (forced or cut) else "inter"
+        if cut and not forced:
+            gt = self._golden_thumb
+            if (getattr(self, "_golden", False) and gt is not None
+                    and gt.shape == thumb.shape
+                    and np.abs(thumb - gt).mean() <= thr):
+                return "inter"
+        if forced or cut:
+            self._golden_thumb = thumb
+            return "key"
+        return "inter"
 
     def _submit(self, frame: Frame, qindex, force_key: bool = False,
                 is_key: Optional[bool] = None, refresh: bool = True):

@@ -86,12 +86,16 @@ def _encode_chunk_jit():
     @functools.partial(jax.jit,
                        static_argnames=("k", "ph", "pw", "bit_depth",
                                         "th", "tw", "cap", "deblock",
-                                        "qround", "cdef", "lr"))
+                                        "qround", "cdef", "lr",
+                                        "golden"))
     def go(packed, ry, ru, rv, qindexes, lfys, lfuvs, damps, k: int,
            ph: int, pw: int, bit_depth: int, th: int, tw: int, cap: int,
            deblock: bool = False, qround: float = 0.70,
-           cdef: bool = False, lr: bool = False):
+           cdef: bool = False, lr: bool = False, golden: bool = False,
+           gy=None, gu=None, gv=None):
         ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
+        gkw = (dict(golden=True, gld_y=gy, gld_u=gu, gld_v=gv)
+               if golden else {})
 
         def step(carry, xs):
             y, u, v, q, lfy, lfuv, damp = xs
@@ -99,15 +103,17 @@ def _encode_chunk_jit():
                                           th=th, tw=tw, lf_y=lfy,
                                           lf_uv=lfuv, deblock=deblock,
                                           qround=qround, cdef=cdef,
-                                          cdef_damping=damp, lr=lr)
+                                          cdef_damping=damp, lr=lr,
+                                          **gkw)
             return out[5:8], out[0:5] + (out[8], out[9], out[10],
-                                          out[11], out[12], out[13])
+                                          out[11], out[12], out[13],
+                                          out[14])
 
         carry, outs = jax.lax.scan(step, (ry, ru, rv),
                                    (ys, us, vs, qindexes, lfys, lfuvs,
                                     damps))
         (mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs, lrcs,
-         splits, mv16s, skip16s) = outs
+         splits, mv16s, skip16s, refsels) = outs
         # frame-major y|u|v flattening so per-frame slices are
         # byte-aligned contiguous runs on the host
         flat = jnp.concatenate([ylvs.reshape(k, -1),
@@ -122,7 +128,8 @@ def _encode_chunk_jit():
         grids = jnp.concatenate([mv8s.reshape(-1), skips.reshape(-1),
                                  strips.reshape(-1), cdefs.reshape(-1),
                                  lrcs.reshape(-1), splits.reshape(-1),
-                                 mv16s.reshape(-1), skip16s.reshape(-1)])
+                                 mv16s.reshape(-1), skip16s.reshape(-1),
+                                 refsels.reshape(-1)])
         return carry, (jnp.packbits(mask), vals, count,
                        grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)
 
@@ -270,6 +277,11 @@ class SpecTpuEngine(TpuEngine):
         self._qround = float(getattr(self.cfg, "qround", 0.70))
         self._cdef = bool(getattr(self.cfg, "cdef", True))
         self._lr = bool(getattr(self.cfg, "lr", True))
+        # per-block LAST/GOLDEN reference selection (slot 1 holds the
+        # GOP keyframe; see specav1.jax_inter golden docstring)
+        self._golden = bool(getattr(self.cfg, "golden", True))
+        self._golden_dev = None
+        self._golden_shard = None
 
     def _stripe_mesh(self, ph: int, th: int):
         """The ("stripe",) device mesh when multi-chip striping is on
@@ -312,6 +324,31 @@ class SpecTpuEngine(TpuEngine):
             r = r()
             self._ref_dev = r
         return r
+
+    def _resolve_golden(self, ph: int, mesh=None):
+        """The GOLDEN reference (GOP keyframe recon, slot 1) padded to
+        the working height; row-sharded once per GOP when striping
+        (golden is constant between keyframes, so the resharding
+        device_put never repeats inside a GOP).  None when the golden
+        tool is off."""
+        if not self._golden or self._golden_dev is None:
+            return None
+        import jax.numpy as jnp
+        g = self._golden_dev
+        if g[0].shape[0] != ph:
+            dpad = ph - g[0].shape[0]
+            g = (jnp.pad(g[0], ((0, dpad), (0, 0))),
+                 jnp.pad(g[1], ((0, dpad // 2), (0, 0))),
+                 jnp.pad(g[2], ((0, dpad // 2), (0, 0))))
+            self._golden_dev = g
+        if mesh is not None:
+            if (self._golden_shard is None
+                    or self._golden_shard[0].shape[0] != ph):
+                from av1tpu.specav1 import jax_sharded
+                self._golden_shard = tuple(
+                    jax_sharded.shard_rows(mesh, p) for p in g)
+            return self._golden_shard
+        return g
 
     def _chunk_cap(self, width: int, height: int,
                    bit_depth: int) -> int:
@@ -373,6 +410,7 @@ class SpecTpuEngine(TpuEngine):
                 cdef_damping=jnp.int32(damp or 4), lr=self._lr)
             self._ref_dev = out[0:3]
             self._golden_dev = out[0:3]
+            self._golden_shard = None
             grids = jnp.concatenate([out[6].reshape(-1),
                                      out[7].reshape(-1),
                                      out[8].reshape(-1),
@@ -382,7 +420,8 @@ class SpecTpuEngine(TpuEngine):
                                      out[12].reshape(-1)])
             pk = _pack_outputs(out[3], out[4], out[5], grids, cap)
             return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
-                    refresh, out, pk, cap, lfy, lfuv, damp, self._lr)
+                    refresh, out, pk, cap, lfy, lfuv, damp, self._lr,
+                    self._golden)
         refs = self._resolve_refs()
         mesh = self._stripe_mesh(ph, th)
         if mesh is not None:
@@ -409,23 +448,31 @@ class SpecTpuEngine(TpuEngine):
                 refs = (jnp.pad(refs[0], ((0, dpad), (0, 0))),
                         jnp.pad(refs[1], ((0, dpad // 2), (0, 0))),
                         jnp.pad(refs[2], ((0, dpad // 2), (0, 0))))
+            gld = self._resolve_golden(ph_s, mesh)
             out = jax_sharded.encode_inter_sharded(
                 mesh, ys, us, vs, refs[0], refs[1], refs[2], qindex,
                 bit_depth=bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
                 lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
                 qround=self._qround, cdef=self._cdef,
-                cdef_damping=jnp.int32(damp or 4), lr=self._lr)
+                cdef_damping=jnp.int32(damp or 4), lr=self._lr,
+                golden=gld is not None,
+                gld_y=gld[0] if gld else None,
+                gld_u=gld[1] if gld else None,
+                gld_v=gld[2] if gld else None)
             # recon/levels beyond the coded padded height are garbage
             # rows of the stripe pad; the ref slots keep them (cropped
             # at true dims by the next frame's prep_ref)
             ph = ph_s
         else:
+            gld = self._resolve_golden(ph)
+            gkw = (dict(golden=True, gld_y=gld[0], gld_u=gld[1],
+                        gld_v=gld[2]) if gld is not None else {})
             out = jax_inter._encode_frame(
                 yj, uj, vj, refs[0], refs[1], refs[2],
                 qindex, bd, th=th, tw=tw, lf_y=jnp.int32(lfy),
                 lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
                 qround=self._qround, cdef=self._cdef,
-                cdef_damping=jnp.int32(damp or 4), lr=self._lr)
+                cdef_damping=jnp.int32(damp or 4), lr=self._lr, **gkw)
         if refresh:
             self._ref_dev = out[5:8]
         grids = jnp.concatenate([out[0].reshape(-1),
@@ -435,10 +482,12 @@ class SpecTpuEngine(TpuEngine):
                                  out[10].reshape(-1),
                                  out[11].reshape(-1),
                                  out[12].reshape(-1),
-                                 out[13].reshape(-1)])
+                                 out[13].reshape(-1),
+                                 out[14].reshape(-1)])
         pk = _pack_outputs(out[2], out[3], out[4], grids, cap)
         return ("inter", qindex, w, h, th, tw, ph, pw, bd, oh,
-                refresh, out, pk, cap, lfy, lfuv, damp, self._lr)
+                refresh, out, pk, cap, lfy, lfuv, damp, self._lr,
+                self._golden)
 
     def _submit_chunk(self, frames, qindexes):
         """Upload + dispatch run on an ordered worker thread: the 25MB
@@ -473,6 +522,10 @@ class SpecTpuEngine(TpuEngine):
         total = ph * pw + 2 * (ph // 2) * (pw // 2)
         cap = k * (total // SPARSE_CAP_FRACTION)
         ref_prev = self._ref_dev
+        # golden resolves on the submit thread (the keyframe that owns
+        # it was submitted synchronously before this chunk; resolving
+        # inside the worker could race a NEXT GOP's keyframe update)
+        gld = self._resolve_golden(ph, mesh)
         qi = list(qindexes)
 
         dbl = self._gop_deblock
@@ -499,7 +552,11 @@ class SpecTpuEngine(TpuEngine):
                     jnp.asarray([d or 4 for d in damps], jnp.int32))
             kw = dict(k=k, ph=ph, pw=pw, bit_depth=bd, th=th, tw=tw,
                       cap=cap, deblock=dbl, qround=self._qround,
-                      cdef=use_cdef, lr=use_lr)
+                      cdef=use_cdef, lr=use_lr,
+                      golden=gld is not None,
+                      gy=gld[0] if gld else None,
+                      gu=gld[1] if gld else None,
+                      gv=gld[2] if gld else None)
             if mesh is not None:
                 from av1tpu.specav1 import jax_sharded as _js
                 return _js.encode_chunk_sharded(mesh, *args, **kw)
@@ -508,13 +565,13 @@ class SpecTpuEngine(TpuEngine):
         fut = self._dispatch_pool().submit(worker)
         self._ref_dev = lambda: fut.result()[0]
         return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut, lf, damps,
-                use_lr)
+                use_lr, self._golden)
 
     @staticmethod
     def _finalize_chunk(pending) -> list:
         import jax as _jax
         (qindexes, w, h, th, tw, ph, pw, bd, ohs, k, fut, lfs,
-         damps, lr_on) = pending
+         damps, lr_on, golden_on) = pending
         _, pk, full = fut.result()
         rs = (w, h) if (tw, th) != (w, h) else None
         mi_cols, mi_rows = 2 * ((tw + 7) >> 3), 2 * ((th + 7) >> 3)
@@ -545,8 +602,9 @@ class SpecTpuEngine(TpuEngine):
         mv16ss = grids[p0 + k * B:p0 + k * 9 * B].reshape(k, B, 4, 2)
         skip16ss = grids[p0 + k * 9 * B:
                          p0 + k * 13 * B].reshape(k, B, 4)
+        refselss = grids[p0 + k * 13 * B:
+                         p0 + k * 14 * B].reshape(k, B)
         lr_taps = _lr_taps() if lr_on else None
-        modes = np.ones((gh_t, gw_t), np.int32)
 
         def one(i):
             if overflow:
@@ -559,6 +617,8 @@ class SpecTpuEngine(TpuEngine):
                     .reshape(ph // 2, pw // 2)
                 vlv = fl[ph * pw + (ph // 2) * (pw // 2):] \
                     .reshape(ph // 2, pw // 2)
+            modes = (1 + 3 * refselss[i].reshape(gh, gw)[:gh_t, :gw_t]
+                     ).astype(np.int32)
             tiles = native.encode_tile_rows(
                 "inter", qindexes[i], mi_cols, mi_rows, spans,
                 (modes, mv8s[i].reshape(gh, gw, 2)[:gh_t, :gw_t],
@@ -575,6 +635,8 @@ class SpecTpuEngine(TpuEngine):
                 ch = (damps[i],) + tuple(int(x) for x in cdefss[i])
             hdr = W.write_inter_frame_header(
                 tw, th, qindexes[i], order_hint=ohs[i],
+                ref_slots=(0, 0, 0, 1, 0, 0, 0) if golden_on
+                else (0,) * 7,
                 render_size=rs, tile_rows_log2=trl2,
                 lf_level=lfs[i][0], lf_level_uv=lfs[i][1], cdef=ch,
                 lr_types=(1, 0, 0) if lr_on else None)
@@ -593,7 +655,7 @@ class SpecTpuEngine(TpuEngine):
     def _finalize(pending) -> tuple[bytes, bool]:
         import jax as _jax
         (kind, qindex, w, h, th, tw, ph, pw, bd, oh, refresh, out,
-         pk, cap, lfy, lfuv, cdamp, lr_on) = pending
+         pk, cap, lfy, lfuv, cdamp, lr_on, golden_on) = pending
         # true dims: headers carry (tw, th); render_size only for the
         # padded fallback where the coded frame exceeds the display area
         rs = (w, h) if (tw, th) != (w, h) else None
@@ -678,7 +740,9 @@ class SpecTpuEngine(TpuEngine):
         splits = grids[tail:tail + B].reshape(gh, gw)
         mvs16 = grids[tail + B:tail + 9 * B].reshape(gh, gw, 4, 2)
         skips16 = grids[tail + 9 * B:tail + 13 * B].reshape(gh, gw, 4)
-        modes = np.ones((gh_t, gw_t), np.int32)
+        refsel = grids[tail + 13 * B:tail + 14 * B].reshape(gh, gw)
+        # inter mode grid: 1 = inter/LAST, 4 = inter/GOLDEN (slot 1)
+        modes = (1 + 3 * refsel[:gh_t, :gw_t]).astype(np.int32)
         tiles = native.encode_tile_rows(
             "inter", qindex, mi_cols, mi_rows, spans,
             (modes, np.asarray(mv8).reshape(gh, gw, 2)[:gh_t, :gw_t],
@@ -689,6 +753,7 @@ class SpecTpuEngine(TpuEngine):
         hdr = W.write_inter_frame_header(
             tw, th, qindex, order_hint=oh,
             refresh_frame_flags=0x01 if refresh else 0x00,
+            ref_slots=(0, 0, 0, 1, 0, 0, 0) if golden_on else (0,) * 7,
             render_size=rs, tile_rows_log2=trl2,
             lf_level=lfy, lf_level_uv=lfuv, cdef=cdef_hdr, **lr_kw)
         hdr.byte_align()
@@ -769,13 +834,17 @@ class SpecTpuEngine(TpuEngine):
             _jax.device_get(
                 _pack_outputs(kout[3], kout[4], kout[5], gk, cap))
 
+        gkw = (dict(golden=True, gld_y=ry, gld_u=ru, gld_v=rv)
+               if self._golden else {})
+
         def warm_inter():
             iout = jax_inter._encode_frame(y, u, v, ry, ru, rv, 96,
                                            bit_depth, th=th, tw=tw,
                                            lf_y=jnp.int32(0),
                                            lf_uv=jnp.int32(0),
                                            qround=self._qround,
-                                           cdef=self._cdef, lr=self._lr)
+                                           cdef=self._cdef, lr=self._lr,
+                                           **gkw)
             gi = jnp.concatenate([iout[0].reshape(-1),
                                   iout[1].reshape(-1),
                                   iout[8].reshape(-1),
@@ -793,8 +862,12 @@ class SpecTpuEngine(TpuEngine):
                           jnp.full((k,), 4, jnp.int32), k=k, ph=ph,
                           pw=pw, bit_depth=bit_depth, th=th, tw=tw,
                           cap=k * cap, qround=self._qround,
-                          cdef=self._cdef,
-                          lr=self._lr)[1][0].block_until_ready()
+                          cdef=self._cdef, lr=self._lr,
+                          golden=self._golden,
+                          gy=ry if self._golden else None,
+                          gu=ru if self._golden else None,
+                          gv=rv if self._golden else None,
+                          )[1][0].block_until_ready()
 
         jobs = [warm_intra, warm_inter] + ([warm_chunk] if k > 1 else [])
 

@@ -76,20 +76,69 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
     return jax.vmap(one)(pos, mvs)
 
 
+@functools.partial(jax.jit, static_argnames=("size", "ss", "bit_depth"))
+def _mc_blocks2(refs_pad, pos, mvs, ri, size: int, ss: int,
+                bit_depth: int):
+    """Spec MC with a per-block reference index.
+
+    refs_pad: (2, H+2p, W+2p) stacked padded planes (LAST, GOLDEN);
+    ri: (B,) int32 selecting the plane each block predicts from.
+    Otherwise identical to _mc_blocks.
+    """
+    pad = PAD >> ss
+    r0, r1 = _rounds(bit_depth)
+    filt = jnp.asarray(inter_recon.SUBPEL_REGULAR, jnp.int32)
+
+    def one(p, mv, r):
+        sy16 = (p[0] << 4) + (mv[0] << (1 - ss))
+        sx16 = (p[1] << 4) + (mv[1] << (1 - ss))
+        fy = filt[sy16 & 15]
+        fx = filt[sx16 & 15]
+        iy = (sy16 >> 4) - 3 + pad
+        ix = (sx16 >> 4) - 3 + pad
+        win = jax.lax.dynamic_slice(
+            refs_pad, (r, iy, ix),
+            (1, size + 7, size + 7))[0].astype(jnp.int32)
+        h = jnp.zeros((size + 7, size), jnp.int32)
+        for t in range(8):
+            h = h + fx[t] * jax.lax.dynamic_slice_in_dim(win, t, size, 1)
+        h = (h + (1 << (r0 - 1))) >> r0
+        v = jnp.zeros((size, size), jnp.int32)
+        for t in range(8):
+            v = v + fy[t] * jax.lax.dynamic_slice_in_dim(h, t, size, 0)
+        v = (v + (1 << (r1 - 1))) >> r1
+        return jnp.clip(v, 0, (1 << bit_depth) - 1)
+
+    return jax.vmap(one)(pos, mvs, ri)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("bit_depth", "refine", "th", "tw",
                                     "stripe", "deblock", "qround",
-                                    "cdef", "lr", "local_ref", "split16"))
+                                    "cdef", "lr", "local_ref", "split16",
+                                    "golden"))
 def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                   bit_depth: int, refine: bool = True,
                   th: int = 0, tw: int = 0, stripe: bool = False,
                   row0=0, lf_y=0, lf_uv=0, deblock: bool = False,
                   qround: float = 0.70, cdef: bool = False,
                   cdef_damping=4, lr: bool = False,
-                  local_ref: bool = False, split16: bool = True):
+                  local_ref: bool = False, split16: bool = True,
+                  golden: bool = False, gld_y=None, gld_u=None,
+                  gld_v=None):
     """Returns (mvs (B,2) 1/8-pel, skips (B,), lv_y, lv_u, lv_v planes,
     rec_y, rec_u, rec_v, strip_skip, cdefs, lr_choice, split (B,),
-    mv16 (B,4,2), skip16 (B,4)) for the SB-padded frame.
+    mv16 (B,4,2), skip16 (B,4), refsel (B,)) for the SB-padded frame.
+
+    golden: per-32-block RD selection between the LAST reference
+    (ref_*, the previous reconstruction) and the GOLDEN reference
+    (gld_*, the GOP keyframe held in slot 1).  Both references get a
+    full-pel search; the full-pel SSDs pick the block's reference (a
+    rate-aware margin keeps LAST unless GOLDEN clearly wins), then
+    quarter-pel refinement and MC read the selected plane per block.
+    SPLIT quadrants inherit the parent's reference (the native walker
+    codes one single_ref tree per 32 grid cell).  refsel is 0 = LAST,
+    1 = GOLDEN; without golden it is all zeros.
 
     split16: per-32-block RD decision between one 32x32 MV and a
     PARTITION_SPLIT into four 16x16 blocks with their own MVs (spec
@@ -142,6 +191,9 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     blocks = src_y.reshape(gh, n, gw, n).transpose(0, 2, 1, 3)
     blocks = blocks.reshape(B, n, n)
 
+    dcq = jnp.asarray(recon.DC_Q[bit_depth], jnp.int32)[qindex]
+    acq = jnp.asarray(recon.AC_Q[bit_depth], jnp.int32)[qindex]
+
     if stripe and not local_ref:
         # full-pel search sees the stripe-aligned reference window
         ref_search = jax.lax.dynamic_slice(
@@ -150,7 +202,46 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         ref_search = ref_pad_y
     mv_fp = motion.search_v3(src_y, ref_search, n)
     mv_fp = jnp.clip(mv_fp, -_MAX_FP, _MAX_FP)
+    if golden:
+        if stripe and not local_ref:
+            raise ValueError("golden striping requires local_ref "
+                             "halo windows")
+        if local_ref:
+            gld_pad_y, gld_pad_u, gld_pad_v = gld_y, gld_u, gld_v
+        else:
+            gld_pad_y = prep_ref(gld_y, th, tw, PAD)
+            gld_pad_u = prep_ref(gld_u, th // 2, tw // 2, PAD // 2)
+            gld_pad_v = prep_ref(gld_v, th // 2, tw // 2, PAD // 2)
+        mv_fp_g = jnp.clip(motion.search_v3(src_y, gld_pad_y, n),
+                           -_MAX_FP, _MAX_FP)
+
+        def fp_ssd(rp, mvfp, pos_, blocks_, nloc):
+            g = motion.gather_blocks(rp, pos_, mvfp,
+                                     nloc).astype(jnp.int32)
+            return ((blocks_ - g) ** 2).sum(axis=(1, 2)).astype(
+                jnp.int64)
+
+        ssd_l = fp_ssd(ref_pad_y, mv_fp, pos, blocks, n)
+        ssd_g = fp_ssd(gld_pad_y, mv_fp_g, pos, blocks, n)
+        # rate-aware margin: GOLDEN costs the single_ref b3 flip and a
+        # typically larger MV residual — require a ~6% distortion win
+        # plus ~2 bits at the frame lambda before switching
+        lam_g = (acq.astype(jnp.int64) * acq.astype(jnp.int64)) >> 7
+        use_g = (ssd_g + ssd_g // 16 + 2 * lam_g) < ssd_l
+        refsel = use_g.astype(jnp.int32)
+        mv_fp = jnp.where(use_g[:, None], mv_fp_g, mv_fp)
+        refs3_y = jnp.stack([ref_pad_y, gld_pad_y])
+        refs3_u = jnp.stack([ref_pad_u, gld_pad_u])
+        refs3_v = jnp.stack([ref_pad_v, gld_pad_v])
+    else:
+        refsel = jnp.zeros((B,), jnp.int32)
     mv8 = mv_fp * 8
+
+    def mc_y32(mvc):
+        if golden:
+            return _mc_blocks2(refs3_y, pos, mvc, refsel, n, 0,
+                               bit_depth)
+        return _mc_blocks(ref_pad_y, pos, mvc, n, 0, bit_depth)
 
     if refine:
         # quarter-pel refinement: evaluate the 3x3 even-1/8 offsets
@@ -160,7 +251,7 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         preds = []
         for dr, dc in cands:
             mvc = mv8 + jnp.asarray([dr, dc], jnp.int32)[None]
-            p = _mc_blocks(ref_pad_y, pos, mvc, n, 0, bit_depth)
+            p = mc_y32(mvc)
             preds.append(p)
             costs.append(((blocks - p) ** 2).sum(axis=(1, 2)))
         costs = jnp.stack(costs)               # (9, B)
@@ -169,15 +260,19 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         mv8 = mv8 + offs[pidx]
         pred_y = jnp.stack(preds, 0)[pidx, jnp.arange(B)]
     else:
-        pred_y = _mc_blocks(ref_pad_y, pos, mv8, n, 0, bit_depth)
+        pred_y = mc_y32(mv8)
 
-    pred_u = _mc_blocks(ref_pad_u, cpos, mv8, n // 2, 1, bit_depth)
-    pred_v = _mc_blocks(ref_pad_v, cpos, mv8, n // 2, 1, bit_depth)
+    if golden:
+        pred_u = _mc_blocks2(refs3_u, cpos, mv8, refsel, n // 2, 1,
+                             bit_depth)
+        pred_v = _mc_blocks2(refs3_v, cpos, mv8, refsel, n // 2, 1,
+                             bit_depth)
+    else:
+        pred_u = _mc_blocks(ref_pad_u, cpos, mv8, n // 2, 1, bit_depth)
+        pred_v = _mc_blocks(ref_pad_v, cpos, mv8, n // 2, 1, bit_depth)
 
     fm32 = jnp.asarray(_fwd_mat(32))
     fm16 = jnp.asarray(_fwd_mat(16))
-    dcq = jnp.asarray(recon.DC_Q[bit_depth], jnp.int32)[qindex]
-    acq = jnp.asarray(recon.AC_Q[bit_depth], jnp.int32)[qindex]
     # quantizer rounding offset: floor(|c|/q + 1 - qround).  The 0.70
     # default sits on the RD knee for this deadzone quantizer (sweep in
     # BASELINE.md round-2 notes); configured via `tpu.qround` and
@@ -270,6 +365,24 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         cpos16 = pos16 // 2
         mv16_fp = motion.search_v3(src_y, ref_search, 16)
         mv16_fp = jnp.clip(mv16_fp, -_MAX_FP, _MAX_FP)
+        if golden:
+            # quadrants inherit the parent 32-block's reference (one
+            # single_ref tree per 32 grid cell in the tile syntax)
+            mv16_fp_g = jnp.clip(motion.search_v3(src_y, gld_pad_y, 16),
+                                 -_MAX_FP, _MAX_FP)
+            ri16 = jnp.repeat(jnp.repeat(refsel.reshape(gh, gw), 2, 0),
+                              2, 1).reshape(B16)
+            mv16_fp = jnp.where(ri16.astype(bool)[:, None],
+                                mv16_fp_g, mv16_fp)
+        else:
+            ri16 = jnp.zeros((B16,), jnp.int32)
+
+        def mc_y16(mvc):
+            if golden:
+                return _mc_blocks2(refs3_y, pos16, mvc, ri16, 16, 0,
+                                   bit_depth)
+            return _mc_blocks(ref_pad_y, pos16, mvc, 16, 0, bit_depth)
+
         mv16 = mv16_fp * 8
         blocks16 = blockify(y, 16, g16h, g16w)
         if refine:
@@ -278,7 +391,7 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
             preds16 = []
             for dr, dc in cands:
                 mvc = mv16 + jnp.asarray([dr, dc], jnp.int32)[None]
-                p = _mc_blocks(ref_pad_y, pos16, mvc, 16, 0, bit_depth)
+                p = mc_y16(mvc)
                 preds16.append(p)
                 costs16.append(((blocks16 - p) ** 2).sum(axis=(1, 2)))
             costs16 = jnp.stack(costs16)
@@ -287,10 +400,17 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
             mv16 = mv16 + offs[pidx16]
             pred16_y = jnp.stack(preds16, 0)[pidx16, jnp.arange(B16)]
         else:
-            pred16_y = _mc_blocks(ref_pad_y, pos16, mv16, 16, 0,
+            pred16_y = mc_y16(mv16)
+        if golden:
+            pred16_u = _mc_blocks2(refs3_u, cpos16, mv16, ri16, 8, 1,
+                                   bit_depth)
+            pred16_v = _mc_blocks2(refs3_v, cpos16, mv16, ri16, 8, 1,
+                                   bit_depth)
+        else:
+            pred16_u = _mc_blocks(ref_pad_u, cpos16, mv16, 8, 1,
                                   bit_depth)
-        pred16_u = _mc_blocks(ref_pad_u, cpos16, mv16, 8, 1, bit_depth)
-        pred16_v = _mc_blocks(ref_pad_v, cpos16, mv16, 8, 1, bit_depth)
+            pred16_v = _mc_blocks(ref_pad_v, cpos16, mv16, 8, 1,
+                                  bit_depth)
         fm16f = jnp.asarray(_fwd_mat(16))
         fm8 = jnp.asarray(_fwd_mat(8))
         lv16_y, rec16_y = plane_pipe(y, pred16_y, 16, 0, fm16f,
@@ -423,7 +543,7 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         lr_choice = jnp.full((nru,), -1, jnp.int32)
     return (mv8, skip, lv_y_p, lv_u_p, lv_v_p,
             rec_y_p, rec_u_p, rec_v_p, strip_skip, cdefs, lr_choice,
-            split, mv16_z, skip16_z)
+            split, mv16_z, skip16_z, refsel)
 
 
 def build_skip8(skip_blocks, strip_skip, th: int, tw: int, pw: int,
@@ -456,7 +576,8 @@ def build_skip8(skip_blocks, strip_skip, th: int, tw: int, pw: int,
 
 
 def encode_interframe_device(y, u, v, ref_planes, qindex: int,
-                             bit_depth: int = 8, true_dims=None):
+                             bit_depth: int = 8, true_dims=None,
+                             gld_planes=None):
     """Host wrapper: returns (modes, mvs, skips, ylv, ulv, vlv) numpy
     arrays ready for native.encode_inter32_tile plus the device recon
     planes (y, u, v) for the next frame's reference."""
@@ -464,14 +585,19 @@ def encode_interframe_device(y, u, v, ref_planes, qindex: int,
     assert H % 64 == 0 and Wd % 64 == 0
     gh, gw = H // 32, Wd // 32
     th, tw = true_dims if true_dims else (H, Wd)
+    gkw = {}
+    if gld_planes is not None:
+        gkw = dict(golden=True, gld_y=gld_planes[0],
+                   gld_u=gld_planes[1], gld_v=gld_planes[2])
     out = _encode_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                         ref_planes[0], ref_planes[1], ref_planes[2],
-                        qindex, bit_depth, th=th, tw=tw)
+                        qindex, bit_depth, th=th, tw=tw, **gkw)
     mv8, skip, ylv, ulv, vlv, ry, ru, rv = out[0:8]
     split, mv16, skip16 = out[11], out[12], out[13]
     mvs = np.asarray(mv8).reshape(gh, gw, 2)
     skips = np.asarray(skip).reshape(gh, gw)
-    modes = np.ones((gh, gw), np.int32)
+    # inter mode grid: 1 = inter/LAST, 4 = inter/GOLDEN
+    modes = 1 + 3 * np.asarray(out[14]).reshape(gh, gw)
     split3 = (np.asarray(split).reshape(gh, gw),
               np.asarray(mv16).reshape(gh, gw, 4, 2),
               np.asarray(skip16).reshape(gh, gw, 4))

@@ -102,43 +102,57 @@ def _frame_step_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
                         bit_depth: int, th: int, tw: int,
                         lf_y=0, lf_uv=0, deblock: bool = False,
                         qround: float = 0.70, cdef: bool = False,
-                        cdef_damping=4, lr: bool = False):
+                        cdef_damping=4, lr: bool = False,
+                        golden: bool = False, gld_y=None, gld_u=None,
+                        gld_v=None):
     """One striped P-frame encode (traceable; callers jit).  y/u/v:
     (ph, pw) planes sharded P("stripe"); refs: full-frame recon planes,
     consumed ROW-SHARDED — each chip keeps its stripe and ppermutes PAD
     halo rows to its neighbors, so per-frame ICI is O(halo), not
-    O(frame).  Returns jax_inter._encode_frame's tuple, planes laid out
-    full-frame (stripe outputs concatenated).  Bit-identical to the
-    single-chip encode of the same frame."""
+    O(frame).  With golden, the GOP-keyframe planes (also row-sharded)
+    get the same O(halo) window treatment.  Returns
+    jax_inter._encode_frame's tuple, planes laid out full-frame (stripe
+    outputs concatenated).  Bit-identical to the single-chip encode of
+    the same frame."""
     from jax.experimental.shard_map import shard_map
 
     n = mesh.shape["stripe"]
     sh = y.shape[0] // n
 
-    def body(ys, us, vs, ry, ru, rv, q):
+    def _windows(ry, ru, rv, row0):
+        return (_halo_window(ry, n, jax_inter.PAD, th, tw, row0, sh),
+                _halo_window(ru, n, jax_inter.PAD // 2, th // 2,
+                             tw // 2, row0 // 2, sh // 2),
+                _halo_window(rv, n, jax_inter.PAD // 2, th // 2,
+                             tw // 2, row0 // 2, sh // 2))
+
+    def body(ys, us, vs, ry, ru, rv, q, *gld):
         row0 = jax.lax.axis_index("stripe") * sh
-        ry_w = _halo_window(ry, n, jax_inter.PAD, th, tw, row0, sh)
-        ru_w = _halo_window(ru, n, jax_inter.PAD // 2, th // 2, tw // 2,
-                            row0 // 2, sh // 2)
-        rv_w = _halo_window(rv, n, jax_inter.PAD // 2, th // 2, tw // 2,
-                            row0 // 2, sh // 2)
+        ry_w, ru_w, rv_w = _windows(ry, ru, rv, row0)
+        gkw = {}
+        if golden:
+            gy_w, gu_w, gv_w = _windows(gld[0], gld[1], gld[2], row0)
+            gkw = dict(golden=True, gld_y=gy_w, gld_u=gu_w, gld_v=gv_w)
         return jax_inter._encode_frame(
             ys, us, vs, ry_w, ru_w, rv_w, q[0], bit_depth, th=th, tw=tw,
-            stripe=True, row0=row0, qround=qround, local_ref=True)
+            stripe=True, row0=row0, qround=qround, local_ref=True,
+            **gkw)
 
     out_specs = (P("stripe"), P("stripe"), P("stripe", None),
                  P("stripe", None), P("stripe", None),
                  P("stripe", None), P("stripe", None), P("stripe", None),
                  P(None), P(None), P(None),
-                 P("stripe"), P("stripe"), P("stripe"))
-    out = shard_map(
-        body, mesh=mesh,
-        in_specs=(P("stripe", None), P("stripe", None), P("stripe", None),
-                  P("stripe", None), P("stripe", None), P("stripe", None),
-                  P(None)),
-        out_specs=out_specs, check_rep=False)(
-            y, u, v, ref_y, ref_u, ref_v,
+                 P("stripe"), P("stripe"), P("stripe"), P("stripe"))
+    shard2 = P("stripe", None)
+    in_specs = (shard2,) * 6 + (P(None),) + \
+        ((shard2,) * 3 if golden else ())
+    args = (y, u, v, ref_y, ref_u, ref_v,
             jnp.reshape(jnp.asarray(qindex, jnp.int32), (1,)))
+    if golden:
+        args = args + (gld_y, gld_u, gld_v)
+    out = shard_map(
+        body, mesh=mesh, in_specs=in_specs,
+        out_specs=out_specs, check_rep=False)(*args)
     # deblock + CDEF on the full-frame recon (AV1 filters across tile
     # boundaries, so stripe edges need both sides).  The arrays stay
     # row-sharded: XLA's SPMD partitioner inserts the small boundary
@@ -165,23 +179,25 @@ def _frame_step_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
         fy, lr_choice = jax_lr.lr_search_apply(
             fy, pre_cdef_y, y, bit_depth=bit_depth, th=th, tw=tw)
     return out[0:5] + (fy, fu, fv, out[8], cdefs, lr_choice,
-                       out[11], out[12], out[13])
+                       out[11], out[12], out[13], out[14])
 
 
 encode_inter_sharded = functools.partial(jax.jit, static_argnames=(
     "mesh", "bit_depth", "th", "tw", "deblock", "qround", "cdef",
-    "lr"))(_frame_step_sharded)
+    "lr", "golden"))(_frame_step_sharded)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "k", "ph", "pw", "bit_depth",
                                     "th", "tw", "cap", "deblock",
-                                    "qround", "cdef", "lr"))
+                                    "qround", "cdef", "lr", "golden"))
 def encode_chunk_sharded(mesh, packed, ry, ru, rv, qindexes, lfys,
                          lfuvs, damps, k: int, ph: int, pw: int,
                          bit_depth: int, th: int, tw: int, cap: int,
                          deblock: bool = False, qround: float = 0.70,
-                         cdef: bool = False, lr: bool = False):
+                         cdef: bool = False, lr: bool = False,
+                         golden: bool = False, gy=None, gu=None,
+                         gv=None):
     """K consecutive P frames as one lax.scan of striped frame steps:
     chunking (per-dispatch RTT amortization) COMPOSES with multi-chip
     striping.  The scan carry is the row-sharded reconstruction, so
@@ -196,20 +212,24 @@ def encode_chunk_sharded(mesh, packed, ry, ru, rv, qindexes, lfys,
     us = jax.lax.with_sharding_constraint(us, spec3)
     vs = jax.lax.with_sharding_constraint(vs, spec3)
 
+    gkw = (dict(golden=True, gld_y=gy, gld_u=gu, gld_v=gv)
+           if golden else {})
+
     def step(carry, xs):
         y, u, v, q, lfy, lfuv, damp = xs
         out = _frame_step_sharded(
             mesh, y, u, v, *carry, q, bit_depth, th=th, tw=tw,
             lf_y=lfy, lf_uv=lfuv, deblock=deblock, qround=qround,
-            cdef=cdef, cdef_damping=damp, lr=lr)
+            cdef=cdef, cdef_damping=damp, lr=lr, **gkw)
         return out[5:8], out[0:5] + (out[8], out[9], out[10],
-                                      out[11], out[12], out[13])
+                                      out[11], out[12], out[13],
+                                      out[14])
 
     carry, outs = jax.lax.scan(step, (ry, ru, rv),
                                (ys, us, vs, qindexes, lfys, lfuvs,
                                 damps))
     (mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs, lrcs,
-     splits, mv16s, skip16s) = outs
+     splits, mv16s, skip16s, refsels) = outs
     flat = jnp.concatenate([ylvs.reshape(k, -1),
                             ulvs.reshape(k, -1),
                             vlvs.reshape(k, -1)], axis=1).reshape(-1)
@@ -222,6 +242,7 @@ def encode_chunk_sharded(mesh, packed, ry, ru, rv, qindexes, lfys,
     grids = jnp.concatenate([mv8s.reshape(-1), skips.reshape(-1),
                              strips.reshape(-1), cdefs.reshape(-1),
                              lrcs.reshape(-1), splits.reshape(-1),
-                             mv16s.reshape(-1), skip16s.reshape(-1)])
+                             mv16s.reshape(-1), skip16s.reshape(-1),
+                             refsels.reshape(-1)])
     return carry, (jnp.packbits(mask), vals, count,
                    grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)
