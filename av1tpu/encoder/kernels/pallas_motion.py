@@ -129,3 +129,43 @@ def refine_around_seeds(src_blocks: jnp.ndarray, ref_pad: jnp.ndarray,
     base = jnp.stack([r0 - (pos[:, 0] + pad), c0 - (pos[:, 1] + pad)],
                      axis=1) + radius
     return base + disp, ssd
+
+
+def refine_around_seeds2(src_blocks: jnp.ndarray, refs_pad: jnp.ndarray,
+                         ri: jnp.ndarray, pos: jnp.ndarray,
+                         seeds: jnp.ndarray, n: int, radius: int,
+                         pad: int):
+    """refine_around_seeds with a per-block reference-plane index.
+
+    refs_pad: (2, H+2p, W+2p) stacked padded planes (LAST, GOLDEN);
+    ri: (B,) int32 plane selector.  One region gather per block from
+    its selected plane; same kernel refine.
+    """
+    B = src_blocks.shape[0]
+    R = n + 2 * radius
+    _, hp2, wp2 = refs_pad.shape
+    r0 = jnp.clip(pos[:, 0] + pad + seeds[:, 0] - radius, 0, hp2 - R)
+    c0 = jnp.clip(pos[:, 1] + pad + seeds[:, 1] - radius, 0, wp2 - R)
+
+    def one(r, ri_, ci_):
+        return jax.lax.dynamic_slice(refs_pad, (r, ri_, ci_),
+                                     (1, R, R))[0]
+
+    regions = jax.vmap(one)(ri, r0, c0).astype(jnp.float32)
+
+    Bp = -(-B // LANE_TILE) * LANE_TILE
+    if Bp != B:
+        regions = jnp.pad(regions, ((0, Bp - B), (0, 0), (0, 0)))
+        blocks = jnp.pad(src_blocks.astype(jnp.float32),
+                         ((0, Bp - B), (0, 0), (0, 0)))
+    else:
+        blocks = src_blocks.astype(jnp.float32)
+
+    ssd, disp = refine_ssd(blocks.transpose(1, 2, 0),
+                           regions.transpose(1, 2, 0), n, radius,
+                           interpret=_use_interpret())
+    ssd = ssd[:B]
+    disp = disp[:B]
+    base = jnp.stack([r0 - (pos[:, 0] + pad), c0 - (pos[:, 1] + pad)],
+                     axis=1) + radius
+    return base + disp, ssd

@@ -112,6 +112,102 @@ def _mc_blocks2(refs_pad, pos, mvs, ri, size: int, ss: int,
     return jax.vmap(one)(pos, mvs, ri)
 
 
+_QPEL_OFFS = tuple((dr, dc) for dr in (-2, 0, 2) for dc in (-2, 0, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _qpel_band_mats(size: int):
+    """Static band matrices for the 3 even-quarter-pel phases.
+
+    mv8 is full-pel*8 at refine time, so every candidate offset
+    d16 in {-4, 0, +4} lands on the same sixteenth phase for every
+    block: phase {12, 0, 4} with window offset {0, 1, 1} inside the
+    (size+9)^2 gather.  The 8-tap filter then becomes a (size+9, size)
+    band matrix per phase and the whole h/v pass is an MXU matmul
+    (the per-block shift-multiply form was 64 ms/frame at 1080p n=16).
+
+    Returns (Mx (3, size+9, size), My (3, size, size+9)) float32,
+    ordered by d16 = (-4, 0, +4)."""
+    W9 = size + 9
+    filt = np.asarray(inter_recon.SUBPEL_REGULAR, np.int64)
+    mx = np.zeros((3, W9, size), np.float32)
+    my = np.zeros((3, size, W9), np.float32)
+    for i, d16 in enumerate((-4, 0, 4)):
+        phase = d16 & 15
+        off = 0 if d16 < 0 else 1
+        for c in range(size):
+            for t in range(8):
+                mx[i, off + c + t, c] = filt[phase, t]
+                my[i, c, off + c + t] = filt[phase, t]
+    return mx, my
+
+
+@functools.partial(jax.jit, static_argnames=("size", "bit_depth",
+                                             "golden"))
+def _qpel_refine9(src_blocks, refs_pad, pos, mv8, ri, size: int,
+                  bit_depth: int, golden: bool = False):
+    """Quarter-pel refinement over the 9 even-1/8 offsets around mv8
+    with exact spec MC, factored: ONE (size+9)^2 window gather per
+    block, then 3 horizontal + 9 vertical BAND-MATRIX passes on the
+    MXU (see _qpel_band_mats).  Bit-for-bit the same predictions as
+    _mc_blocks/_mc_blocks2 per candidate: products/sums stay below
+    2^24 at every bit depth, so float32 matmuls are exact, and the
+    spec rounding shifts run in int32 between passes.
+
+    refs_pad: padded luma plane, or (2, ., .) stacked (LAST, GOLDEN)
+    when golden=True (ri selects per block).  Returns (mv8_best (B,2),
+    pred (B, size, size) int32).
+    """
+    pad = PAD
+    r0, r1 = _rounds(bit_depth)
+    W9 = size + 9
+    mx, my = _qpel_band_mats(size)
+    mx = jnp.asarray(mx)
+    my = jnp.asarray(my)
+
+    # window covers the minimum candidate origin (d16 = -4); the
+    # per-candidate offsets within it are baked into the band matrices
+    oy = ((pos[:, 0] << 4) + (mv8[:, 0] << 1) - 4 >> 4) - 3 + pad
+    ox = ((pos[:, 1] << 4) + (mv8[:, 1] << 1) - 4 >> 4) - 3 + pad
+
+    if golden:
+        def gather(r, y0, x0):
+            return jax.lax.dynamic_slice(refs_pad, (r, y0, x0),
+                                         (1, W9, W9))[0]
+        win = jax.vmap(gather)(ri, oy, ox)
+    else:
+        def gather(y0, x0):
+            return jax.lax.dynamic_slice(refs_pad, (y0, x0), (W9, W9))
+        win = jax.vmap(gather)(oy, ox)
+    win = win.astype(jnp.float32)                        # (B, W9, W9)
+
+    blk = src_blocks.astype(jnp.int32)
+    hs = []
+    for j in range(3):
+        h = jnp.einsum("bwk,ks->bws", win, mx[j],
+                       preferred_element_type=jnp.float32)
+        hs.append((h.astype(jnp.int32) + (1 << (r0 - 1))) >> r0)
+
+    preds = []
+    costs = []
+    for i in range(3):                                   # dr
+        for j in range(3):                               # dc
+            v = jnp.einsum("rk,bks->brs", my[i],
+                           hs[j].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+            v = (v.astype(jnp.int32) + (1 << (r1 - 1))) >> r1
+            v = jnp.clip(v, 0, (1 << bit_depth) - 1)
+            preds.append(v)
+            costs.append(((blk - v) ** 2).sum(axis=(1, 2)))
+    costs = jnp.stack(costs)                             # (9, B)
+    pidx = jnp.argmin(costs, axis=0)                     # (B,)
+    pred = preds[0]
+    for k in range(1, 9):
+        pred = jnp.where((pidx == k)[:, None, None], preds[k], pred)
+    offs = jnp.asarray(_QPEL_OFFS, jnp.int32)
+    return mv8 + offs[pidx], pred
+
+
 @functools.partial(jax.jit,
                    static_argnames=("bit_depth", "refine", "th", "tw",
                                     "stripe", "deblock", "qround",
@@ -244,21 +340,11 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         return _mc_blocks(ref_pad_y, pos, mvc, n, 0, bit_depth)
 
     if refine:
-        # quarter-pel refinement: evaluate the 3x3 even-1/8 offsets
-        # around the full-pel winner with exact spec MC
-        cands = [(dr, dc) for dr in (-2, 0, 2) for dc in (-2, 0, 2)]
-        costs = []
-        preds = []
-        for dr, dc in cands:
-            mvc = mv8 + jnp.asarray([dr, dc], jnp.int32)[None]
-            p = mc_y32(mvc)
-            preds.append(p)
-            costs.append(((blocks - p) ** 2).sum(axis=(1, 2)))
-        costs = jnp.stack(costs)               # (9, B)
-        pidx = jnp.argmin(costs, axis=0)       # (B,)
-        offs = jnp.asarray(cands, jnp.int32)   # (9, 2)
-        mv8 = mv8 + offs[pidx]
-        pred_y = jnp.stack(preds, 0)[pidx, jnp.arange(B)]
+        # quarter-pel refinement: the 3x3 even-1/8 offsets around the
+        # full-pel winner with exact spec MC (factored single-gather)
+        mv8, pred_y = _qpel_refine9(
+            blocks, refs3_y if golden else ref_pad_y, pos, mv8, refsel,
+            n, bit_depth, golden=golden)
     else:
         pred_y = mc_y32(mv8)
 
@@ -363,19 +449,44 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                 [jnp.full((B16,), row0, jnp.int32),
                  jnp.zeros((B16,), jnp.int32)], axis=1)
         cpos16 = pos16 // 2
-        mv16_fp = motion.search_v3(src_y, ref_search, 16)
-        mv16_fp = jnp.clip(mv16_fp, -_MAX_FP, _MAX_FP)
+        blocks16 = blockify(y, 16, g16h, g16w)
+        # quadrant full-pel search: seed each 16-block from its parent
+        # 32-block's SELECTED winner and refine +-8 in the Pallas
+        # kernel — the parent search already ran zero-seeded and
+        # coarse-seeded families over the same pixels, so an
+        # independent wide 16-grid search (a 1089-step coarse scan at
+        # 1080p) only re-derives those seeds 4x over.  Quadrants also
+        # inherit the parent's reference (one single_ref tree per 32
+        # grid cell in the tile syntax).
+        from av1tpu.encoder.kernels import pallas_motion
+        pos16_loc = jnp.asarray(motion.block_positions(H, Wd, 16))
+        seed16 = jnp.repeat(jnp.repeat(mv_fp.reshape(gh, gw, 2), 2, 0),
+                            2, 1).reshape(B16, 2)
         if golden:
-            # quadrants inherit the parent 32-block's reference (one
-            # single_ref tree per 32 grid cell in the tile syntax)
-            mv16_fp_g = jnp.clip(motion.search_v3(src_y, gld_pad_y, 16),
-                                 -_MAX_FP, _MAX_FP)
             ri16 = jnp.repeat(jnp.repeat(refsel.reshape(gh, gw), 2, 0),
                               2, 1).reshape(B16)
-            mv16_fp = jnp.where(ri16.astype(bool)[:, None],
-                                mv16_fp_g, mv16_fp)
+            mv16_r, ssd16_r = pallas_motion.refine_around_seeds2(
+                blocks16, refs3_y, ri16, pos16_loc, seed16, 16, 8, PAD)
+            c_l = jax.lax.dynamic_slice(refs3_y[0], (PAD, PAD), (H, Wd))
+            c_g = jax.lax.dynamic_slice(refs3_y[1], (PAD, PAD), (H, Wd))
+            sf = src_y.astype(jnp.float32)
+            z_l = motion._block_sum(
+                (sf - c_l.astype(jnp.float32)) ** 2, 16).reshape(B16)
+            z_g = motion._block_sum(
+                (sf - c_g.astype(jnp.float32)) ** 2, 16).reshape(B16)
+            ssd16_zero = jnp.where(ri16.astype(bool), z_g, z_l)
         else:
             ri16 = jnp.zeros((B16,), jnp.int32)
+            mv16_r, ssd16_r = pallas_motion.refine_around_seeds(
+                blocks16, ref_search, pos16_loc, seed16, 16, 8, PAD)
+            c0 = jax.lax.dynamic_slice(ref_search, (PAD, PAD), (H, Wd))
+            diff0 = src_y.astype(jnp.float32) - c0.astype(jnp.float32)
+            ssd16_zero = motion._block_sum(diff0 * diff0,
+                                           16).reshape(B16)
+        # rate-aware zero bias (same margin as search_v3)
+        keep = ssd16_r + ssd16_r / 16.0 < ssd16_zero
+        mv16_fp = jnp.where(keep[:, None], mv16_r, 0)
+        mv16_fp = jnp.clip(mv16_fp, -_MAX_FP, _MAX_FP)
 
         def mc_y16(mvc):
             if golden:
@@ -384,21 +495,10 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
             return _mc_blocks(ref_pad_y, pos16, mvc, 16, 0, bit_depth)
 
         mv16 = mv16_fp * 8
-        blocks16 = blockify(y, 16, g16h, g16w)
         if refine:
-            cands = [(dr, dc) for dr in (-2, 0, 2) for dc in (-2, 0, 2)]
-            costs16 = []
-            preds16 = []
-            for dr, dc in cands:
-                mvc = mv16 + jnp.asarray([dr, dc], jnp.int32)[None]
-                p = mc_y16(mvc)
-                preds16.append(p)
-                costs16.append(((blocks16 - p) ** 2).sum(axis=(1, 2)))
-            costs16 = jnp.stack(costs16)
-            pidx16 = jnp.argmin(costs16, axis=0)
-            offs = jnp.asarray(cands, jnp.int32)
-            mv16 = mv16 + offs[pidx16]
-            pred16_y = jnp.stack(preds16, 0)[pidx16, jnp.arange(B16)]
+            mv16, pred16_y = _qpel_refine9(
+                blocks16, refs3_y if golden else ref_pad_y, pos16,
+                mv16, ri16, 16, bit_depth, golden=golden)
         else:
             pred16_y = mc_y16(mv16)
         if golden:

@@ -98,6 +98,29 @@ def _stripe_row_plan(nh: int, sub_y: int):
     return idx, pre
 
 
+def _stripe_shift_plan(nh: int, sub_y: int):
+    """The gather plan restated as SHIFTS: the stripe clamp only ever
+    moves a tap's source row by delta in {-1, 0, +1} relative to the
+    frame-edge-clipped plain shift (stripe rows clamp to boundary+-2
+    and taps reach +-3), so each tap's source is a row-shifted plane
+    plus static-mask row selects — no gather (a leading-axis take
+    lowers to a scalar gather on TPU; this was 150 ms/frame at 1080p).
+
+    Returns per tap: (deltas present, delta row-masks (nh,) bool,
+    use_pre row-mask)."""
+    idx, pre = _stripe_row_plan(nh, sub_y)
+    rows = np.arange(nh)
+    plans = []
+    for t in range(7):
+        clipped = np.clip(rows + t - 3, 0, nh - 1)
+        delta = idx[t] - clipped
+        assert delta.min() >= -1 and delta.max() <= 1, delta
+        masks = {int(d): delta == d
+                 for d in np.unique(delta) if d != 0}
+        plans.append((masks, pre[t]))
+    return plans
+
+
 def wiener_apply(rec, pre, taps, nh: int, nw: int, sub_y: int,
                  bit_depth: int):
     """Full-plane spec Wiener with stripe semantics.  rec: post-CDEF
@@ -110,13 +133,36 @@ def wiener_apply(rec, pre, taps, nh: int, nw: int, sub_y: int,
                   bit_depth)
     hpre = _hpass(pre[:nh, :nw].astype(jnp.int32), taps, nh, nw,
                   bit_depth)
-    idx, use_pre = _stripe_row_plan(nh, sub_y)
+    plans = _stripe_shift_plan(nh, sub_y)
     tp = _taps7(taps)
+
+    # edge-replicated row pads: a slice at offset (t + d + 1) reads
+    # h[clip(row + t - 3 + d)] — clamp-to-edge via the repeated rows
+    def _rowpad(h):
+        return jnp.concatenate([jnp.repeat(h[:1], 4, 0), h,
+                                jnp.repeat(h[-1:], 4, 0)], axis=0)
+
+    hrec_p = _rowpad(hrec)
+    hpre_p = _rowpad(hpre)
+
+    def _shift(hp, t, d):
+        return jax.lax.dynamic_slice(hp, (t + d + 1, 0), (nh, nw))
+
     acc = jnp.zeros((nh, nw), jnp.int32)
     for t in range(7):
-        src = jnp.where(jnp.asarray(use_pre[t])[:, None],
-                        jnp.take(hpre, jnp.asarray(idx[t]), axis=0),
-                        jnp.take(hrec, jnp.asarray(idx[t]), axis=0))
+        dmasks, pre_m = plans[t]
+
+        def _src_from(hp):
+            s = _shift(hp, t, 0)
+            for d, m in dmasks.items():
+                s = jnp.where(jnp.asarray(m)[:, None], _shift(hp, t, d),
+                              s)
+            return s
+
+        src = _src_from(hrec_p)
+        if pre_m.any():
+            src = jnp.where(jnp.asarray(pre_m)[:, None],
+                            _src_from(hpre_p), src)
         acc = acc + int(tp[t]) * src
     v = (acc - (base << (FILTER_BITS - r0b)) + (1 << (r1b - 1))) >> r1b
     return jnp.clip(v, 0, (1 << bit_depth) - 1)
@@ -129,6 +175,34 @@ def _ru_ids(nh: int, nw: int, size: int, urows: int, ucols: int,
     ur = np.minimum((np.arange(nh) + off) // size, urows - 1)
     uc = np.minimum(np.arange(nw) // size, ucols - 1)
     return (ur[:, None] * ucols + uc[None, :]).astype(np.int32)
+
+
+def _ru_reduce(delta, nh: int, nw: int, size: int, urows: int,
+               ucols: int):
+    """Per-restoration-unit sums of a (nh, nw) int32 plane as dense
+    reshape reductions (a segment_sum lowers to a 2M-element scatter
+    on TPU — 132 ms/frame at 1080p for the 8-preset search; this form
+    is <2 ms).  Returns (urows*ucols,) float32, row-major RU order.
+
+    Row unit id is min((r + off) // size, urows - 1) with the spec's
+    RESTORATION_UNIT_OFFSET; col id is min(c // size, ucols - 1)."""
+    off = NL.RESTORATION_UNIT_OFFSET
+    rb = -(-(nh + off) // size)
+    d = jnp.pad(delta, ((off, rb * size - nh - off), (0, 0)))
+    # int32 row-block sums are exact (|delta| < 2^22 per px * size)
+    rows = d.reshape(rb, size, nw).sum(axis=1).astype(jnp.float32)
+    if rb > urows:
+        rows = jnp.concatenate(
+            [rows[:urows - 1],
+             rows[urows - 1:].sum(axis=0, keepdims=True)], axis=0)
+    cb = -(-nw // size)
+    rows = jnp.pad(rows, ((0, 0), (0, cb * size - nw)))
+    cols = rows.reshape(urows, cb, size).sum(axis=2)
+    if cb > ucols:
+        cols = jnp.concatenate(
+            [cols[:, :ucols - 1],
+             cols[:, ucols - 1:].sum(axis=1, keepdims=True)], axis=1)
+    return cols.reshape(-1)
 
 
 @functools.partial(jax.jit,
@@ -162,9 +236,7 @@ def lr_search_apply(rec_y, pre_y, src_y, bit_depth: int = 8,
         f = wiener_apply(rec_y, pre_y, taps, nh, nw, 0, bit_depth)
         outs.append(f)
         delta = (f - s) ** 2 - (x - s) ** 2
-        sses.append(jax.ops.segment_sum(
-            delta.reshape(-1).astype(jnp.float32), ids.reshape(-1),
-            num_segments=nru))
+        sses.append(_ru_reduce(delta, nh, nw, size, urows, ucols))
     sse = jnp.stack(sses)                      # (P, nru)
     best = jnp.argmin(sse, axis=0)             # (nru,)
     best_sse = jnp.min(sse, axis=0)
