@@ -65,10 +65,11 @@ def gather_blocks(ref_pad: jnp.ndarray, pos: jnp.ndarray, mvs: jnp.ndarray,
     r = jnp.clip(pos[:, 0] + pad + mvs[:, 0], 0, hp2 - n)
     c = jnp.clip(pos[:, 1] + pad + mvs[:, 1], 0, wp2 - n)
 
-    def one(ri, ci):
-        return jax.lax.dynamic_slice(ref_pad, (ri, ci), (n, n))
-
-    return jax.vmap(one)(r, c)
+    from av1tpu.encoder.kernels import pallas_gather
+    # int32 keeps downstream SSD arithmetic exactly as before (the
+    # float32 kernel output is exact for pixel values)
+    return pallas_gather.gather_windows(ref_pad, r, c, n).astype(
+        jnp.int32)
 
 
 def _ssd_surface(blocks: jnp.ndarray, regions: jnp.ndarray) -> jnp.ndarray:

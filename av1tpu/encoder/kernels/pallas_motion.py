@@ -106,10 +106,8 @@ def refine_around_seeds(src_blocks: jnp.ndarray, ref_pad: jnp.ndarray,
     r0 = jnp.clip(pos[:, 0] + pad + seeds[:, 0] - radius, 0, hp2 - R)
     c0 = jnp.clip(pos[:, 1] + pad + seeds[:, 1] - radius, 0, wp2 - R)
 
-    def one(ri, ci):
-        return jax.lax.dynamic_slice(ref_pad, (ri, ci), (R, R))
-
-    regions = jax.vmap(one)(r0, c0).astype(jnp.float32)  # (B, R, R)
+    from av1tpu.encoder.kernels import pallas_gather
+    regions = pallas_gather.gather_windows(ref_pad, r0, c0, R)  # (B,R,R)
 
     # pad B to a lane-tile multiple
     Bp = -(-B // LANE_TILE) * LANE_TILE
@@ -147,11 +145,8 @@ def refine_around_seeds2(src_blocks: jnp.ndarray, refs_pad: jnp.ndarray,
     r0 = jnp.clip(pos[:, 0] + pad + seeds[:, 0] - radius, 0, hp2 - R)
     c0 = jnp.clip(pos[:, 1] + pad + seeds[:, 1] - radius, 0, wp2 - R)
 
-    def one(r, ri_, ci_):
-        return jax.lax.dynamic_slice(refs_pad, (r, ri_, ci_),
-                                     (1, R, R))[0]
-
-    regions = jax.vmap(one)(ri, r0, c0).astype(jnp.float32)
+    from av1tpu.encoder.kernels import pallas_gather
+    regions = pallas_gather.gather_windows_ref2(refs_pad, ri, r0, c0, R)
 
     Bp = -(-B // LANE_TILE) * LANE_TILE
     if Bp != B:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from av1tpu.encoder.kernels import motion
+from av1tpu.encoder.kernels import motion, pallas_gather
 from av1tpu.specav1 import inter_recon, recon
 from av1tpu.specav1.jax_intra import _fwd_mat, inv_dct2d_add
 
@@ -51,29 +51,35 @@ def _mc_blocks(ref_pad, pos, mvs, size: int, ss: int, bit_depth: int):
     pad = PAD >> ss
     r0, r1 = _rounds(bit_depth)
     filt = jnp.asarray(inter_recon.SUBPEL_REGULAR, jnp.int32)  # (16, 8)
+    W7 = size + 7
+    Hp, Wp = ref_pad.shape
+    sy16 = (pos[:, 0] << 4) + (mvs[:, 0] << (1 - ss))
+    sx16 = (pos[:, 1] << 4) + (mvs[:, 1] << (1 - ss))
+    fy = filt[sy16 & 15]                                 # (B, 8)
+    fx = filt[sx16 & 15]
+    # the clip reproduces dynamic_slice's normative start clamping
+    iy = jnp.clip((sy16 >> 4) - 3 + pad, 0, Hp - W7)
+    ix = jnp.clip((sx16 >> 4) - 3 + pad, 0, Wp - W7)
+    win = pallas_gather.gather_windows(ref_pad, iy, ix,
+                                       W7).astype(jnp.int32)
+    return _subpel_hv(win, fx, fy, size, r0, r1, bit_depth)
 
-    def one(p, mv):
-        sy16 = (p[0] << 4) + (mv[0] << (1 - ss))
-        sx16 = (p[1] << 4) + (mv[1] << (1 - ss))
-        fy = filt[sy16 & 15]
-        fx = filt[sx16 & 15]
-        iy = (sy16 >> 4) - 3 + pad
-        ix = (sx16 >> 4) - 3 + pad
-        win = jax.lax.dynamic_slice(ref_pad, (iy, ix),
-                                    (size + 7, size + 7)).astype(jnp.int32)
-        # horizontal 8-tap
-        h = jnp.zeros((size + 7, size), jnp.int32)
-        for t in range(8):
-            h = h + fx[t] * jax.lax.dynamic_slice_in_dim(win, t, size, 1)
-        h = (h + (1 << (r0 - 1))) >> r0
-        # vertical 8-tap
-        v = jnp.zeros((size, size), jnp.int32)
-        for t in range(8):
-            v = v + fy[t] * jax.lax.dynamic_slice_in_dim(h, t, size, 0)
-        v = (v + (1 << (r1 - 1))) >> r1
-        return jnp.clip(v, 0, (1 << bit_depth) - 1)
 
-    return jax.vmap(one)(pos, mvs)
+def _subpel_hv(win, fx, fy, size: int, r0: int, r1: int,
+               bit_depth: int):
+    """Batched spec 8-tap h+v filtering of (B, size+7, size+7) int32
+    windows with per-block taps fx/fy (B, 8); InterRound0/1 rounding
+    between passes (bit-exact vs the per-block form)."""
+    B = win.shape[0]
+    h = jnp.zeros((B, size + 7, size), jnp.int32)
+    for t in range(8):
+        h = h + fx[:, t, None, None] * win[:, :, t:t + size]
+    h = (h + (1 << (r0 - 1))) >> r0
+    v = jnp.zeros((B, size, size), jnp.int32)
+    for t in range(8):
+        v = v + fy[:, t, None, None] * h[:, t:t + size, :]
+    v = (v + (1 << (r1 - 1))) >> r1
+    return jnp.clip(v, 0, (1 << bit_depth) - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "ss", "bit_depth"))
@@ -88,28 +94,17 @@ def _mc_blocks2(refs_pad, pos, mvs, ri, size: int, ss: int,
     pad = PAD >> ss
     r0, r1 = _rounds(bit_depth)
     filt = jnp.asarray(inter_recon.SUBPEL_REGULAR, jnp.int32)
-
-    def one(p, mv, r):
-        sy16 = (p[0] << 4) + (mv[0] << (1 - ss))
-        sx16 = (p[1] << 4) + (mv[1] << (1 - ss))
-        fy = filt[sy16 & 15]
-        fx = filt[sx16 & 15]
-        iy = (sy16 >> 4) - 3 + pad
-        ix = (sx16 >> 4) - 3 + pad
-        win = jax.lax.dynamic_slice(
-            refs_pad, (r, iy, ix),
-            (1, size + 7, size + 7))[0].astype(jnp.int32)
-        h = jnp.zeros((size + 7, size), jnp.int32)
-        for t in range(8):
-            h = h + fx[t] * jax.lax.dynamic_slice_in_dim(win, t, size, 1)
-        h = (h + (1 << (r0 - 1))) >> r0
-        v = jnp.zeros((size, size), jnp.int32)
-        for t in range(8):
-            v = v + fy[t] * jax.lax.dynamic_slice_in_dim(h, t, size, 0)
-        v = (v + (1 << (r1 - 1))) >> r1
-        return jnp.clip(v, 0, (1 << bit_depth) - 1)
-
-    return jax.vmap(one)(pos, mvs, ri)
+    W7 = size + 7
+    _, Hp, Wp = refs_pad.shape
+    sy16 = (pos[:, 0] << 4) + (mvs[:, 0] << (1 - ss))
+    sx16 = (pos[:, 1] << 4) + (mvs[:, 1] << (1 - ss))
+    fy = filt[sy16 & 15]
+    fx = filt[sx16 & 15]
+    iy = jnp.clip((sy16 >> 4) - 3 + pad, 0, Hp - W7)
+    ix = jnp.clip((sx16 >> 4) - 3 + pad, 0, Wp - W7)
+    win = pallas_gather.gather_windows_ref2(
+        refs_pad, ri, iy, ix, W7).astype(jnp.int32)
+    return _subpel_hv(win, fx, fy, size, r0, r1, bit_depth)
 
 
 _QPEL_OFFS = tuple((dr, dc) for dr in (-2, 0, 2) for dc in (-2, 0, 2))
@@ -171,21 +166,30 @@ def _qpel_refine9(src_blocks, refs_pad, pos, mv8, ri, size: int,
     ox = ((pos[:, 1] << 4) + (mv8[:, 1] << 1) - 4 >> 4) - 3 + pad
 
     if golden:
-        def gather(r, y0, x0):
-            return jax.lax.dynamic_slice(refs_pad, (r, y0, x0),
-                                         (1, W9, W9))[0]
-        win = jax.vmap(gather)(ri, oy, ox)
+        _, Hp, Wp = refs_pad.shape
+        oy = jnp.clip(oy, 0, Hp - W9)
+        ox = jnp.clip(ox, 0, Wp - W9)
+        win = pallas_gather.gather_windows_ref2(refs_pad, ri, oy, ox, W9)
     else:
-        def gather(y0, x0):
-            return jax.lax.dynamic_slice(refs_pad, (y0, x0), (W9, W9))
-        win = jax.vmap(gather)(oy, ox)
-    win = win.astype(jnp.float32)                        # (B, W9, W9)
+        Hp, Wp = refs_pad.shape
+        oy = jnp.clip(oy, 0, Hp - W9)
+        ox = jnp.clip(ox, 0, Wp - W9)
+        win = pallas_gather.gather_windows(refs_pad, oy, ox, W9)
+    # gather_windows returns float32 (exact for pixels)  # (B, W9, W9)
 
+    # Precision.HIGHEST: TPU's default f32 matmul truncates inputs to
+    # bf16 — pixel windows (10-bit) and the h intermediates (~2^13) are
+    # not bf16-representable, and the resulting +-1 prediction errors
+    # desync the recon from any conforming decoder.  With HIGHEST the
+    # products/sums stay below 2^24 at every bit depth, so the f32
+    # matmuls are exact (same rule as encoder/kernels/transforms.py).
+    hp = jax.lax.Precision.HIGHEST
     blk = src_blocks.astype(jnp.int32)
     hs = []
     for j in range(3):
         h = jnp.einsum("bwk,ks->bws", win, mx[j],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=hp)
         hs.append((h.astype(jnp.int32) + (1 << (r0 - 1))) >> r0)
 
     preds = []
@@ -194,7 +198,8 @@ def _qpel_refine9(src_blocks, refs_pad, pos, mv8, ri, size: int,
         for j in range(3):                               # dc
             v = jnp.einsum("rk,bks->brs", my[i],
                            hs[j].astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=hp)
             v = (v.astype(jnp.int32) + (1 << (r1 - 1))) >> r1
             v = jnp.clip(v, 0, (1 << bit_depth) - 1)
             preds.append(v)

@@ -6,6 +6,11 @@ split RD, CDEF search, LR Wiener search, golden reference) is isolated.
 Timing is device-only: inputs live on device, block_until_ready, no D2H
 in the timed region.  Run ALONE (tunnel/host contention skews numbers).
 
+Sync is a device_get of one scalar output (block_until_ready does NOT
+synchronize over the axon tunnel — measured: a 4096^3 matmul "took"
+0.03 ms under it); the tunnel's ~23 ms scalar-D2H RTT is measured as
+a noop and subtracted from every row.
+
 Usage: python tools/profile_device.py [--iters N] [--w 1920 --h 1088]
 """
 import argparse
@@ -59,29 +64,40 @@ def main():
          dict(split16=True, golden=True, cdef=True, lr=True)),
     ]
 
+    def sync(out):
+        # one scalar D2H forces completion of the whole dispatch
+        return jax.device_get(out[0][0, 0])
+
+    # measure the scalar-D2H RTT to subtract from every row
+    nfn = jax.jit(lambda a: (a + 1,))
+    _ = jax.device_get(nfn(jnp.zeros((2, 2), jnp.int32))[0][0, 0])
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        _ = jax.device_get(nfn(jnp.zeros((2, 2), jnp.int32))[0][0, 0])
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    rtt = min(rtts)
+
     print(f"frame {W}x{H} (true h {args.th}) q{args.qindex}, "
-          f"{args.iters} timed iters on {jax.devices()[0]}")
+          f"{args.iters} timed iters on {jax.devices()[0]}, "
+          f"rtt {rtt:.1f} ms (subtracted)")
     results = {}
     for name, kw in configs:
         gkw = dict(kw)
         if gkw.pop("golden", False):
             gkw.update(golden=True, gld_y=ry, gld_u=ru, gld_v=rv)
-        static = {k: v for k, v in gkw.items()
-                  if isinstance(v, (bool, int, float)) or v is None}
         fn = functools.partial(jax_inter._encode_frame,
                                th=args.th, tw=W, **gkw)
         jfn = jax.jit(lambda a, b, c, d, e, f:
                       fn(a, b, c, d, e, f, args.qindex, 8))
         t0 = time.perf_counter()
-        out = jfn(y, u, v, ry, ru, rv)
-        jax.block_until_ready(out)
+        sync(jfn(y, u, v, ry, ru, rv))
         compile_s = time.perf_counter() - t0
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            out = jfn(y, u, v, ry, ru, rv)
-            jax.block_until_ready(out)
-            times.append((time.perf_counter() - t0) * 1e3)
+            sync(jfn(y, u, v, ry, ru, rv))
+            times.append((time.perf_counter() - t0) * 1e3 - rtt)
         ms = min(times)
         results[name] = ms
         print(f"  {name:34s} {ms:8.1f} ms/frame   "
