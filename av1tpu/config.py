@@ -54,6 +54,12 @@ class TpuEncoderConfig:
     # reference's av1_vaapi uses multi-reference prediction inside
     # ffmpeg (internal/ffmpeg/transcode.go:119-123).
     golden: bool = True
+    # lossless source-upload packing (encoder/io_pack.py): per-plane
+    # delta + 4-bit nibbles roughly halve the H2D bytes per chunk on
+    # typical content; chunks whose residual outliers exceed the cap
+    # fall back to the raw upload automatically.  Bit-identical output
+    # either way (tests/test_io_pack.py).
+    delta_upload: bool = True
     lowres_decode: bool = False
     # startup self-test frame (VerifyFFmpeg analog is 1280x720;
     # binary.go:282-295). Smaller sizes cut first-compile cost on

@@ -80,6 +80,7 @@ def _encode_chunk_jit():
     import jax
     import jax.numpy as jnp
 
+    from av1tpu.encoder import io_pack
     from av1tpu.engine_tpu import _unpack_planes_chunk
     from av1tpu.specav1 import jax_inter
 
@@ -87,13 +88,17 @@ def _encode_chunk_jit():
                        static_argnames=("k", "ph", "pw", "bit_depth",
                                         "th", "tw", "cap", "deblock",
                                         "qround", "cdef", "lr",
-                                        "golden"))
+                                        "golden", "packed_delta"))
     def go(packed, ry, ru, rv, qindexes, lfys, lfuvs, damps, k: int,
            ph: int, pw: int, bit_depth: int, th: int, tw: int, cap: int,
            deblock: bool = False, qround: float = 0.70,
            cdef: bool = False, lr: bool = False, golden: bool = False,
-           gy=None, gu=None, gv=None):
-        ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
+           gy=None, gu=None, gv=None, packed_delta: bool = False):
+        if packed_delta:
+            # packed: (nib, exc_pos, exc_val, modes, base_y/u/v)
+            ys, us, vs = io_pack.unpack_chunk(*packed, k, ph, pw)
+        else:
+            ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
         gkw = (dict(golden=True, gld_y=gy, gld_u=gu, gld_v=gv)
                if golden else {})
 
@@ -131,7 +136,8 @@ def _encode_chunk_jit():
                                  mv16s.reshape(-1), skip16s.reshape(-1),
                                  refsels.reshape(-1)])
         return carry, (jnp.packbits(mask), vals, count,
-                       grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)
+                       grids.astype(jnp.int32)), (ylvs, ulvs, vlvs), \
+            (ys[-1], us[-1], vs[-1])
 
     return go
 
@@ -282,6 +288,13 @@ class SpecTpuEngine(TpuEngine):
         self._golden = bool(getattr(self.cfg, "golden", True))
         self._golden_dev = None
         self._golden_shard = None
+        # delta-upload base chain: the previous source frame's padded
+        # planes on host (for packing) and on device (for unpacking —
+        # chunk outputs carry it forward, so it's never re-uploaded)
+        self._delta_upload = bool(getattr(self.cfg, "delta_upload",
+                                          True))
+        self._src_base_host = None
+        self._src_base_dev = None
 
     def _stripe_mesh(self, ph: int, th: int):
         """The ("stripe",) device mesh when multi-chip striping is on
@@ -308,6 +321,8 @@ class SpecTpuEngine(TpuEngine):
         super().start_stream()
         self._order_hint = 0
         self._gop_deblock = False
+        self._src_base_host = None
+        self._src_base_dev = None
 
     def _dispatch_pool(self):
         if self._dispatch is None:
@@ -387,6 +402,10 @@ class SpecTpuEngine(TpuEngine):
         # one packed H2D upload instead of three round trips
         packed_src = np.concatenate([yp.ravel(), up.ravel(), vp.ravel()])
         yj, uj, vj = _unpack_planes(jnp.asarray(packed_src), ph, pw)
+        # delta-upload base chain: this frame's source is the next
+        # chunk's prediction base (host copy packs, device copy unpacks)
+        self._src_base_host = (yp, up, vp)
+        self._src_base_dev = (yj, uj, vj)
         total = ph * pw + 2 * (ph // 2) * (pw // 2)
         cap = total // SPARSE_CAP_FRACTION
         if is_key:
@@ -534,18 +553,40 @@ class SpecTpuEngine(TpuEngine):
         use_cdef = self._cdef
         use_lr = self._lr
 
+        # delta-upload: snapshot the base chain synchronously (ordered
+        # with other submits) and advance the host side to this chunk's
+        # last frame; the device side advances through the chunk
+        # program's src_last output (never re-uploaded)
+        base_host, base_dev = self._src_base_host, self._src_base_dev
+        use_pack = (self._delta_upload and bd == 8 and mesh is None
+                    and base_host is not None and base_dev is not None
+                    and base_host[0].shape == (ph, pw))
+        self._src_base_host = planes[-1]
+
         def worker():
+            from av1tpu.encoder import io_pack
             refs = ref_prev() if callable(ref_prev) else ref_prev
             if refs[0].shape[0] != ph:
                 dpad = ph - refs[0].shape[0]
                 refs = (jnp.pad(refs[0], ((0, dpad), (0, 0))),
                         jnp.pad(refs[1], ((0, dpad // 2), (0, 0))),
                         jnp.pad(refs[2], ((0, dpad // 2), (0, 0))))
-            packed = np.concatenate(
-                [np.stack([p[0] for p in planes]).ravel(),
-                 np.stack([p[1] for p in planes]).ravel(),
-                 np.stack([p[2] for p in planes]).ravel()])
-            args = (jnp.asarray(packed), *refs,
+            src = None
+            packed_delta = False
+            if use_pack:
+                pk = io_pack.pack_chunk(planes, base_host)
+                if pk is not None:
+                    nib, ep, ev, modes = pk
+                    bdev = base_dev() if callable(base_dev) else base_dev
+                    src = (jnp.asarray(nib), jnp.asarray(ep),
+                           jnp.asarray(ev), jnp.asarray(modes), *bdev)
+                    packed_delta = True
+            if src is None:
+                src = jnp.asarray(np.concatenate(
+                    [np.stack([p[0] for p in planes]).ravel(),
+                     np.stack([p[1] for p in planes]).ravel(),
+                     np.stack([p[2] for p in planes]).ravel()]))
+            args = (src, *refs,
                     jnp.asarray(qi, jnp.int32),
                     jnp.asarray([a for a, _ in lf], jnp.int32),
                     jnp.asarray([b for _, b in lf], jnp.int32),
@@ -560,10 +601,13 @@ class SpecTpuEngine(TpuEngine):
             if mesh is not None:
                 from av1tpu.specav1 import jax_sharded as _js
                 return _js.encode_chunk_sharded(mesh, *args, **kw)
-            return _encode_chunk(*args, **kw)
+            return _encode_chunk(*args, packed_delta=packed_delta, **kw)
 
         fut = self._dispatch_pool().submit(worker)
         self._ref_dev = lambda: fut.result()[0]
+        # device base = this chunk's last source (stays on device)
+        self._src_base_dev = (None if mesh is not None
+                              else lambda: fut.result()[3])
         return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut, lf, damps,
                 use_lr, self._golden)
 
@@ -572,7 +616,7 @@ class SpecTpuEngine(TpuEngine):
         import jax as _jax
         (qindexes, w, h, th, tw, ph, pw, bd, ohs, k, fut, lfs,
          damps, lr_on, golden_on) = pending
-        _, pk, full = fut.result()
+        _, pk, full = fut.result()[:3]
         rs = (w, h) if (tw, th) != (w, h) else None
         mi_cols, mi_rows = 2 * ((tw + 7) >> 3), 2 * ((th + 7) >> 3)
         gh_t, gw_t = (mi_rows + 7) // 8, (mi_cols + 7) // 8
@@ -869,7 +913,31 @@ class SpecTpuEngine(TpuEngine):
                           gv=rv if self._golden else None,
                           )[1][0].block_until_ready()
 
+        def warm_chunk_packed():
+            from av1tpu.encoder import io_pack
+            total_ = k * total
+            src = (jnp.zeros((total_ // 2,), jnp.uint8),
+                   jnp.full((io_pack.CAP_PER_FRAME * k,), total_,
+                            jnp.int32),
+                   jnp.zeros((io_pack.CAP_PER_FRAME * k,), jnp.uint8),
+                   jnp.zeros((3,), jnp.int32), y, u, v)
+            _encode_chunk(src, ry, ru, rv,
+                          jnp.full((k,), 96, jnp.int32),
+                          jnp.full((k,), 10, jnp.int32),
+                          jnp.full((k,), 10, jnp.int32),
+                          jnp.full((k,), 4, jnp.int32), k=k, ph=ph,
+                          pw=pw, bit_depth=bit_depth, th=th, tw=tw,
+                          cap=k * cap, qround=self._qround,
+                          cdef=self._cdef, lr=self._lr,
+                          golden=self._golden,
+                          gy=ry if self._golden else None,
+                          gu=ru if self._golden else None,
+                          gv=rv if self._golden else None,
+                          packed_delta=True)[1][0].block_until_ready()
+
         jobs = [warm_intra, warm_inter] + ([warm_chunk] if k > 1 else [])
+        if k > 1 and bit_depth == 8 and self._delta_upload:
+            jobs.append(warm_chunk_packed)
 
         # the XLA CPU client is not compile-thread-safe when the
         # persistent cache serializes an executable on one thread while

@@ -245,4 +245,5 @@ def encode_chunk_sharded(mesh, packed, ry, ru, rv, qindexes, lfys,
                              mv16s.reshape(-1), skip16s.reshape(-1),
                              refsels.reshape(-1)])
     return carry, (jnp.packbits(mask), vals, count,
-                   grids.astype(jnp.int32)), (ylvs, ulvs, vlvs)
+                   grids.astype(jnp.int32)), (ylvs, ulvs, vlvs), \
+        (ys[-1], us[-1], vs[-1])

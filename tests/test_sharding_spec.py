@@ -189,7 +189,7 @@ def test_spec_chunk_sharded_bitidentical(mesh4):
     total = PH * PW + 2 * (PH // 2) * (PW // 2)
     cap = K * total // 16
     ry, ru, rv = (jax_sharded.shard_rows(mesh4, r) for r in refs)
-    carry_s, pk, full = jax_sharded.encode_chunk_sharded(
+    carry_s, pk, full, _src_last = jax_sharded.encode_chunk_sharded(
         mesh4, jnp.asarray(packed), ry, ru, rv,
         jnp.full((K,), 80, jnp.int32), jnp.zeros((K,), jnp.int32),
         jnp.zeros((K,), jnp.int32), jnp.full((K,), 4, jnp.int32),
