@@ -13,22 +13,33 @@ no measured number, so we use ~200 fps as the Arc figure (typical
 published Arc A310 AV1 1080p hardware-encode rates), giving a 400 fps
 target.  vs_baseline ≥ 1.0 means the north star is met.
 
-Harness design (round-3): the axon tunnel's first device→host transfer
-stalls nondeterministically (observed 4 s … >9.5 min; round-2's recorded
-bench timed out on it).  The bench therefore runs as a parent watchdog
-plus a measuring child:
+Harness design (round-4): BANK A FLOOR FIRST.  Rounds 2 and 3 recorded
+nothing because the measurement gated on a full prewarm of the heaviest
+config (chunked lax.scan + all features), and on the driver's capture
+(cold XLA cache, shared axon tunnel whose first device transfer stalls
+4 s…>9 min) that prewarm never finished inside the budget.  The harness
+is now two stages inside a parent watchdog:
+
+  * STAGE 0 — floor: immediately after the device channel answers, the
+    child compiles ONLY the two single-frame programs (intra + inter,
+    parallel threads), encodes 1 key + a few P frames, times 6
+    single-frame dispatches, and emits "#FLOOR <json>" — a complete,
+    honest (if conservative) result the parent can bank.  Cold-cache
+    cost to this point is two parallel compiles (~40 s) + seconds of
+    encoding: minutes, not the budget.
+  * STAGE 1 — full: prewarm the chunked config (the remaining compiles
+    reuse the in-process jit caches), run the real warmup + timed
+    region, and emit the final JSON line, which supersedes the floor.
 
   * the parent enforces a total budget (AV1TPU_BENCH_BUDGET, default
-    500 s), kills a child whose channel-warm stalls past a per-attempt
-    deadline and re-execs it (a fresh process re-rolls the stall), and
-    ALWAYS emits a parseable JSON line — relaying the child's, or a
-    degraded line built from the child's partial progress — before any
-    external timeout can fire (also on SIGTERM).
-  * the child absorbs the stall on a side thread while source frames
-    generate, compiles via the persistent XLA cache (verified to hit
-    across processes: 1080p prewarm 53 s cold → 20 s cached), sizes the
-    timed region to the time remaining, and streams progress lines
-    ("#PROG {...}") the parent can fall back on.
+    500 s) and ALWAYS emits a parseable JSON line — the child's final
+    line, else the best evidence seen (full-stage partial ≥ 1 chunk >
+    floor > any partial > zeros) — before any external timeout can
+    fire (also on SIGTERM).  The child is NEVER killed for stalling:
+    round-3's rehearsals proved the "stall" is a shared-pool QUEUE, so
+    killing + re-execing re-enters at the back and burns the budget
+    (that is exactly how this round's first rehearsal recorded 0.0).
+    One child lives the whole budget; re-exec only on child death.
 """
 
 from __future__ import annotations
@@ -46,6 +57,8 @@ TARGET_FPS = 400.0
 # chunk (key + 12 P = one 8-chunk + remainder singles); timed is a
 # multiple of cfg.chunk so no third shape compiles inside the timed region
 FULL_WARMUP, FULL_TIMED = 13, 24
+# floor config: 1 key + 2 settle + 6 timed single-frame dispatches
+FLOOR_WARMUP, FLOOR_TIMED = 3, 6
 
 
 def _json_line(fps: float, bpp: float, frames: int, seconds: float,
@@ -115,18 +128,74 @@ def child_main() -> int:
     threading.Thread(target=_warm_channel, daemon=True).start()
 
     # overlap the stall with source generation (the stall is wall-clock
-    # idle; frame synthesis is pure host CPU)
+    # idle; frame synthesis is pure host CPU).  Frames accrue on a side
+    # thread so the floor stage starts the moment its handful is ready.
     from av1tpu.utils.testsrc import testsrc2
 
-    frames = [testsrc2(WIDTH, HEIGHT, i)
-              for i in range(FULL_WARMUP + FULL_TIMED)]
-    _prog(stage="frames_ready", t=round(time.monotonic() - t0, 1))
-    warm_done.wait()  # parent enforces the deadline by killing us
+    n_total = FULL_WARMUP + FULL_TIMED
+    frames: list = []
+    frames_lock = threading.Condition()
+
+    def _gen_frames():
+        for i in range(n_total):
+            f = testsrc2(WIDTH, HEIGHT, i)
+            with frames_lock:
+                frames.append(f)
+                frames_lock.notify_all()
+        _prog(stage="frames_ready", t=round(time.monotonic() - t0, 1))
+
+    threading.Thread(target=_gen_frames, daemon=True).start()
+
+    def _await_frames(n: int):
+        with frames_lock:
+            while len(frames) < n:
+                frames_lock.wait(1.0)
+
+    _await_frames(FLOOR_WARMUP + FLOOR_TIMED)
+    warm_done.wait()  # may be most of the budget: shared-pool queue
 
     from av1tpu.spec_engine import SpecTpuEngine
 
     engine = SpecTpuEngine()
     engine.cfg.keyint = 120
+
+    # ---- STAGE 0: floor — bank a number with the cheap program set ----
+    # Sized to the time the queue left us: every variant is an honest
+    # steady-state measurement, just with fewer timed frames.
+    if rem() >= 100:
+        fl_warm, fl_timed = FLOOR_WARMUP, FLOOR_TIMED
+    elif rem() >= 55:
+        fl_warm, fl_timed = 2, 3
+    else:
+        fl_warm, fl_timed = 1, 2  # key only, then time 2 P frames
+    engine.cfg.chunk = 1  # prewarm compiles only intra + inter
+    engine.start_stream()
+    _prog(stage="floor_prewarm_start", t=round(time.monotonic() - t0, 1))
+    engine._prewarm(WIDTH, HEIGHT, 8)
+    _prog(stage="floor_prewarm_ok", t=round(time.monotonic() - t0, 1))
+    for _ in engine.encode_stream(frames[:fl_warm], 96):
+        pass
+    ts = time.monotonic()
+    fl_bytes = fl_done = 0
+    for payload, _ in engine.encode_stream(
+            frames[fl_warm:fl_warm + fl_timed], 96):
+        fl_bytes += len(payload)
+        fl_done += 1
+    fl_dt = time.monotonic() - ts
+    floor_line = _json_line(
+        fl_done / fl_dt, fl_bytes * 8 / fl_done / (WIDTH * HEIGHT),
+        fl_done, fl_dt,
+        degraded="floor: single-frame dispatches (chunking disabled)")
+    print("#FLOOR " + floor_line, flush=True)
+
+    # ---- STAGE 1: full config (chunked lax.scan dispatches) ----------
+    # The remaining compiles are the chunk programs; intra/inter reuse
+    # the in-process jit caches.  If the budget can't fit prewarm + a
+    # short timed region, stand on the floor.
+    if rem() < 75:
+        print(floor_line, flush=True)
+        return 0
+    engine.cfg.chunk = 8
     engine.start_stream()
     _prog(stage="prewarm_start", t=round(time.monotonic() - t0, 1))
     engine._prewarm(WIDTH, HEIGHT, 8)
@@ -140,7 +209,9 @@ def child_main() -> int:
     elif r >= 30:
         warmup, timed = 9, 8
     else:
-        warmup, timed = 1, 4
+        print(floor_line, flush=True)
+        return 0
+    _await_frames(warmup + timed)
 
     for _ in engine.encode_stream(frames[:warmup], 96):
         pass
@@ -179,6 +250,7 @@ class _Watchdog:
         self.t0 = time.monotonic()
         self.emitted = False
         self.last_partial = None  # dict from the child's "timed" PROGs
+        self.floor_line = None    # banked "#FLOOR" result (any attempt)
         self.child: subprocess.Popen | None = None
 
     def rem(self) -> float:
@@ -190,13 +262,27 @@ class _Watchdog:
         self.emitted = True
         print(line, flush=True)
 
-    def emit_degraded(self, why: str) -> None:
+    def _partial_line(self, why: str) -> str | None:
         p = self.last_partial
         if p and p.get("frames", 0) >= 2 and p.get("seconds", 0) > 0:
             fps = p["frames"] / p["seconds"]
             bpp = p["bytes"] * 8 / p["frames"] / (WIDTH * HEIGHT)
-            self.emit(_json_line(fps, bpp, p["frames"], p["seconds"],
-                                 degraded=f"partial timed region: {why}"))
+            return _json_line(fps, bpp, p["frames"], p["seconds"],
+                              degraded=f"partial timed region: {why}")
+        return None
+
+    def emit_degraded(self, why: str) -> None:
+        # evidence ranking: a full-config partial with at least one
+        # whole chunk beats the floor; the floor beats a tiny partial;
+        # anything beats zeros.
+        partial = self._partial_line(why)
+        p = self.last_partial
+        if partial and p.get("frames", 0) >= 8:
+            self.emit(partial)
+        elif self.floor_line:
+            self.emit(self.floor_line)
+        elif partial:
+            self.emit(partial)
         else:
             self.emit(_json_line(0.0, 0.0, 0, 0.0,
                                  degraded=f"no timed frames: {why}"))
@@ -228,16 +314,6 @@ def parent_main() -> int:
     attempt = 0
     while not wd.emitted and wd.rem() > 45:
         attempt += 1
-        # Attempt 1 bets on a fast stall roll (observed floor ~25 s):
-        # short deadline, kill + re-exec re-rolls the distribution.
-        # Attempt 2+ WAITS THE STALL OUT: the round-2 recorded bench
-        # died by re-roll thrash when every roll came up long (>110 s),
-        # so the fallback is a single long wait reserving ~90 s for the
-        # (possibly cold-compile) prewarm + degraded timed region.
-        if attempt == 1 and wd.rem() > 300:
-            warm_deadline = 90.0
-        else:
-            warm_deadline = max(20.0, wd.rem() - 90.0)
         env = dict(os.environ)
         env["AV1TPU_BENCH_CHILD_BUDGET"] = str(max(30.0, wd.rem() - 10.0))
         err_path = f"/tmp/av1tpu_bench_child{attempt}.err"
@@ -259,13 +335,7 @@ def parent_main() -> int:
 
         threading.Thread(target=_pump, args=(wd.child.stdout, lines),
                          daemon=True).start()
-        warm_ok = False
-        t_attempt = time.monotonic()
         while True:
-            if not warm_ok and time.monotonic() - t_attempt > warm_deadline:
-                # stall exceeded the attempt deadline: re-exec re-rolls it
-                wd.kill_child()
-                break
             if wd.rem() < 8:
                 wd.emit_degraded("budget exhausted")
                 wd.kill_child()
@@ -275,17 +345,19 @@ def parent_main() -> int:
             except queue.Empty:
                 continue
             if ln is None:
-                break  # EOF: child exited without a JSON line
+                break  # EOF: child DIED without a JSON line — re-exec
             line = ln.strip()
             if line.startswith("#PROG "):
+                print(line, file=sys.stderr, flush=True)  # diagnosability
                 try:
                     p = json.loads(line[6:])
                 except ValueError:
                     continue
-                if p.get("stage") == "warm_ok":
-                    warm_ok = True
-                elif p.get("stage") == "timed":
+                if p.get("stage") == "timed":
                     wd.last_partial = p
+            elif line.startswith("#FLOOR "):
+                print(line, file=sys.stderr, flush=True)
+                wd.floor_line = line[7:]
             elif line.startswith("{"):
                 wd.emit(line)
                 break
