@@ -309,9 +309,10 @@ class SpecTpuEngine(TpuEngine):
             # only when num_chips is set explicitly
             n = len(devs) if devs[0].platform != "cpu" else 1
         n = min(n, len(devs))
-        # strip geometries (th%32==16) keep the single-device inter path
-        # (the stripe bodies don't compute the bottom strip)
-        if n < 2 or th % 32 == 16 or not jax_sharded.sharding_ok(ph, th, n):
+        # strip geometries (th%32==16) compose: the stripe bodies skip
+        # the bottom strip and jax_sharded codes it on the gathered
+        # full-frame recon
+        if n < 2 or not jax_sharded.sharding_ok(ph, th, n):
             return None
         if self._mesh is None or self._mesh.shape["stripe"] != n:
             self._mesh = jax_sharded.make_mesh(n)
@@ -411,11 +412,14 @@ class SpecTpuEngine(TpuEngine):
         if is_key:
             # deblocking is RD-decided per GOP: it helps smooth/blocky
             # content and hurts grainy sources (smoothing the noise the
-            # next frame must re-code).  Strip geometries (th%32==16)
-            # are excluded: strip rows add 16px tx edges the uniform
-            # filter doesn't cover yet.
+            # next frame must re-code).  Strip geometries (th%32==16,
+            # e.g. 720/2160) filter their 16px strip edges via the
+            # loopfilter's masked passes; the masks assume a 16px-
+            # aligned coded width there.
             self._gop_deblock = (noise_floor(frame.y) <= 1.0
-                                 and th % 32 == 0)
+                                 and (th % 32 == 0
+                                      or (th % 32 == 16
+                                          and tw % 16 == 0)))
         lfy, lfuv = lf_levels(qindex, bd) if self._gop_deblock else (0, 0)
         damp = cdef_damping(qindex) if self._cdef else None
         if is_key:

@@ -112,25 +112,59 @@ class Decoder:
         In-loop filter order per spec 7.x: deblock -> CDEF -> LR."""
         planes = (td.planes[0], td.planes[1], td.planes[2])
         if any(hdr.lf.level) and not self.ignore_loop_filter:
-            # spec deblocking (7.14).  The vectorized filter assumes the
-            # uniform 32x32-luma tx grid our encoder emits; foreign
-            # streams with mixed tx sizes or split y levels still raise.
+            from av1tpu.specav1 import loopfilter as LF
+            # spec deblocking (7.14).  Fast vectorized path for the
+            # uniform 32x32-luma tx grid; the general grid-driven path
+            # covers everything else our encoder emits (PARTITION_SPLIT
+            # 16s, strip rows) and foreign one-level var-tx streams
+            # whose blocks are all >= 8x8 px.
             uniform = (np.all(td.tx_w4 == 8) and np.all(td.tx_h4 == 8)
                        and hdr.lf.level[0] == hdr.lf.level[1])
-            if not uniform:
-                raise NotImplementedError(
-                    f"loop filter on a non-uniform grid "
-                    f"(levels {hdr.lf.level})")
-            from av1tpu.specav1 import loopfilter as LF
-            import jax.numpy as jnp
-            fy, fu, fv = LF.deblock_frame(
-                jnp.asarray(td.planes[0].astype(np.int32)),
-                jnp.asarray(td.planes[1].astype(np.int32)),
-                jnp.asarray(td.planes[2].astype(np.int32)),
-                jnp.int32(hdr.lf.level[0]), jnp.int32(hdr.lf.level[2]),
-                jnp.int32(hdr.lf.level[3]), self.seq.bit_depth,
-                hdr.frame_height, hdr.frame_width)
-            planes = (np.asarray(fy), np.asarray(fu), np.asarray(fv))
+            if uniform:
+                import jax.numpy as jnp
+                fy, fu, fv = LF.deblock_frame(
+                    jnp.asarray(td.planes[0].astype(np.int32)),
+                    jnp.asarray(td.planes[1].astype(np.int32)),
+                    jnp.asarray(td.planes[2].astype(np.int32)),
+                    jnp.int32(hdr.lf.level[0]),
+                    jnp.int32(hdr.lf.level[2]),
+                    jnp.int32(hdr.lf.level[3]), self.seq.bit_depth,
+                    hdr.frame_height, hdr.frame_width)
+                planes = (np.asarray(fy), np.asarray(fu),
+                          np.asarray(fv))
+            else:
+                if hdr.lf.delta_enabled or hdr.delta_lf_present:
+                    raise NotImplementedError(
+                        "loop filter with per-ref/mode or per-block "
+                        "level deltas")
+                from av1tpu.specav1.tile import (BLOCK_SIZES,
+                                                 TX_SIZES_ALL,
+                                                 _chroma_tx_size)
+                # block dims from mi_size (mvgrid only covers inter
+                # frames; mi_size is filled on every path)
+                bs_tab = np.asarray(BLOCK_SIZES, np.int32)
+                n4_w = bs_tab[td.mi_size][..., 0]
+                n4_h = bs_tab[td.mi_size][..., 1]
+                if (n4_w.min() < 2 or n4_h.min() < 2):
+                    raise NotImplementedError(
+                        "loop filter with sub-8x8 blocks (chroma "
+                        "owner-edge geometry not modeled)")
+                nbs = int(td.mi_size.max()) + 1
+                lut_w = np.ones((nbs,), np.int32)
+                lut_h = np.ones((nbs,), np.int32)
+                for bs in np.unique(td.mi_size):
+                    ctx = _chroma_tx_size(int(bs), 1, 1)
+                    tw_, th_ = TX_SIZES_ALL[ctx]
+                    lut_w[bs], lut_h[bs] = tw_ >> 2, th_ >> 2
+                mr, mc = td.tx_w4.shape
+                ri = np.minimum(np.arange((mr + 1) // 2) * 2 + 1, mr - 1)
+                ci = np.minimum(np.arange((mc + 1) // 2) * 2 + 1, mc - 1)
+                owner = td.mi_size[np.ix_(ri, ci)]
+                planes = LF.deblock_frame_general(
+                    planes, tuple(hdr.lf.level), hdr.lf.sharpness,
+                    td.tx_w4, td.tx_h4, n4_w, n4_h, td.skips,
+                    td.mvgrid.ref > 0, lut_w[owner], lut_h[owner],
+                    self.seq.bit_depth)
         pre_cdef = planes  # post-deblock: LR stripe-boundary source
         c = hdr.cdef
         cdef_on = any(c.y_pri) or any(c.y_sec) or any(c.uv_pri) \

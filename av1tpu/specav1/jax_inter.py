@@ -243,9 +243,9 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
 
     split16: per-32-block RD decision between one 32x32 MV and a
     PARTITION_SPLIT into four 16x16 blocks with their own MVs (spec
-    32->16 partition; the moving-object boundary case).  Forced off
-    when deblocking is on (the uniform-grid device deblocker doesn't
-    model the extra 16px tx edges a split introduces) and for blocks
+    32->16 partition; the moving-object boundary case).  Composes with
+    deblocking (the split's extra 16px tx edges are filtered by the
+    loopfilter's masked mid-block passes); forced off only for blocks
     not fully inside the coded frame.
 
     th/tw: the true (coded) frame dims.  The spec clamps reference
@@ -441,10 +441,9 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     lv_v_p = to_plane(lv_v, 16, gh, gw)
 
     # ---- 32 -> 16 partition RD (spec PARTITION_SPLIT) ----------------
-    # deblock's uniform-grid device filter can't model split tx edges;
-    # gated off together (the GOP classifier enables deblock only on
-    # smooth content where splits rarely pay anyway)
-    do_split = split16 and not deblock
+    # (composes with deblock: the split's 16px tx edges are filtered by
+    # loopfilter's masked mid-block passes)
+    do_split = split16
     if do_split:
         g16h, g16w = H // 16, Wd // 16
         B16 = g16h * g16w
@@ -585,43 +584,22 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     # the keyframe strip (strip blocks are intra in every frame)
     nsc = 2 * (Wd // 32)
     if (not stripe) and th % 32 == 16:
-        from av1tpu.specav1.jax_intra import _fwd_mat as _fm
-        fm16i = jnp.asarray(_fm(16))
-        y0 = (th // 32) * 32
-        pred = jnp.broadcast_to(rec_y_p[y0 - 1][None, :], (16, Wd))
-        srows = src_y[y0:y0 + 16, :]
-        resid = (srows - pred).astype(jnp.float32)
-        rblk = resid.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
-        coef = jnp.einsum("ij,bjk,lk->bil", fm16i, rblk, fm16i)
-        lvs = quant(coef, 16, 0)
-        dqs = dequant(lvs, 16, 0)
-        pblk = pred.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
-        rec_blk = inv_dct2d_add(dqs, pblk.astype(jnp.int32), bit_depth)
-        rec_rows = rec_blk.transpose(1, 0, 2).reshape(16, Wd)
-        lv_rows = lvs.transpose(1, 0, 2).reshape(16, Wd)
-        rec_y_p = jax.lax.dynamic_update_slice(rec_y_p, rec_rows, (y0, 0))
-        lv_y_p = jax.lax.dynamic_update_slice(lv_y_p, lv_rows, (y0, 0))
-        strip_skip = (lvs == 0).all(axis=(1, 2))[:nsc].astype(jnp.int32)
-        cy0 = y0 // 2
-        cpred = jnp.broadcast_to(rec_u_p[cy0 - 1][None, :], (8, Wd // 2))
-        rec_u_p = jax.lax.dynamic_update_slice(
-            rec_u_p, cpred.astype(rec_u_p.dtype), (cy0, 0))
-        cpredv = jnp.broadcast_to(rec_v_p[cy0 - 1][None, :], (8, Wd // 2))
-        rec_v_p = jax.lax.dynamic_update_slice(
-            rec_v_p, cpredv.astype(rec_v_p.dtype), (cy0, 0))
-        lv_u_p = jax.lax.dynamic_update_slice(
-            lv_u_p, jnp.zeros((8, Wd // 2), lv_u_p.dtype), (cy0, 0))
-        lv_v_p = jax.lax.dynamic_update_slice(
-            lv_v_p, jnp.zeros((8, Wd // 2), lv_v_p.dtype), (cy0, 0))
+        (rec_y_p, rec_u_p, rec_v_p, lv_y_p, lv_u_p, lv_v_p,
+         strip_skip) = code_strip(src_y, rec_y_p, rec_u_p, rec_v_p,
+                                  lv_y_p, lv_u_p, lv_v_p, th, dcq, acq,
+                                  qround, bit_depth)
     else:
         strip_skip = jnp.zeros((nsc,), jnp.int32)
     if deblock and not stripe:
         # in-loop deblocking (stripe mode filters after the gather on
-        # the full frame — tile-row edges need both sides)
+        # the full frame — tile-row edges need both sides); split and
+        # strip structure adds masked mid-block edges
         from av1tpu.specav1 import loopfilter as _LF
         rec_y_p, rec_u_p, rec_v_p = _LF.deblock_frame(
             rec_y_p, rec_u_p, rec_v_p, lf_y, lf_uv, lf_uv,
-            bit_depth, th, tw)
+            bit_depth, th, tw,
+            split=split.reshape(gh, gw) if do_split else None,
+            strip=(th % 32 == 16))
     pre_cdef_y = rec_y_p  # post-deblock: LR stripe-boundary source
     if cdef and not stripe:
         # in-loop CDEF after deblock (spec 7.15 placement); the frame
@@ -678,6 +656,57 @@ def build_skip8(skip_blocks, strip_skip, th: int, tw: int, pw: int,
             sk8, jnp.broadcast_to(strip8[None, :], (2, strip8.shape[0])),
             (srow, 0))
     return sk8[:fh8 // 8, :fw8 // 8]
+
+
+def code_strip(src_y, rec_y_p, rec_u_p, rec_v_p, lv_y_p, lv_u_p,
+               lv_v_p, th: int, dcq, acq, qround: float,
+               bit_depth: int):
+    """Code the 16px bottom strip (th % 32 == 16) onto completed recon
+    planes: intra V_PRED 16x16 luma blocks with coded DCT residual,
+    chroma prediction-only (all-zero txbs).  Shared by the single-chip
+    frame encode and the sharded path (which codes the strip on the
+    gathered full-frame recon, where the stripe bodies left garbage
+    rows).  src_y: int32 source luma.  Returns the updated planes and
+    the (nsc,) strip_skip grid."""
+    Wd = rec_y_p.shape[1]
+    nsc = 2 * (Wd // 32)
+    fm16i = jnp.asarray(_fwd_mat(16))
+    deadzone = jnp.float32(1.0 - qround)
+    dqm = jnp.full((16, 16), acq, jnp.float32).at[0, 0].set(
+        dcq.astype(jnp.float32) if hasattr(dcq, "astype")
+        else jnp.float32(dcq))
+    y0 = (th // 32) * 32
+    pred = jnp.broadcast_to(rec_y_p[y0 - 1][None, :], (16, Wd))
+    srows = src_y[y0:y0 + 16, :]
+    resid = (srows - pred).astype(jnp.float32)
+    rblk = resid.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
+    coef = jnp.einsum("ij,bjk,lk->bil", fm16i, rblk, fm16i)
+    mag = jnp.abs(coef) / dqm + deadzone
+    lvq = jnp.clip(jnp.floor(mag), 0, 32767).astype(jnp.int32)
+    lvs = jnp.where(coef < 0, -lvq, lvq)
+    dqi = jnp.full((16, 16), acq, jnp.int32).at[0, 0].set(dcq)
+    dmag = (jnp.abs(lvs) * dqi) & 0xFFFFFF
+    dqs = jnp.sign(lvs) * dmag
+    pblk = pred.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
+    rec_blk = inv_dct2d_add(dqs, pblk.astype(jnp.int32), bit_depth)
+    rec_rows = rec_blk.transpose(1, 0, 2).reshape(16, Wd)
+    lv_rows = lvs.transpose(1, 0, 2).reshape(16, Wd)
+    rec_y_p = jax.lax.dynamic_update_slice(rec_y_p, rec_rows, (y0, 0))
+    lv_y_p = jax.lax.dynamic_update_slice(lv_y_p, lv_rows, (y0, 0))
+    strip_skip = (lvs == 0).all(axis=(1, 2))[:nsc].astype(jnp.int32)
+    cy0 = y0 // 2
+    cpred = jnp.broadcast_to(rec_u_p[cy0 - 1][None, :], (8, Wd // 2))
+    rec_u_p = jax.lax.dynamic_update_slice(
+        rec_u_p, cpred.astype(rec_u_p.dtype), (cy0, 0))
+    cpredv = jnp.broadcast_to(rec_v_p[cy0 - 1][None, :], (8, Wd // 2))
+    rec_v_p = jax.lax.dynamic_update_slice(
+        rec_v_p, cpredv.astype(rec_v_p.dtype), (cy0, 0))
+    lv_u_p = jax.lax.dynamic_update_slice(
+        lv_u_p, jnp.zeros((8, Wd // 2), lv_u_p.dtype), (cy0, 0))
+    lv_v_p = jax.lax.dynamic_update_slice(
+        lv_v_p, jnp.zeros((8, Wd // 2), lv_v_p.dtype), (cy0, 0))
+    return (rec_y_p, rec_u_p, rec_v_p, lv_y_p, lv_u_p, lv_v_p,
+            strip_skip)
 
 
 def encode_interframe_device(y, u, v, ref_planes, qindex: int,

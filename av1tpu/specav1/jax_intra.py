@@ -809,7 +809,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         from av1tpu.specav1 import loopfilter as _LF
         fy, fu, fv = _LF.deblock_frame(carry[0], carry[1], carry[2],
                                        lf_y, lf_uv, lf_uv, bit_depth,
-                                       th, tw)
+                                       th, tw, strip=strip)
     else:
         fy, fu, fv = carry[0:3]
     pre_cdef_y = fy  # post-deblock: LR stripe-boundary source

@@ -153,21 +153,39 @@ def _frame_step_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
     out = shard_map(
         body, mesh=mesh, in_specs=in_specs,
         out_specs=out_specs, check_rep=False)(*args)
-    # deblock + CDEF on the full-frame recon (AV1 filters across tile
-    # boundaries, so stripe edges need both sides).  The arrays stay
-    # row-sharded: XLA's SPMD partitioner inserts the small boundary
-    # halo exchanges the filter taps imply — no gather
+    # strip rows + deblock + CDEF on the full-frame recon (AV1 filters
+    # across tile boundaries, so stripe edges need both sides).  The
+    # arrays stay row-sharded: XLA's SPMD partitioner inserts the small
+    # boundary halo exchanges the filter taps imply — no gather
     fy, fu, fv = out[5], out[6], out[7]
+    lv_y, lv_u, lv_v = out[2], out[3], out[4]
+    strip_skip = out[8]
+    gh, gw = y.shape[0] // 32, y.shape[1] // 32
+    strip = (th % 32) == 16
+    if strip:
+        # the stripe bodies left garbage in the strip rows (they never
+        # compute them); code the 16x16 intra strip on the gathered
+        # recon, exactly like the single-chip path
+        from av1tpu.specav1 import recon as _R
+        dcq = jnp.asarray(_R.DC_Q[bit_depth], jnp.int32)[
+            jnp.asarray(qindex, jnp.int32).reshape(())]
+        acq = jnp.asarray(_R.AC_Q[bit_depth], jnp.int32)[
+            jnp.asarray(qindex, jnp.int32).reshape(())]
+        (fy, fu, fv, lv_y, lv_u, lv_v, strip_skip) = \
+            jax_inter.code_strip(y.astype(jnp.int32), fy, fu, fv,
+                                 lv_y, lv_u, lv_v, th, dcq, acq,
+                                 qround, bit_depth)
     if deblock:
         from av1tpu.specav1 import loopfilter as _LF
         fy, fu, fv = _LF.deblock_frame(fy, fu, fv, lf_y, lf_uv,
-                                       lf_uv, bit_depth, th, tw)
+                                       lf_uv, bit_depth, th, tw,
+                                       split=out[11].reshape(gh, gw),
+                                       strip=strip)
     cdefs = out[9]
     pre_cdef_y = fy  # post-deblock: LR stripe-boundary source
     if cdef:
         from av1tpu.specav1 import jax_cdef
-        gh, gw = y.shape[0] // 32, y.shape[1] // 32
-        skip8 = jax_inter.build_skip8(out[1].reshape(gh, gw), out[8],
+        skip8 = jax_inter.build_skip8(out[1].reshape(gh, gw), strip_skip,
                                       th, tw, y.shape[1],
                                       split=out[11], skip16=out[13])
         fy, fu, fv, cdefs = jax_cdef.cdef_search_apply(
@@ -178,7 +196,8 @@ def _frame_step_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
         from av1tpu.specav1 import jax_lr
         fy, lr_choice = jax_lr.lr_search_apply(
             fy, pre_cdef_y, y, bit_depth=bit_depth, th=th, tw=tw)
-    return out[0:5] + (fy, fu, fv, out[8], cdefs, lr_choice,
+    return out[0:2] + (lv_y, lv_u, lv_v, fy, fu, fv, strip_skip,
+                       cdefs, lr_choice,
                        out[11], out[12], out[13], out[14])
 
 
