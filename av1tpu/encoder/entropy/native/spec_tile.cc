@@ -419,13 +419,15 @@ static void write_lr(SpecTileWriter *w, int r_local, int c) {
       uint16_t *cdf = w->tbl(TBL_RESTORE_WIENER, 0);
       sym(w, ch >= 0 ? 1 : 0, cdf, 2);
       if (ch < 0) continue;
-      const int32_t *taps = &w->lr_taps[ch * 3];
+      // 6-wide rows: (v0, v1, v2, h0, h1, h2); pass 0 = vertical
+      const int32_t *taps = &w->lr_taps[ch * 6];
       for (int pass = 0; pass < 2; ++pass) {
         for (int j = 0; j < 3; ++j) {
+          int32_t t = taps[pass * 3 + j];
           lr_write_signed_subexp(w, kWienerTapsMin[j],
                                  kWienerTapsMax[j] + 1, kWienerTapsK[j],
-                                 w->lr_ref[pass][j], taps[j]);
-          w->lr_ref[pass][j] = taps[j];
+                                 w->lr_ref[pass][j], t);
+          w->lr_ref[pass][j] = t;
         }
       }
     }
@@ -1306,7 +1308,7 @@ void stw_set_lr(SpecTileWriter *w, int unit_size, int urows, int ucols,
   w->lr_ucols = ucols;
   w->lr_ntaps = ntaps;
   w->lr_choice.assign(choice, choice + (size_t)urows * ucols);
-  w->lr_taps.assign(taps, taps + (size_t)ntaps * 3);
+  w->lr_taps.assign(taps, taps + (size_t)ntaps * 6);
 }
 
 void stw_set_tile_row(SpecTileWriter *w, int row0_mi, int frame_mi_rows) {

@@ -545,10 +545,13 @@ class TpuEngine:
             if kind == "key":
                 flush_buf()  # preserve order: buffered P frames first
                 # keyframe quality boost: the key is every GOP frame's
-                # (direct or golden) reference, so spending ~8 qindex
-                # on it lifts the whole GOP (+0.2 dB avg measured) for
-                # a cost amortized over keyint frames
-                kq = max(0, q - 8)
+                # (direct or golden) reference, so spending qindex on
+                # it lifts the whole GOP for a cost amortized over
+                # keyint frames.  Deeper boost measured on textured
+                # 1080p content: q//3 (q96 -> key q64) gained ~+1 dB
+                # GOP-average at +7% of one GOP's bits vs the old -8
+                # (BASELINE.md round 4; libaom's kf boost is similar)
+                kq = max(0, q - min(48, max(8, q // 3)))
                 pending.append(("single",
                                 self._submit(frame, kq, is_key=True)))
             elif kind == "flash":

@@ -112,13 +112,13 @@ def _encode_chunk_jit():
                                           **gkw)
             return out[5:8], out[0:5] + (out[8], out[9], out[10],
                                           out[11], out[12], out[13],
-                                          out[14])
+                                          out[14], out[15])
 
         carry, outs = jax.lax.scan(step, (ry, ru, rv),
                                    (ys, us, vs, qindexes, lfys, lfuvs,
                                     damps))
         (mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs, lrcs,
-         splits, mv16s, skip16s, refsels) = outs
+         splits, mv16s, skip16s, refsels, lrtaps) = outs
         # frame-major y|u|v flattening so per-frame slices are
         # byte-aligned contiguous runs on the host
         flat = jnp.concatenate([ylvs.reshape(k, -1),
@@ -134,7 +134,8 @@ def _encode_chunk_jit():
                                  strips.reshape(-1), cdefs.reshape(-1),
                                  lrcs.reshape(-1), splits.reshape(-1),
                                  mv16s.reshape(-1), skip16s.reshape(-1),
-                                 refsels.reshape(-1)])
+                                 refsels.reshape(-1),
+                                 lrtaps.reshape(-1)])
         return carry, (jnp.packbits(mask), vals, count,
                        grids.astype(jnp.int32)), (ylvs, ulvs, vlvs), \
             (ys[-1], us[-1], vs[-1])
@@ -256,16 +257,46 @@ def _lr_nru(th: int, tw: int) -> tuple:
 
 
 def _lr_taps():
+    """Tied (v == h) 6-tap rows for the static presets."""
     from av1tpu.specav1 import jax_lr
-    return np.asarray(jax_lr.PRESETS, np.int32)
+    p = np.asarray(jax_lr.PRESETS, np.int32)
+    return np.concatenate([p, p], axis=1)
 
 
-def _tile_plan(th: int):
-    """(tile_rows_log2, spans, block_row_starts) for a coded height."""
+def _lr_table(choice_grid, taps6):
+    """(choice_grid', taps_table) for the tile writer: preset rows
+    0..P-1 (tied), then one solved (v0,v1,v2,h0,h1,h2) row per RU;
+    device choice P (= solved) maps to row P + ru_index."""
+    from av1tpu.specav1 import jax_lr
+    P = len(jax_lr.PRESETS)
+    nru = taps6.shape[0]
+    tab = np.concatenate([_lr_taps(), np.asarray(taps6, np.int32)],
+                         axis=0)
+    idx = np.where(choice_grid == P,
+                   P + np.arange(nru, dtype=np.int32).reshape(
+                       choice_grid.shape),
+                   choice_grid)
+    return idx.astype(np.int32), tab
+
+
+def _tile_plan(th: int, chips: int = 1):
+    """(tile_rows_log2, spans, block_row_starts) for a coded height.
+
+    chips > 4 raises the tile-row count so keyframe tile-row sharding
+    (jax_sharded.key_stripe_plan needs n <= 2^trl2 dividing it) and
+    parallel host entropy keep one-or-more tiles per chip.  Tile rows
+    cost a few bits each (per-tile CDF reset), so the bump is
+    chip-count-conditioned, not default."""
     from av1tpu.specav1 import writer as _W
     mi_rows = 2 * ((th + 7) >> 3)
     sbr = (mi_rows + 15) >> 4
     trl2 = 2 if sbr >= 8 else 0
+    if chips > 4 and sbr >= 8:
+        want = (chips - 1).bit_length()
+        max_l2 = 0
+        while (1 << (max_l2 + 1)) <= min(sbr, 64):
+            max_l2 += 1
+        trl2 = min(max(trl2, want), max_l2)
     spans = _W.tile_row_spans(th, trl2)
     brs = tuple(mi0 // 8 for mi0, _ in spans[1:])
     return trl2, spans, brs
@@ -422,15 +453,49 @@ class SpecTpuEngine(TpuEngine):
                                           and tw % 16 == 0)))
         lfy, lfuv = lf_levels(qindex, bd) if self._gop_deblock else (0, 0)
         damp = cdef_damping(qindex) if self._cdef else None
+        mesh = self._stripe_mesh(ph, th)
+        chips = mesh.shape["stripe"] if mesh is not None else 1
         if is_key:
-            _, _, brs = _tile_plan(th)
-            out = jax_intra._encode_frame(
-                yj, uj, vj, jnp.int32(qindex), nbr=ph // 32,
-                nbc=pw // 32, bit_depth=bd, th=th, tw=tw,
-                tile_row_starts=brs, lf_y=jnp.int32(lfy),
-                lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
-                qround=self._qround, cdef=self._cdef,
-                cdef_damping=jnp.int32(damp or 4), lr=self._lr)
+            trl2, _, brs = _tile_plan(th, chips)
+            kplan = None
+            if mesh is not None:
+                from av1tpu.specav1 import jax_sharded
+                kplan = jax_sharded.key_stripe_plan(th, ph, chips, trl2)
+            if kplan is not None:
+                # tile-row-parallel keyframe: each chip wavefronts its
+                # own tile rows (tiles share no prediction state), strip
+                # + filters compose on the gathered recon
+                from av1tpu.specav1 import jax_sharded
+                stripe_h, ph_s, local_brs = kplan
+                dp = ph_s - yp.shape[0]
+                yk = np.pad(yp, ((0, dp), (0, 0)), mode="edge")
+                uk = np.pad(up, ((0, dp // 2), (0, 0)), mode="edge")
+                vk = np.pad(vp, ((0, dp // 2), (0, 0)), mode="edge")
+                out = jax_sharded.encode_key_sharded(
+                    mesh, jax_sharded.shard_rows(mesh, yk),
+                    jax_sharded.shard_rows(mesh, uk),
+                    jax_sharded.shard_rows(mesh, vk),
+                    jnp.int32(qindex), bit_depth=bd, th=th, tw=tw,
+                    stripe_h=stripe_h, local_brs=local_brs,
+                    lf_y=jnp.int32(lfy), lf_uv=jnp.int32(lfuv),
+                    deblock=self._gop_deblock, qround=self._qround,
+                    cdef=self._cdef, cdef_damping=jnp.int32(damp or 4),
+                    lr=self._lr)
+                # crop the stripe pad back to the engine's SB-padded
+                # height so the GOP reference chain sees (ph, pw)
+                out = (out[0][:ph], out[1][:ph // 2], out[2][:ph // 2],
+                       out[3][:ph], out[4][:ph // 2], out[5][:ph // 2],
+                       out[6][:ph // 32], out[7][:ph // 32],
+                       out[8][:ph // 32], out[9][:ph // 32],
+                       out[10], out[11], out[12], out[13])
+            else:
+                out = jax_intra._encode_frame(
+                    yj, uj, vj, jnp.int32(qindex), nbr=ph // 32,
+                    nbc=pw // 32, bit_depth=bd, th=th, tw=tw,
+                    tile_row_starts=brs, lf_y=jnp.int32(lfy),
+                    lf_uv=jnp.int32(lfuv), deblock=self._gop_deblock,
+                    qround=self._qround, cdef=self._cdef,
+                    cdef_damping=jnp.int32(damp or 4), lr=self._lr)
             self._ref_dev = out[0:3]
             self._golden_dev = out[0:3]
             self._golden_shard = None
@@ -440,13 +505,13 @@ class SpecTpuEngine(TpuEngine):
                                      out[9].reshape(-1),
                                      out[10].reshape(-1),
                                      out[11].reshape(-1),
-                                     out[12].reshape(-1)])
+                                     out[12].reshape(-1),
+                                     out[13].reshape(-1)])
             pk = _pack_outputs(out[3], out[4], out[5], grids, cap)
             return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
                     refresh, out, pk, cap, lfy, lfuv, damp, self._lr,
-                    self._golden)
+                    self._golden, chips)
         refs = self._resolve_refs()
-        mesh = self._stripe_mesh(ph, th)
         if mesh is not None:
             from av1tpu.specav1 import jax_sharded
             n = mesh.shape["stripe"]
@@ -506,11 +571,12 @@ class SpecTpuEngine(TpuEngine):
                                  out[11].reshape(-1),
                                  out[12].reshape(-1),
                                  out[13].reshape(-1),
-                                 out[14].reshape(-1)])
+                                 out[14].reshape(-1),
+                                 out[15].reshape(-1)])
         pk = _pack_outputs(out[2], out[3], out[4], grids, cap)
         return ("inter", qindex, w, h, th, tw, ph, pw, bd, oh,
                 refresh, out, pk, cap, lfy, lfuv, damp, self._lr,
-                self._golden)
+                self._golden, chips)
 
     def _submit_chunk(self, frames, qindexes):
         """Upload + dispatch run on an ordered worker thread: the 25MB
@@ -612,14 +678,15 @@ class SpecTpuEngine(TpuEngine):
         # device base = this chunk's last source (stays on device)
         self._src_base_dev = (None if mesh is not None
                               else lambda: fut.result()[3])
+        chips = mesh.shape["stripe"] if mesh is not None else 1
         return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut, lf, damps,
-                use_lr, self._golden)
+                use_lr, self._golden, chips)
 
     @staticmethod
     def _finalize_chunk(pending) -> list:
         import jax as _jax
         (qindexes, w, h, th, tw, ph, pw, bd, ohs, k, fut, lfs,
-         damps, lr_on, golden_on) = pending
+         damps, lr_on, golden_on, chips) = pending
         _, pk, full = fut.result()[:3]
         rs = (w, h) if (tw, th) != (w, h) else None
         mi_cols, mi_rows = 2 * ((tw + 7) >> 3), 2 * ((th + 7) >> 3)
@@ -627,7 +694,7 @@ class SpecTpuEngine(TpuEngine):
         gh, gw = ph // 32, pw // 32
         B = gh * gw
         ntot = ph * pw + 2 * (ph // 2) * (pw // 2)
-        trl2, spans, _ = _tile_plan(th)
+        trl2, spans, _ = _tile_plan(th, chips)
         maskbytes, vals, count, grids = _jax.device_get(pk)
         overflow = int(count) > vals.shape[0]
         if not overflow:
@@ -652,7 +719,8 @@ class SpecTpuEngine(TpuEngine):
                          p0 + k * 13 * B].reshape(k, B, 4)
         refselss = grids[p0 + k * 13 * B:
                          p0 + k * 14 * B].reshape(k, B)
-        lr_taps = _lr_taps() if lr_on else None
+        p1 = p0 + k * 14 * B
+        lrtapss = grids[p1:p1 + k * nru * 6].reshape(k, nru, 6)
 
         def one(i):
             if overflow:
@@ -673,7 +741,8 @@ class SpecTpuEngine(TpuEngine):
                  skips[i].reshape(gh, gw)[:gh_t, :gw_t]),
                 ylv, ulv, vlv,
                 strip_skip=stripss[i] if strip else None,
-                lr=(256, lrcs[i].reshape(urows, ucols), lr_taps)
+                lr=((256,) + _lr_table(lrcs[i].reshape(urows, ucols),
+                                       lrtapss[i]))
                 if lr_on else None,
                 split3=(splitss[i].reshape(gh, gw)[:gh_t, :gw_t],
                         mv16ss[i].reshape(gh, gw, 4, 2)[:gh_t, :gw_t],
@@ -703,7 +772,7 @@ class SpecTpuEngine(TpuEngine):
     def _finalize(pending) -> tuple[bytes, bool]:
         import jax as _jax
         (kind, qindex, w, h, th, tw, ph, pw, bd, oh, refresh, out,
-         pk, cap, lfy, lfuv, cdamp, lr_on, golden_on) = pending
+         pk, cap, lfy, lfuv, cdamp, lr_on, golden_on, chips) = pending
         # true dims: headers carry (tw, th); render_size only for the
         # padded fallback where the coded frame exceeds the display area
         rs = (w, h) if (tw, th) != (w, h) else None
@@ -716,7 +785,7 @@ class SpecTpuEngine(TpuEngine):
         shapes = [(ph, pw), (ph // 2, pw // 2), (ph // 2, pw // 2)]
         # multi-tile rows: parallel native entropy coding, and the unit
         # of multi-chip sharding (one chip's stripe = N tile rows)
-        trl2, spans, _ = _tile_plan(th)
+        trl2, spans, _ = _tile_plan(th, chips)
         # sparse level transfer (one small D2H); full-plane fallback on
         # capacity overflow
         maskbytes, vals, count, grids = _jax.device_get(pk)
@@ -739,7 +808,8 @@ class SpecTpuEngine(TpuEngine):
         lr_kw = {}
         lr_arg = None
         if lr_on:
-            lr_arg = (256, lr_choice, _lr_taps())
+            taps6 = grids[-6 * nru:].reshape(nru, 6)
+            lr_arg = (256,) + _lr_table(lr_choice, taps6)
             lr_kw["lr_types"] = (1, 0, 0)
         cdef_hdr = None
         if cdamp is not None:
@@ -856,7 +926,8 @@ class SpecTpuEngine(TpuEngine):
         ry = jnp.zeros((ph, pw), jnp.int32)
         ru = jnp.zeros((ph // 2, pw // 2), jnp.int32)
         rv = jnp.zeros((ph // 2, pw // 2), jnp.int32)
-        _, _, brs = _tile_plan(th)
+        m = self._stripe_mesh(ph, th)
+        _, _, brs = _tile_plan(th, m.shape["stripe"] if m else 1)
         total = ph * pw + 2 * (ph // 2) * (pw // 2)
         cap = total // SPARSE_CAP_FRACTION
         k = min(max(1, int(getattr(self.cfg, "chunk", 1))),
@@ -878,7 +949,8 @@ class SpecTpuEngine(TpuEngine):
                                   kout[9].reshape(-1),
                                   kout[10].reshape(-1),
                                   kout[11].reshape(-1),
-                                  kout[12].reshape(-1)])
+                                  kout[12].reshape(-1),
+                                  kout[13].reshape(-1)])
             _jax.device_get(
                 _pack_outputs(kout[3], kout[4], kout[5], gk, cap))
 
@@ -897,7 +969,12 @@ class SpecTpuEngine(TpuEngine):
                                   iout[1].reshape(-1),
                                   iout[8].reshape(-1),
                                   iout[9].reshape(-1),
-                                  iout[10].reshape(-1)])
+                                  iout[10].reshape(-1),
+                                  iout[11].reshape(-1),
+                                  iout[12].reshape(-1),
+                                  iout[13].reshape(-1),
+                                  iout[14].reshape(-1),
+                                  iout[15].reshape(-1)])
             _jax.device_get(
                 _pack_outputs(iout[2], iout[3], iout[4], gi, cap))
 

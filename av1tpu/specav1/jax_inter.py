@@ -614,19 +614,21 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
     else:
         cdefs = jnp.zeros((4,), jnp.int32)
     if lr and not stripe:
-        # in-loop Wiener loop restoration after CDEF (spec 7.17): per-RU
-        # preset search on luma, decisions returned for the tile syntax
+        # in-loop Wiener loop restoration after CDEF (spec 7.17):
+        # per-RU preset + solved-tap search on luma, decisions + taps
+        # returned for the tile syntax
         from av1tpu.specav1 import jax_lr
-        rec_y_p, lr_choice = jax_lr.lr_search_apply(
+        rec_y_p, lr_choice, lr_taps = jax_lr.lr_search_apply(
             rec_y_p, pre_cdef_y, y, bit_depth=bit_depth, th=th, tw=tw)
     else:
         from av1tpu.specav1 import lr as _NL
         nru = (_NL.count_units_in_frame(256, th or rec_y_p.shape[0]) *
                _NL.count_units_in_frame(256, tw or rec_y_p.shape[1]))
         lr_choice = jnp.full((nru,), -1, jnp.int32)
+        lr_taps = jnp.zeros((nru, 6), jnp.int32)
     return (mv8, skip, lv_y_p, lv_u_p, lv_v_p,
             rec_y_p, rec_u_p, rec_v_p, strip_skip, cdefs, lr_choice,
-            split, mv16_z, skip16_z, refsel)
+            split, mv16_z, skip16_z, refsel, lr_taps)
 
 
 def build_skip8(skip_blocks, strip_skip, th: int, tw: int, pw: int,

@@ -572,9 +572,15 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
                   th: int = 0, tw: int = 0, tile_row_starts: tuple = (),
                   lf_y=0, lf_uv=0, deblock: bool = False,
                   qround: float = 0.70, cdef: bool = False,
-                  cdef_damping=4, lr: bool = False):
+                  cdef_damping=4, lr: bool = False, fh_clamp=None):
     """y: (H, W) uint8/16 SB-padded source; returns grids + levels +
-    recon planes."""
+    recon planes.
+
+    fh_clamp: optional TRACED override of the bottom edge-read clamp
+    (the spec's MiRows*4 bound on left-column reads).  The sharded
+    keyframe path passes min(global_fh8 - row0, stripe_h) per stripe
+    so the LAST stripe clamps at the true frame bottom exactly like
+    the single-chip encode (jax_sharded.encode_key_sharded)."""
     H, Wd = nbr * 32, nbc * 32
     th = th or H
     tw = tw or Wd
@@ -594,6 +600,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     # clamps edge reads at row 543, not 539
     fh8 = ((th + 7) >> 3) << 3
     fw8 = ((tw + 7) >> 3) << 3
+    fh_c = fh8 if fh_clamp is None else fh_clamp
 
     fm32 = jnp.asarray(_fwd_mat(32))
     fm16 = jnp.asarray(_fwd_mat(16))
@@ -643,7 +650,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         ha = have_a.astype(bool)
         hl = have_l.astype(bool)
         ar, lcv, corner = _gather_edges(rec_y, y0, x0, ha, hl, ntr, nbl,
-                                        32, base, fdims=(fh8, fw8))
+                                        32, base, fdims=(fh_c, fw8))
         preds = _predict_all(ar, lcv, corner, ha, hl, 32, base,
                              list(_CAND_MODE), list(_CAND_DELTA))
         rows = y0 + jnp.arange(32)[:, None]
@@ -688,7 +695,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         for rec_p, src_p in ((rec_u, src_u), (rec_v, src_v)):
             arc, lcc, cornc = _gather_edges(
                 rec_p, cy0, cx0, ha, hl, ntr // 2, nbl // 2, 16, base,
-                fdims=(fh8 // 2, fw8 // 2))
+                fdims=(fh_c // 2, fw8 // 2))
             cpreds.append(_predict_all(arc, lcc, cornc, ha, hl, 16,
                                        base, list(_UV_MODE_IDS)))
             csrcs.append(src_p[crows, ccols])
@@ -827,7 +834,7 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     if lr:
         # in-loop Wiener loop restoration after CDEF (spec 7.17)
         from av1tpu.specav1 import jax_lr
-        fy, lr_choice = jax_lr.lr_search_apply(
+        fy, lr_choice, lr_taps = jax_lr.lr_search_apply(
             fy, pre_cdef_y, y, bit_depth=bit_depth,
             th=th or fy.shape[0], tw=tw or fy.shape[1])
     else:
@@ -835,8 +842,9 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         nru = (_NL.count_units_in_frame(256, th or fy.shape[0]) *
                _NL.count_units_in_frame(256, tw or fy.shape[1]))
         lr_choice = jnp.full((nru,), -1, jnp.int32)
+        lr_taps = jnp.zeros((nru, 6), jnp.int32)
     return (fy, fu, fv) + tuple(carry[3:]) + (strip_skip, cdefs,
-                                              lr_choice)
+                                              lr_choice, lr_taps)
 
 
 def encode_keyframe_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,

@@ -11,15 +11,18 @@ for the TPU:
     (in-stripe rows read post-CDEF; rows within +-2 beyond a stripe
     boundary read pre-CDEF; everything clamps like the spec);
   * the tap search evaluates a static PRESET list per restoration
-    unit by SSE against the source (libaom solves per-RU normal
-    equations; a preset sweep keeps the whole search one fused device
-    pass and the syntax is identical — taps are coded per RU either
-    way).
+    unit by SSE against the source PLUS a per-RU SOLVED candidate:
+    separable Wiener normal equations accumulated as dense per-RU
+    reductions and solved in closed form (3x3 adjugate) ON DEVICE —
+    horizontal taps against the post-CDEF recon, then vertical taps
+    against the exact h-filtered intermediate (one Gauss-Seidel step
+    of libaom's alternation), quantized to the spec tap ranges.  The
+    exact integer apply with the solved per-RU taps then competes
+    with the presets by SSE, so the solve can only improve the choice.
 
-Presets are (tap0, tap1, tap2) for BOTH directions; the spec codes
-vertical and horizontal taps independently but the search ties them
-(cheap, and symmetric blur/sharpen is what the solve usually finds at
-this operating point).
+Presets are (tap0, tap1, tap2) tied for BOTH directions; the solved
+candidate uses independent vertical/horizontal taps (the syntax codes
+them independently either way).
 """
 
 from __future__ import annotations
@@ -205,15 +208,173 @@ def _ru_reduce(delta, nh: int, nw: int, size: int, urows: int,
     return cols.reshape(-1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("bit_depth", "th", "tw", "size"))
-def lr_search_apply(rec_y, pre_y, src_y, bit_depth: int = 8,
-                    th: int = 0, tw: int = 0, size: int = 256):
-    """Per-RU Wiener preset search on luma by SSE vs source, then
-    apply.  Returns (filtered_y (H, W) int32, choice (urows*ucols,)
-    int32 with -1 = RU off else preset index).
+# tap value ranges per position (spec wiener_info subexp bounds)
+TAPS_MIN = (-5, -23, -17)
+TAPS_MAX = (10, 8, 46)
 
-    The RU turns on only when the best preset improves SSE by more
+
+def _basis3(xf, axis: int):
+    """The three symmetric-tap basis planes along ``axis``:
+    b_j(p) = x[p-(3-j)] + x[p+(3-j)] - 2 x[p], edge-replicated — the
+    Wiener output is x + (1/128) sum_j c_j b_j, linear in the taps."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (3, 3)
+    p = jnp.pad(xf, pad, mode="edge")
+    nh, nw = xf.shape
+    out = []
+    for j in range(3):
+        d = 3 - j
+        if axis == 1:
+            lo = jax.lax.dynamic_slice(p, (0, 3 - d), (nh, nw))
+            hi = jax.lax.dynamic_slice(p, (0, 3 + d), (nh, nw))
+        else:
+            lo = jax.lax.dynamic_slice(p, (3 - d, 0), (nh, nw))
+            hi = jax.lax.dynamic_slice(p, (3 + d, 0), (nh, nw))
+        out.append(lo + hi - 2.0 * xf)
+    return out
+
+
+def _stats3(bs, ef, nh, nw, size, urows, ucols):
+    """Per-RU normal-equation stats: A (nru, 3, 3), r (nru, 3)."""
+    ent = {}
+    for j in range(3):
+        for k in range(j, 3):
+            ent[(j, k)] = _ru_reduce(bs[j] * bs[k], nh, nw, size,
+                                     urows, ucols)
+    A = jnp.stack([jnp.stack([ent[(min(j, k), max(j, k))]
+                              for k in range(3)], -1)
+                   for j in range(3)], -2)
+    r = jnp.stack([_ru_reduce(ef * bs[j], nh, nw, size, urows, ucols)
+                   for j in range(3)], -1)
+    return A, r
+
+
+def _solve_quant(A, r, scale: float):
+    """c = -scale * A^{-1} r per RU (3x3 adjugate closed form, trace
+    regularization + normalization for f32 range), quantized to the
+    spec's integer tap ranges.  Returns (nru, 3) int32."""
+    tr = (A[:, 0, 0] + A[:, 1, 1] + A[:, 2, 2]) / 3.0 + 1e-6
+    An = A / tr[:, None, None]
+    eye = jnp.eye(3, dtype=An.dtype)
+    An = An + 1e-4 * eye
+    rn = r / tr[:, None]
+    a, b, c = An[:, 0, 0], An[:, 0, 1], An[:, 0, 2]
+    d, e, f = An[:, 1, 0], An[:, 1, 1], An[:, 1, 2]
+    g, h, i = An[:, 2, 0], An[:, 2, 1], An[:, 2, 2]
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1),
+    ], -2)
+    cf = -scale * jnp.einsum("nij,nj->ni", adj, rn) / det[:, None]
+    q = jnp.round(cf).astype(jnp.int32)
+    return jnp.stack([jnp.clip(q[:, j], TAPS_MIN[j], TAPS_MAX[j])
+                      for j in range(3)], -1)
+
+
+def _tap_maps(c3, ids):
+    """Per-pixel tap planes for the 7 positions from per-RU (nru, 3)
+    integer taps (center derived)."""
+    center = 128 - 2 * (c3[:, 0] + c3[:, 1] + c3[:, 2])
+    vecs = [c3[:, 0], c3[:, 1], c3[:, 2], center,
+            c3[:, 2], c3[:, 1], c3[:, 0]]
+    return [v[ids] for v in vecs]
+
+
+def _hpass_rumap(plane, c3, ids, nh: int, nw: int, bit_depth: int):
+    """Horizontal Wiener pass with PER-RU taps (solved), spec
+    rounding/clamping — the tap-map form of _hpass."""
+    r0b = 5 if bit_depth == 12 else 3
+    base = 1 << (bit_depth + FILTER_BITS - 1)
+    limit = (1 << (bit_depth + 1 + FILTER_BITS - r0b)) - 1
+    tms = _tap_maps(c3, ids)
+    p = jnp.concatenate([jnp.repeat(plane[:, :1], 3, 1), plane,
+                         jnp.repeat(plane[:, -1:], 3, 1)], axis=1)
+    acc = jnp.zeros((nh, nw), jnp.int32)
+    for t in range(7):
+        acc = acc + tms[t] * jax.lax.dynamic_slice(p, (0, t), (nh, nw))
+    v = (acc + base + (1 << (r0b - 1))) >> r0b
+    return jnp.clip(v, 0, limit)
+
+
+def _apply_rumap(rec, pre, c_h, c_v, ids, nh: int, nw: int,
+                 sub_y: int, bit_depth: int):
+    """Exact spec Wiener apply with PER-RU tap pairs.
+
+    The spec filters each output pixel's whole 7x7 window with ITS
+    restoration unit's taps, so at RU boundaries neighbor rows must be
+    h-filtered with the OUTPUT row's taps — a single shared h plane is
+    wrong there (a one-off +-1 bug the preset path never sees: its
+    full-frame per-preset filters select per output pixel).  Hence the
+    h pass runs INSIDE the vertical loop: each tap's source rows are
+    row-shifted raw pixels (stripe plan selects rec vs pre rows — the
+    h filter commutes with row selection), h-filtered with the
+    destination pixel's RU taps, then accumulated with its v taps."""
+    r0b = 5 if bit_depth == 12 else 3
+    r1b = 9 if bit_depth == 12 else 11
+    base = 1 << (bit_depth + FILTER_BITS - 1)
+    limit = (1 << (bit_depth + 1 + FILTER_BITS - r0b)) - 1
+    plans = _stripe_shift_plan(nh, sub_y)
+    tms_h = _tap_maps(c_h, ids)
+    tms_v = _tap_maps(c_v, ids)
+
+    def _rowpad(h):
+        return jnp.concatenate([jnp.repeat(h[:1], 4, 0), h,
+                                jnp.repeat(h[-1:], 4, 0)], axis=0)
+
+    rec_p = _rowpad(rec[:nh, :nw].astype(jnp.int32))
+    pre_p = _rowpad(pre[:nh, :nw].astype(jnp.int32))
+
+    def _shift(hp, t, d):
+        return jax.lax.dynamic_slice(hp, (t + d + 1, 0), (nh, nw))
+
+    acc = jnp.zeros((nh, nw), jnp.int32)
+    for t in range(7):
+        dmasks, pre_m = plans[t]
+
+        def _src_from(hp):
+            s = _shift(hp, t, 0)
+            for d, m in dmasks.items():
+                s = jnp.where(jnp.asarray(m)[:, None],
+                              _shift(hp, t, d), s)
+            return s
+
+        raw = _src_from(rec_p)
+        if pre_m.any():
+            raw = jnp.where(jnp.asarray(pre_m)[:, None],
+                            _src_from(pre_p), raw)
+        rawp = jnp.concatenate([jnp.repeat(raw[:, :1], 3, 1), raw,
+                                jnp.repeat(raw[:, -1:], 3, 1)], axis=1)
+        h = jnp.zeros((nh, nw), jnp.int32)
+        for s in range(7):
+            h = h + tms_h[s] * jax.lax.dynamic_slice(
+                rawp, (0, s), (nh, nw))
+        h = jnp.clip((h + base + (1 << (r0b - 1))) >> r0b, 0, limit)
+        acc = acc + tms_v[t] * h
+    v = (acc - (base << (FILTER_BITS - r0b)) + (1 << (r1b - 1))) >> r1b
+    return jnp.clip(v, 0, (1 << bit_depth) - 1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bit_depth", "th", "tw", "size",
+                                    "solve"))
+def lr_search_apply(rec_y, pre_y, src_y, bit_depth: int = 8,
+                    th: int = 0, tw: int = 0, size: int = 256,
+                    solve: bool = True):
+    """Per-RU Wiener search on luma by SSE vs source, then apply.
+
+    Candidates per RU: the 8 static presets PLUS a per-RU SOLVED tap
+    pair — separable normal equations on device (horizontal taps
+    solved against the post-CDEF recon, vertical taps against the
+    exact h-filtered intermediate; 3x3 closed-form solves, quantized
+    to the spec tap ranges).  Returns (filtered_y (H, W) int32,
+    choice (urows*ucols,) int32 with -1 = RU off, 0..P-1 = preset,
+    P = solved, and taps6 (urows*ucols, 6) int32 = the solved
+    (v0, v1, v2, h0, h1, h2) per RU for the tile syntax).
+
+    An RU turns on only when the best candidate improves SSE by more
     than ~the tap coding cost (a fixed per-RU bit charge at the
     engine's operating rates)."""
     H, W = rec_y.shape
@@ -237,7 +398,48 @@ def lr_search_apply(rec_y, pre_y, src_y, bit_depth: int = 8,
         outs.append(f)
         delta = (f - s) ** 2 - (x - s) ** 2
         sses.append(_ru_reduce(delta, nh, nw, size, urows, ucols))
-    sse = jnp.stack(sses)                      # (P, nru)
+
+    # ---- per-RU solved candidate (normal equations on device) -------
+    if not solve:
+        taps6 = jnp.zeros((nru, 6), jnp.int32)
+        sse = jnp.stack(sses)
+        best = jnp.argmin(sse, axis=0)
+        best_sse = jnp.min(sse, axis=0)
+        on = best_sse < -384.0 * (1 << (2 * (bit_depth - 8)))
+        choice = jnp.where(on, best, -1).astype(jnp.int32)
+        pick = choice[ids]
+        filt = x
+        for k, f in enumerate(outs):
+            filt = jnp.where(pick == k, f, filt)
+        out = rec_y.astype(jnp.int32)
+        out = jax.lax.dynamic_update_slice(out, filt, (0, 0))
+        return out, choice, taps6
+    xf = x.astype(jnp.float32)
+    sf = s.astype(jnp.float32)
+    ef = xf - sf
+    A_h, r_h = _stats3(_basis3(xf, 1), ef, nh, nw, size, urows, ucols)
+    c_h = _solve_quant(A_h, r_h, 128.0)
+    hrec = _hpass_rumap(x, c_h, ids, nh, nw, bit_depth)
+    # vertical solve against the exact h-filtered intermediate: with
+    # identity v-taps the output is (128 h - base<<(7-r0b)) >> r1b, so
+    # the v perturbation per tap is b_j / 2^r1b
+    r0b = 5 if bit_depth == 12 else 3
+    r1b = 9 if bit_depth == 12 else 11
+    base = 1 << (bit_depth + FILTER_BITS - 1)
+    hf = hrec.astype(jnp.float32)
+    out0 = (128.0 * hf - float(base << (FILTER_BITS - r0b))) \
+        / float(1 << r1b)
+    A_v, r_v = _stats3(_basis3(hf, 0), out0 - sf, nh, nw, size,
+                       urows, ucols)
+    c_v = _solve_quant(A_v, r_v, float(1 << r1b))
+    f_solved = _apply_rumap(rec_y, pre_y, c_h, c_v, ids, nh, nw, 0,
+                            bit_depth)
+    outs.append(f_solved)
+    delta = (f_solved - s) ** 2 - (x - s) ** 2
+    sses.append(_ru_reduce(delta, nh, nw, size, urows, ucols))
+    taps6 = jnp.concatenate([c_v, c_h], axis=-1)
+
+    sse = jnp.stack(sses)                      # (P + 1, nru)
     best = jnp.argmin(sse, axis=0)             # (nru,)
     best_sse = jnp.min(sse, axis=0)
     # ~56 bits/RU of tap+flag syntax; charge ~6 SSE per bit at q96-ish
@@ -253,4 +455,4 @@ def lr_search_apply(rec_y, pre_y, src_y, bit_depth: int = 8,
         filt = jnp.where(pick == k, f, filt)
     out = rec_y.astype(jnp.int32)
     out = jax.lax.dynamic_update_slice(out, filt, (0, 0))
-    return out, choice
+    return out, choice, taps6

@@ -68,6 +68,142 @@ def shard_rows(mesh: Mesh, arr):
     return jax.device_put(arr, NamedSharding(mesh, P("stripe", None)))
 
 
+def key_stripe_plan(th: int, ph: int, n: int, trl2: int):
+    """Stripe plan for tile-row-parallel KEYFRAMES, or None.
+
+    AV1 tile rows share no prediction state, so each device can run
+    the intra wavefront for a contiguous run of whole tile rows with
+    zero halo traffic.  Shardable when the stream's uniform tile
+    spacing (trl2 from spec_engine._tile_plan — chip-count-aware;
+    writer.tile_row_spans: ths = ceil(sbr / 2^trl2) superblocks per
+    tile) yields stripe boundaries on tile starts: n <= 2^trl2 tiles,
+    2^trl2 % n == 0.  strip_same_sb geometries (th % 64 == 48) are
+    excluded — their zone-3 candidate ban applies only to the frame's
+    last main row, which would diverge the SPMD bodies.
+
+    Returns (stripe_h, ph_s, local_brs): stripe pixel height, the
+    total sharded height (n * stripe_h >= ph; trailing rows compute
+    garbage the host crops), and the tile-start block rows INSIDE a
+    stripe (exclusive of 0)."""
+    mi_rows = 2 * ((th + 7) >> 3)
+    sbr = (mi_rows + 15) >> 4
+    T = 1 << trl2
+    if n < 2 or T % n or n > T:
+        return None
+    if th % 32 == 16 and (th // 32 * 32) % 64 == 32:
+        return None  # strip_same_sb
+    ths = (sbr + T - 1) >> trl2
+    tpd = T // n
+    stripe_h = tpd * ths * 64
+    ph_s = n * stripe_h
+    if ph_s < ph:
+        return None
+    local_brs = tuple(i * ths * 2 for i in range(1, tpd))
+    return stripe_h, ph_s, local_brs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "bit_depth", "th", "tw", "stripe_h", "local_brs", "qround",
+    "deblock", "cdef", "lr"))
+def encode_key_sharded(mesh, y, u, v, qindex, bit_depth: int, th: int,
+                       tw: int, stripe_h: int, local_brs: tuple,
+                       lf_y=0, lf_uv=0, deblock: bool = False,
+                       qround: float = 0.70, cdef: bool = False,
+                       cdef_damping=4, lr: bool = False):
+    """Tile-row-parallel keyframe encode over the stripe mesh.
+
+    y/u/v: (ph_s, pw) planes row-sharded P("stripe") per
+    key_stripe_plan.  Each device runs the full intra wavefront for
+    its tiles (its stripe top IS a tile start, so 'no above' at the
+    local frame top reproduces the tile boundary exactly); the bottom
+    edge-read clamp is passed traced so the last stripe clamps at the
+    true frame bottom.  Strip rows + deblock/CDEF/LR run on the
+    gathered full-frame recon, exactly like the single-chip encode.
+    Returns jax_intra._encode_frame's tuple with full-frame layouts —
+    bit-identical to the single-chip keyframe."""
+    from jax.experimental.shard_map import shard_map
+
+    from av1tpu.specav1 import jax_intra, recon as _R
+
+    n = mesh.shape["stripe"]
+    pw = y.shape[1]
+    fh8 = ((th + 7) >> 3) << 3
+
+    def body(ys, us, vs, q):
+        row0 = jax.lax.axis_index("stripe") * stripe_h
+        fh_local = jnp.clip(fh8 - row0, 0, stripe_h)
+        out = jax_intra._encode_frame(
+            ys, us, vs, q[0], nbr=stripe_h // 32, nbc=pw // 32,
+            bit_depth=bit_depth, th=stripe_h, tw=tw,
+            tile_row_starts=local_brs, qround=qround,
+            fh_clamp=fh_local)
+        return out[0:10]
+
+    sh2 = P("stripe", None)
+    out = shard_map(
+        body, mesh=mesh, in_specs=(sh2, sh2, sh2, P(None)),
+        out_specs=(sh2,) * 10, check_rep=False)(
+        y, u, v, jnp.reshape(jnp.asarray(qindex, jnp.int32), (1,)))
+    fy, fu, fv = out[0], out[1], out[2]
+    lv_y, lv_u, lv_v = out[3], out[4], out[5]
+    nsc = 2 * (pw // 32)
+    strip = (th % 32) == 16
+    # rows past the coded grid are stripe-pad garbage the single-chip
+    # encode never writes; zero their levels so the sparse level pack
+    # sees the same density (recon/grid garbage is cropped by the host)
+    coded_h = th if strip else 32 * ((th + 31) // 32)
+    grids = out[6:10]
+    if coded_h < lv_y.shape[0]:
+        rows = jnp.arange(lv_y.shape[0])
+        lv_y = jnp.where((rows < coded_h)[:, None], lv_y, 0)
+        crows = jnp.arange(lv_u.shape[0])
+        lv_u = jnp.where((crows < coded_h // 2)[:, None], lv_u, 0)
+        lv_v = jnp.where((crows < coded_h // 2)[:, None], lv_v, 0)
+        # grid rows past the coded main grid likewise (the strip row's
+        # syntax comes from strip_skip, not the 32-grid)
+        gmain = th // 32 if strip else -(-th // 32)
+        grows = jnp.arange(grids[0].shape[0])
+        grids = tuple(jnp.where((grows < gmain)[:, None], g, 0)
+                      for g in grids)
+    if strip:
+        dcq = jnp.asarray(_R.DC_Q[bit_depth], jnp.int32)[
+            jnp.asarray(qindex, jnp.int32).reshape(())]
+        acq = jnp.asarray(_R.AC_Q[bit_depth], jnp.int32)[
+            jnp.asarray(qindex, jnp.int32).reshape(())]
+        (fy, fu, fv, lv_y, lv_u, lv_v, strip_skip) = \
+            jax_inter.code_strip(y.astype(jnp.int32), fy, fu, fv,
+                                 lv_y, lv_u, lv_v, th, dcq, acq,
+                                 qround, bit_depth)
+    else:
+        strip_skip = jnp.zeros((nsc,), jnp.int32)
+    if deblock:
+        from av1tpu.specav1 import loopfilter as _LF
+        fy, fu, fv = _LF.deblock_frame(fy, fu, fv, lf_y, lf_uv, lf_uv,
+                                       bit_depth, th, tw, strip=strip)
+    pre_cdef_y = fy
+    if cdef:
+        from av1tpu.specav1 import jax_cdef
+        skip8 = jax_inter.build_skip8(grids[2], strip_skip, th, tw, pw)
+        fy, fu, fv, cdefs = jax_cdef.cdef_search_apply(
+            fy, fu, fv, y, u, v, skip8, cdef_damping,
+            bit_depth=bit_depth, th=th, tw=tw)
+    else:
+        cdefs = jnp.zeros((4,), jnp.int32)
+    if lr:
+        from av1tpu.specav1 import jax_lr
+        fy, lr_choice, lr_taps = jax_lr.lr_search_apply(
+            fy, pre_cdef_y, y, bit_depth=bit_depth, th=th, tw=tw)
+    else:
+        from av1tpu.specav1 import lr as _NL
+        nru = (_NL.count_units_in_frame(256, th) *
+               _NL.count_units_in_frame(256, tw))
+        lr_choice = jnp.full((nru,), -1, jnp.int32)
+        lr_taps = jnp.zeros((nru, 6), jnp.int32)
+    return ((fy, fu, fv) + (lv_y, lv_u, lv_v) +
+            (grids[0], grids[1], grids[2], grids[3], strip_skip,
+             cdefs, lr_choice, lr_taps))
+
+
 def _halo_window(ref_l, n: int, pad: int, th_p: int, tw_p: int,
                  row0, sh_p: int):
     """Assemble one plane's local padded reference window inside a
@@ -142,7 +278,8 @@ def _frame_step_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
                  P("stripe", None), P("stripe", None),
                  P("stripe", None), P("stripe", None), P("stripe", None),
                  P(None), P(None), P(None),
-                 P("stripe"), P("stripe"), P("stripe"), P("stripe"))
+                 P("stripe"), P("stripe"), P("stripe"), P("stripe"),
+                 P(None))
     shard2 = P("stripe", None)
     in_specs = (shard2,) * 6 + (P(None),) + \
         ((shard2,) * 3 if golden else ())
@@ -192,13 +329,14 @@ def _frame_step_sharded(mesh, y, u, v, ref_y, ref_u, ref_v, qindex,
             fy, fu, fv, y, u, v, skip8, cdef_damping,
             bit_depth=bit_depth, th=th, tw=tw)
     lr_choice = out[10]
+    lr_taps = out[15]
     if lr:
         from av1tpu.specav1 import jax_lr
-        fy, lr_choice = jax_lr.lr_search_apply(
+        fy, lr_choice, lr_taps = jax_lr.lr_search_apply(
             fy, pre_cdef_y, y, bit_depth=bit_depth, th=th, tw=tw)
     return out[0:2] + (lv_y, lv_u, lv_v, fy, fu, fv, strip_skip,
                        cdefs, lr_choice,
-                       out[11], out[12], out[13], out[14])
+                       out[11], out[12], out[13], out[14], lr_taps)
 
 
 encode_inter_sharded = functools.partial(jax.jit, static_argnames=(
@@ -242,13 +380,13 @@ def encode_chunk_sharded(mesh, packed, ry, ru, rv, qindexes, lfys,
             cdef=cdef, cdef_damping=damp, lr=lr, **gkw)
         return out[5:8], out[0:5] + (out[8], out[9], out[10],
                                       out[11], out[12], out[13],
-                                      out[14])
+                                      out[14], out[15])
 
     carry, outs = jax.lax.scan(step, (ry, ru, rv),
                                (ys, us, vs, qindexes, lfys, lfuvs,
                                 damps))
     (mv8s, skips, ylvs, ulvs, vlvs, strips, cdefs, lrcs,
-     splits, mv16s, skip16s, refsels) = outs
+     splits, mv16s, skip16s, refsels, lrtaps) = outs
     flat = jnp.concatenate([ylvs.reshape(k, -1),
                             ulvs.reshape(k, -1),
                             vlvs.reshape(k, -1)], axis=1).reshape(-1)
@@ -262,7 +400,7 @@ def encode_chunk_sharded(mesh, packed, ry, ru, rv, qindexes, lfys,
                              strips.reshape(-1), cdefs.reshape(-1),
                              lrcs.reshape(-1), splits.reshape(-1),
                              mv16s.reshape(-1), skip16s.reshape(-1),
-                             refsels.reshape(-1)])
+                             refsels.reshape(-1), lrtaps.reshape(-1)])
     return carry, (jnp.packbits(mask), vals, count,
                    grids.astype(jnp.int32)), (ylvs, ulvs, vlvs), \
         (ys[-1], us[-1], vs[-1])

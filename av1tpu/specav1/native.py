@@ -247,7 +247,8 @@ def encode_inter32_tile(qindex: int, mi_cols: int, mi_rows: int,
             lib.stw_set_tile_row(w, tile_row0,
                                  frame_mi_rows or mi_rows)
         if lr is not None:
-            # (unit_size, choice (urows, ucols) int32, taps (P, 3))
+            # (unit_size, choice (urows, ucols) int32, taps (N, 6):
+            # per-row (v0, v1, v2, h0, h1, h2))
             usz, choice, taps = lr
             choice = np.ascontiguousarray(np.asarray(choice, np.int32))
             taps = np.ascontiguousarray(np.asarray(taps, np.int32))
@@ -334,7 +335,8 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
             lib.stw_set_tile_row(w, tile_row0,
                                  frame_mi_rows or mi_rows)
         if lr is not None:
-            # (unit_size, choice (urows, ucols) int32, taps (P, 3))
+            # (unit_size, choice (urows, ucols) int32, taps (N, 6):
+            # per-row (v0, v1, v2, h0, h1, h2))
             usz, choice, taps = lr
             choice = np.ascontiguousarray(np.asarray(choice, np.int32))
             taps = np.ascontiguousarray(np.asarray(taps, np.int32))

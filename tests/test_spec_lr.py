@@ -203,20 +203,26 @@ def test_jax_search_decisions_apply_consistently():
                   255).astype(np.int64)
     pre = np.clip(rec + rng.integers(-3, 4, rec.shape), 0,
                   255).astype(np.int64)
-    fy, choice = JL.lr_search_apply(
+    fy, choice, taps6 = JL.lr_search_apply(
         jnp.asarray(rec, jnp.int32), jnp.asarray(pre, jnp.int32),
         jnp.asarray(src, jnp.int32), th=h, tw=w)
     fy = np.asarray(fy)
     choice = np.asarray(choice)
+    taps6 = np.asarray(taps6)
     urows = LR.count_units_in_frame(256, h)
     ucols = LR.count_units_in_frame(256, w)
     dec = {}
     for ur in range(urows):
         for uc in range(ucols):
-            k = int(choice[ur * ucols + uc])
-            if k >= 0:
+            i = ur * ucols + uc
+            k = int(choice[i])
+            if 0 <= k < len(JL.PRESETS):
                 t = list(JL.PRESETS[k])
                 dec[(0, ur, uc)] = ("wiener", t, t)
+            elif k == len(JL.PRESETS):  # per-RU solved taps
+                dec[(0, ur, uc)] = ("wiener",
+                                    [int(v) for v in taps6[i, :3]],
+                                    [int(v) for v in taps6[i, 3:]])
     assert any(k >= 0 for k in choice), "search never fired"
     state = LR.LrEncState.for_encode((LR.RESTORE_WIENER, 0, 0), 256,
                                      w, h, dec)

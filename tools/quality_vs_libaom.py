@@ -140,7 +140,8 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--qindex", type=int, default=96)
     ap.add_argument("--cpu", type=int, default=7)
-    ap.add_argument("--cqs", default="56,80,104,128")
+    # NOTE libaom cq_level is 0..63 (values above clamp silently)
+    ap.add_argument("--cqs", default="32,44,56,63")
     args = ap.parse_args()
     cqs = [int(x) for x in args.cqs.split(",")]
     px = args.w * args.h * args.frames
