@@ -22,6 +22,7 @@ def test_testsrc_10bit_range():
     assert fr.y.max() <= 1023
 
 
+@pytest.mark.heavy
 def test_gop_10bit_roundtrip():
     """8 frames of 10-bit GOP: decode parity + 10-bit fidelity."""
     eng = TpuEngine()

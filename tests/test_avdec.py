@@ -88,6 +88,7 @@ def test_engine_iter_source_frames_native(tmp_path):
 
 
 @needs_avdec
+@pytest.mark.heavy
 def test_hevc_10bit_transcode_end_to_end(tmp_path):
     """BASELINE config #4 source leg: a compressed 10-bit HEVC MKV
     transcodes through the production engine into a high_bitdepth AV1

@@ -88,8 +88,9 @@ def test_transcode_strips_russian_and_applies_ladder(multitrack_source,
     fh, _ = obu_mod.FrameHeader.parse(
         [p for t, p in obus if t == obu_mod.OBU_FRAME][0])
     # ladder point for <1080p is qindex 100; keyframes carry the
-    # GOP-reference quality boost of 8 (engine_tpu encode_stream)
-    assert fh.base_q_idx == 100 - 8
+    # GOP-reference quality boost q//3 in [8, 48] (engine_tpu
+    # encode_stream: the key is every GOP frame's reference)
+    assert fh.base_q_idx == 100 - min(48, max(8, 100 // 3))
 
     # copied audio payloads intact
     with open(out, "rb") as f:

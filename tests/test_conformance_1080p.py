@@ -47,6 +47,7 @@ def _conformance_gop(width, height, n, keyint=8, chunk=4):
     assert idx == n
 
 
+@pytest.mark.heavy
 def test_conformance_540p_class():
     _conformance_gop(960, 540, 6, keyint=4)
 
@@ -67,6 +68,7 @@ def test_conformance_4k():
     _conformance_gop(3840, 2160, 3, keyint=8, chunk=1)
 
 
+@pytest.mark.heavy
 def test_conformance_strip_shares_sb():
     """height % 64 == 48: the strip shares its SB with the last main
     block row — the decoder sees bottom-left strip pixels there, which

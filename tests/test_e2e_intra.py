@@ -119,6 +119,7 @@ def cv2_source(tmp_path_factory):
     return path
 
 
+@pytest.mark.heavy
 def test_engine_transcode_e2e(engine, cv2_source, tmp_path):
     """Full transcode: mp4 source → AV1-in-MKV, parseable and decodable."""
     from av1tpu.media.probe import probe_file

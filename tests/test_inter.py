@@ -89,6 +89,7 @@ def test_intra_tile_roundtrip():
     np.testing.assert_array_equal(s2, skips)
 
 
+@pytest.mark.heavy
 def test_gop_roundtrip_and_parity():
     """5-frame GOP: every decoded frame bit-matches the encoder's recon."""
     eng = TpuEngine()
@@ -112,6 +113,7 @@ def test_gop_roundtrip_and_parity():
     assert len(last_payload) < key_size
 
 
+@pytest.mark.heavy
 def test_keyint_forces_keyframes():
     eng = TpuEngine()
     eng.cfg.keyint = 3
@@ -172,6 +174,7 @@ def test_cdef_preserves_edges_smooths_ringing():
     np.testing.assert_array_equal(out0, noisy)
 
 
+@pytest.mark.heavy
 def test_multitile_gop_parity():
     """tile_rows_log2=2 → 4 independent tile rows; decode bit-matches."""
     eng = TpuEngine()
@@ -232,6 +235,7 @@ def test_scene_cut_forces_keyframe():
     assert (k0, k1, k2) == (True, False, True)
 
 
+@pytest.mark.heavy
 def test_block32_gop_parity():
     """32x32 transform blocks (auto at HD+): encode/decode bit parity."""
     eng = TpuEngine()
@@ -263,6 +267,7 @@ def test_auto_block_selection():
     assert eng._block_for(big) == 32
 
 
+@pytest.mark.heavy
 def test_chunked_stream_bit_identical_and_decodable():
     """cfg.chunk batches P frames into one lax.scan dispatch; the
     bitstream must be byte-identical to the unchunked path, including

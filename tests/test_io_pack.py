@@ -95,6 +95,7 @@ def _smooth_frames(n, w=128, h=96):
     return frames
 
 
+@pytest.mark.heavy
 def test_engine_stream_identical_packed_vs_raw(monkeypatch):
     """The flagship contract: delta_upload changes H2D bytes, not one
     bit of the bitstream."""

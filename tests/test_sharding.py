@@ -20,6 +20,7 @@ def mesh8():
     return sharding.make_mesh(8)
 
 
+@pytest.mark.heavy
 def test_sharded_matches_single_chip(mesh8):
     """Sharded inter encode must be bit-identical to single-chip."""
     block = 16
@@ -70,6 +71,7 @@ def test_mesh_creation_sizes():
         sharding.make_mesh(1000)
 
 
+@pytest.mark.heavy
 def test_sharded_v2_full_pipeline(mesh8):
     """v2 sharded (subpel+filters+psum gates) runs and matches the
     single-chip multi-tile v2 encode bit-exactly (stripes == tiles)."""
@@ -104,6 +106,7 @@ def test_sharded_v2_full_pipeline(mesh8):
     assert bool(s_out[9]) == bool(m_out[9])            # cdef gate
 
 
+@pytest.mark.heavy
 def test_sharded_keyframe_bit_identical(mesh8):
     """Sharded keyframe encode (per-device stripe wavefronts, psum'd
     gates) must be bit-identical to the single-chip encoder with

@@ -18,6 +18,7 @@ def mesh4():
     return jax_sharded.make_mesh(4)
 
 
+@pytest.mark.heavy
 def test_spec_inter_sharded_bitidentical(mesh4):
     from av1tpu.specav1 import jax_inter, jax_intra, jax_sharded
 
@@ -110,6 +111,7 @@ def test_sharding_ok_gate():
     assert not jax_sharded.sharding_ok(256, 256, 1)
 
 
+@pytest.mark.heavy
 def test_spec_engine_sharded_e2e():
     """SpecTpuEngine with tpu.num_chips=4 on the virtual mesh: the
     striped stream must decode bit-exactly in libaom."""

@@ -80,6 +80,7 @@ def test_device_gop_10bit_bitexact_in_libaom():
             assert np.array_equal(a, b), f"frame {i} plane {p}"
 
 
+@pytest.mark.heavy
 def test_spec_engine_10bit_frames():
     """SpecTpuEngine end-to-end on 10-bit Frames: every payload decodes
     in libaom at 10 bits."""
@@ -104,6 +105,7 @@ def test_spec_engine_10bit_frames():
     assert n == 5
 
 
+@pytest.mark.heavy
 def test_y4m_10bit_source_end_to_end(tmp_path):
     """A 10-bit y4m source transcodes through the daemon-shaped engine
     into a high_bitdepth AV1 stream that libaom decodes at 10 bits

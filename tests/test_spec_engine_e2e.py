@@ -30,6 +30,7 @@ def mp4_source(tmp_path):
     return path
 
 
+@pytest.mark.heavy
 def test_spec_transcode_decodes_in_libaom(mp4_source, tmp_path):
     from av1tpu.spec_engine import SpecTpuEngine
     pr = probe_file(mp4_source)
@@ -69,6 +70,7 @@ def test_spec_engine_smoke_frame():
     assert np.asarray(out[0][0]).shape == (96, 128)
 
 
+@pytest.mark.heavy
 def test_spec_engine_multitile_bitexact():
     """512x512 (4 tile rows): libaom recon must equal the device recon
     bit-exactly — validates per-tile context resets, tile size fields,
@@ -103,6 +105,7 @@ def test_spec_engine_multitile_bitexact():
 
 
 @pytest.mark.parametrize("wh", [(192, 112), (192, 144)])
+@pytest.mark.heavy
 def test_spec_engine_strip_bitexact(wh):
     """16px bottom strip (height % 32 == 16, the 720p/2160p geometry):
     true-dims streams with edge-SPLIT 16x16 V_PRED strip blocks must

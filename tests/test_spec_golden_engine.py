@@ -46,6 +46,7 @@ def _encode_gop(golden: bool):
     return payloads, recons
 
 
+@pytest.mark.heavy
 def test_golden_flash_gop_bitexact_and_smaller():
     pg, rg = _encode_gop(golden=True)
     pn, _ = _encode_gop(golden=False)

@@ -28,6 +28,7 @@ def _smooth_frames(w, h, n):
     return out
 
 
+@pytest.mark.heavy
 def test_deblock_gate_and_bitexact():
     import jax
     from av1tpu.spec_engine import SpecTpuEngine, noise_floor

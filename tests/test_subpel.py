@@ -83,6 +83,7 @@ def test_subpel_refine_finds_half_pel_shift():
     assert frac_right > 0.7, (frac_right, interior[:4])
 
 
+@pytest.mark.heavy
 def test_gop_subpel_roundtrip_parity():
     """Subpel P-frames: decoder recon must still bit-match encoder."""
     eng = TpuEngine()

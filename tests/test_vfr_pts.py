@@ -41,6 +41,7 @@ def _fake_frames(n):
 
 
 @pytest.mark.parametrize("webrip,shift", [(False, 0), (True, SHIFT_MS)])
+@pytest.mark.heavy
 def test_vfr_pts_carried(tmp_path, monkeypatch, webrip, shift):
     from av1tpu.spec_engine import SpecTpuEngine
     src = str(tmp_path / "vfr_src.mkv")
