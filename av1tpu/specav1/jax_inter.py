@@ -313,8 +313,22 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
             gld_pad_y = prep_ref(gld_y, th, tw, PAD)
             gld_pad_u = prep_ref(gld_u, th // 2, tw // 2, PAD // 2)
             gld_pad_v = prep_ref(gld_v, th // 2, tw // 2, PAD // 2)
-        mv_fp_g = jnp.clip(motion.search_v3(src_y, gld_pad_y, n),
-                           -_MAX_FP, _MAX_FP)
+        # golden full-pel: seeded +-8 refine instead of a second full
+        # all-displacement scan (GOLDEN wins mostly on static or
+        # background-revealing blocks, where the zero anchor dominates;
+        # LAST's winner seeds the tracking cases) — the full second
+        # search was the single biggest device cost at 1080p
+        # (+38 ms/frame, BASELINE round-4 profile)
+        from av1tpu.encoder.kernels import pallas_motion as _pm
+        mv_g_r, ssd_g_r = _pm.refine_around_seeds(
+            blocks, gld_pad_y, pos, mv_fp, n, 8, PAD)
+        gz = jax.lax.dynamic_slice(
+            gld_pad_y, (PAD, PAD), (H, Wd)).astype(jnp.float32)
+        dz = src_y.astype(jnp.float32) - gz
+        ssd_g_zero = motion._block_sum(dz * dz, n).reshape(B)
+        use_zero_g = ssd_g_zero <= ssd_g_r
+        mv_fp_g = jnp.where(use_zero_g[:, None], 0, mv_g_r)
+        mv_fp_g = jnp.clip(mv_fp_g, -_MAX_FP, _MAX_FP)
 
         def fp_ssd(rp, mvfp, pos_, blocks_, nloc):
             g = motion.gather_blocks(rp, pos_, mvfp,
@@ -323,7 +337,8 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                 jnp.int64)
 
         ssd_l = fp_ssd(ref_pad_y, mv_fp, pos, blocks, n)
-        ssd_g = fp_ssd(gld_pad_y, mv_fp_g, pos, blocks, n)
+        ssd_g = jnp.where(use_zero_g, ssd_g_zero,
+                          ssd_g_r).astype(jnp.int64)
         # rate-aware margin: GOLDEN costs the single_ref b3 flip and a
         # typically larger MV residual — require a ~6% distortion win
         # plus ~2 bits at the frame lambda before switching
