@@ -116,20 +116,22 @@ def score(frames, recons):
 
 
 def interp_at(bpp, pts):
-    """Linear interp of (psnr, ssim) at bpp from [(bpp_i, ps, ss)]."""
+    """Linear interp of (psnr, ssim) at bpp from [(bpp_i, ps, ss)];
+    CLAMPED at the ladder ends (linear extrapolation of an RD curve
+    fabricates absurd values — a +0.23 bpp overshoot once 'predicted'
+    81 dB).  Returns (psnr, ssim, clamped_flag)."""
     pts = sorted(pts)
     bs = [p[0] for p in pts]
     if bpp <= bs[0]:
-        i0, i1 = 0, min(1, len(pts) - 1)
-    elif bpp >= bs[-1]:
-        i0, i1 = max(0, len(pts) - 2), len(pts) - 1
-    else:
-        i1 = next(i for i, b in enumerate(bs) if b >= bpp)
-        i0 = i1 - 1
+        return pts[0][1], pts[0][2], True
+    if bpp >= bs[-1]:
+        return pts[-1][1], pts[-1][2], True
+    i1 = next(i for i, b in enumerate(bs) if b >= bpp)
+    i0 = i1 - 1
     b0, p0, s0 = pts[i0]
     b1, p1, s1 = pts[i1]
     t = 0.0 if b1 == b0 else (bpp - b0) / (b1 - b0)
-    return p0 + t * (p1 - p0), s0 + t * (s1 - s0)
+    return p0 + t * (p1 - p0), s0 + t * (s1 - s0), False
 
 
 def main():
@@ -140,8 +142,10 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--qindex", type=int, default=96)
     ap.add_argument("--cpu", type=int, default=7)
-    # NOTE libaom cq_level is 0..63 (values above clamp silently)
-    ap.add_argument("--cqs", default="32,44,56,63")
+    # NOTE libaom cq_level is 0..63 (values above clamp silently) and
+    # maps ~qindex/4: our 1080p ladder point q96 sits near cq 24, so
+    # the default ladder brackets it
+    ap.add_argument("--cqs", default="12,24,36,48")
     args = ap.parse_args()
     cqs = [int(x) for x in args.cqs.split(",")]
     px = args.w * args.h * args.frames
@@ -158,7 +162,7 @@ def main():
             pts.append((lb * 8 / px, lps, lss))
             print(f"#  libaom cq={cq}: {lb * 8 / px:.4f} bpp "
                   f"{lps:.2f} dB {lss:.4f}", file=sys.stderr, flush=True)
-        ips, iss = interp_at(obpp, pts)
+        ips, iss, clamped = interp_at(obpp, pts)
         print(json.dumps({
             "clip": kind, "w": args.w, "h": args.h,
             "frames": args.frames, "qindex": args.qindex,
@@ -168,7 +172,8 @@ def main():
             "libaom_rd": [[round(b, 4), round(p, 2), round(s, 4)]
                           for b, p, s in pts],
             "libaom_at_our_bpp": {"y_psnr": round(ips, 2),
-                                  "y_ssim": round(iss, 4)},
+                                  "y_ssim": round(iss, 4),
+                                  "clamped_to_ladder_end": clamped},
             "delta": {"y_psnr": round(ops - ips, 2),
                       "y_ssim": round(oss - iss, 4)},
         }), flush=True)
