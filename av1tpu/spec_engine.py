@@ -941,8 +941,10 @@ class SpecTpuEngine(TpuEngine):
                                            lf_y=jnp.int32(0),
                                            lf_uv=jnp.int32(0),
                                            qround=self._qround,
-                                           cdef=self._cdef, lr=self._lr)
-            # the exact packer shape _submit uses (7-part grid concat)
+                                           cdef=self._cdef,
+                                           cdef_damping=jnp.int32(4),
+                                           lr=self._lr)
+            # the exact packer shape _submit uses (8-part grid concat)
             gk = jnp.concatenate([kout[6].reshape(-1),
                                   kout[7].reshape(-1),
                                   kout[8].reshape(-1),
@@ -963,8 +965,9 @@ class SpecTpuEngine(TpuEngine):
                                            lf_y=jnp.int32(0),
                                            lf_uv=jnp.int32(0),
                                            qround=self._qround,
-                                           cdef=self._cdef, lr=self._lr,
-                                           **gkw)
+                                           cdef=self._cdef,
+                                           cdef_damping=jnp.int32(4),
+                                           lr=self._lr, **gkw)
             gi = jnp.concatenate([iout[0].reshape(-1),
                                   iout[1].reshape(-1),
                                   iout[8].reshape(-1),
