@@ -274,22 +274,51 @@ def _solve_quant(A, r, scale: float):
                       for j in range(3)], -1)
 
 
-def _tap_maps(c3, ids):
-    """Per-pixel tap planes for the 7 positions from per-RU (nru, 3)
-    integer taps (center derived)."""
+@functools.lru_cache(maxsize=None)
+def _band_sizes(nh: int, nw: int, size: int, urows: int, ucols: int,
+                sub_y: int):
+    """Static pixel-row/-col counts per restoration unit (spec
+    RESTORATION_UNIT_OFFSET row shift, last-RU extension)."""
+    off = NL.RESTORATION_UNIT_OFFSET >> sub_y
+    ur = np.minimum((np.arange(nh) + off) // size, urows - 1)
+    uc = np.minimum(np.arange(nw) // size, ucols - 1)
+    return (tuple(np.bincount(ur, minlength=urows).tolist()),
+            tuple(np.bincount(uc, minlength=ucols).tolist()))
+
+
+def _unit_px(vals2d, nh: int, nw: int, size: int, urows: int,
+             ucols: int, sub_y: int):
+    """Broadcast an (urows, ucols) int grid to (nh, nw) pixels as
+    static-band repeats (pure broadcasts + concat) — NOT a per-pixel
+    table take (a leading-axis gather lowers to a scalar gather on
+    TPU: measured +700 ms/frame at 4K; and the one-hot-matmul
+    alternative blows XLA's scoped vmem at 4K)."""
+    r_sizes, c_sizes = _band_sizes(nh, nw, size, urows, ucols, sub_y)
+    cols = jnp.concatenate(
+        [jnp.repeat(vals2d[..., c:c + 1], cs, axis=-1)
+         for c, cs in enumerate(c_sizes)], axis=-1)
+    return jnp.concatenate(
+        [jnp.repeat(cols[..., r:r + 1, :], rs, axis=-2)
+         for r, rs in enumerate(r_sizes)], axis=-2)
+
+
+def _tap_maps(c3, nh: int, nw: int, size: int, urows: int, ucols: int,
+              sub_y: int):
+    """(7, nh, nw) int32 per-pixel tap planes from per-RU (nru, 3)
+    integer taps (center derived), via the static-band broadcast."""
     center = 128 - 2 * (c3[:, 0] + c3[:, 1] + c3[:, 2])
-    vecs = [c3[:, 0], c3[:, 1], c3[:, 2], center,
-            c3[:, 2], c3[:, 1], c3[:, 0]]
-    return [v[ids] for v in vecs]
+    vecs = jnp.stack([c3[:, 0], c3[:, 1], c3[:, 2], center,
+                      c3[:, 2], c3[:, 1], c3[:, 0]])      # (7, nru)
+    vals = vecs.reshape(7, urows, ucols)
+    return _unit_px(vals, nh, nw, size, urows, ucols, sub_y)
 
 
-def _hpass_rumap(plane, c3, ids, nh: int, nw: int, bit_depth: int):
-    """Horizontal Wiener pass with PER-RU taps (solved), spec
+def _hpass_rumap(plane, tms, nh: int, nw: int, bit_depth: int):
+    """Horizontal Wiener pass with PER-RU tap maps (solved), spec
     rounding/clamping — the tap-map form of _hpass."""
     r0b = 5 if bit_depth == 12 else 3
     base = 1 << (bit_depth + FILTER_BITS - 1)
     limit = (1 << (bit_depth + 1 + FILTER_BITS - r0b)) - 1
-    tms = _tap_maps(c3, ids)
     p = jnp.concatenate([jnp.repeat(plane[:, :1], 3, 1), plane,
                          jnp.repeat(plane[:, -1:], 3, 1)], axis=1)
     acc = jnp.zeros((nh, nw), jnp.int32)
@@ -299,7 +328,7 @@ def _hpass_rumap(plane, c3, ids, nh: int, nw: int, bit_depth: int):
     return jnp.clip(v, 0, limit)
 
 
-def _apply_rumap(rec, pre, c_h, c_v, ids, nh: int, nw: int,
+def _apply_rumap(rec, pre, tms_h, tms_v, nh: int, nw: int,
                  sub_y: int, bit_depth: int):
     """Exact spec Wiener apply with PER-RU tap pairs.
 
@@ -317,8 +346,6 @@ def _apply_rumap(rec, pre, c_h, c_v, ids, nh: int, nw: int,
     base = 1 << (bit_depth + FILTER_BITS - 1)
     limit = (1 << (bit_depth + 1 + FILTER_BITS - r0b)) - 1
     plans = _stripe_shift_plan(nh, sub_y)
-    tms_h = _tap_maps(c_h, ids)
-    tms_v = _tap_maps(c_v, ids)
 
     def _rowpad(h):
         return jnp.concatenate([jnp.repeat(h[:1], 4, 0), h,
@@ -388,7 +415,6 @@ def lr_search_apply(rec_y, pre_y, src_y, bit_depth: int = 8,
     urows = NL.count_units_in_frame(size, th)
     ucols = NL.count_units_in_frame(size, tw)
     nru = urows * ucols
-    ids = jnp.asarray(_ru_ids(nh, nw, size, urows, ucols, 0))
     x = rec_y[:nh, :nw].astype(jnp.int32)
     s = src_y[:nh, :nw].astype(jnp.int32)
     outs = []
@@ -407,7 +433,8 @@ def lr_search_apply(rec_y, pre_y, src_y, bit_depth: int = 8,
         best_sse = jnp.min(sse, axis=0)
         on = best_sse < -384.0 * (1 << (2 * (bit_depth - 8)))
         choice = jnp.where(on, best, -1).astype(jnp.int32)
-        pick = choice[ids]
+        pick = _unit_px(choice.reshape(urows, ucols), nh, nw, size,
+                        urows, ucols, 0)
         filt = x
         for k, f in enumerate(outs):
             filt = jnp.where(pick == k, f, filt)
@@ -419,7 +446,8 @@ def lr_search_apply(rec_y, pre_y, src_y, bit_depth: int = 8,
     ef = xf - sf
     A_h, r_h = _stats3(_basis3(xf, 1), ef, nh, nw, size, urows, ucols)
     c_h = _solve_quant(A_h, r_h, 128.0)
-    hrec = _hpass_rumap(x, c_h, ids, nh, nw, bit_depth)
+    tms_h = _tap_maps(c_h, nh, nw, size, urows, ucols, 0)
+    hrec = _hpass_rumap(x, tms_h, nh, nw, bit_depth)
     # vertical solve against the exact h-filtered intermediate: with
     # identity v-taps the output is (128 h - base<<(7-r0b)) >> r1b, so
     # the v perturbation per tap is b_j / 2^r1b
@@ -432,7 +460,8 @@ def lr_search_apply(rec_y, pre_y, src_y, bit_depth: int = 8,
     A_v, r_v = _stats3(_basis3(hf, 0), out0 - sf, nh, nw, size,
                        urows, ucols)
     c_v = _solve_quant(A_v, r_v, float(1 << r1b))
-    f_solved = _apply_rumap(rec_y, pre_y, c_h, c_v, ids, nh, nw, 0,
+    tms_v = _tap_maps(c_v, nh, nw, size, urows, ucols, 0)
+    f_solved = _apply_rumap(rec_y, pre_y, tms_h, tms_v, nh, nw, 0,
                             bit_depth)
     outs.append(f_solved)
     delta = (f_solved - s) ** 2 - (x - s) ** 2
@@ -447,9 +476,11 @@ def lr_search_apply(rec_y, pre_y, src_y, bit_depth: int = 8,
     # high bit depth)
     on = best_sse < -384.0 * (1 << (2 * (bit_depth - 8)))
     choice = jnp.where(on, best, -1).astype(jnp.int32)
-    # per-pixel preset select as one-hot (a leading-axis gather lowers
-    # to a scalar gather on TPU — same lesson as jax_cdef)
-    pick = choice[ids]                         # (nh, nw), -1 = off
+    # per-pixel select via the one-hot broadcast (a leading-axis
+    # gather lowers to a scalar gather on TPU — same lesson as
+    # jax_cdef)
+    pick = _unit_px(choice.reshape(urows, ucols), nh, nw, size,
+                    urows, ucols, 0)           # (nh, nw), -1 = off
     filt = x
     for k, f in enumerate(outs):
         filt = jnp.where(pick == k, f, filt)
