@@ -107,7 +107,16 @@ def scan_library(cfg: config_mod.TranscodeConfig,
                 # Create or update job (main.go:184-249)
                 if existing is not None:
                     job = existing
-                    if job.status in (jobs.STATUS_SKIPPED, jobs.STATUS_FAILED):
+                    if job.status in (jobs.STATUS_SKIPPED, jobs.STATUS_FAILED,
+                                      jobs.STATUS_RUNNING):
+                        # RUNNING at scan time is an orphan of a killed
+                        # daemon (the process is single-threaded): reset
+                        # it so the GOP spool resumes the encode.  The
+                        # reference leaves such jobs stuck forever
+                        # (main.go:191 resets only skipped/failed) —
+                        # intentional improvement, enabled by the
+                        # spool checkpoint the exec'd-ffmpeg design
+                        # cannot have (SURVEY §5 checkpoint/resume).
                         log.info("  -> Resetting old %s job to pending for "
                                  "re-evaluation", job.status)
                         job.status = jobs.STATUS_PENDING

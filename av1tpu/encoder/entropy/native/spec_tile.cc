@@ -1343,6 +1343,10 @@ int stw_get_cdf(SpecTileWriter *w, int table_id, uint16_t *out, int n_u16) {
 // frames are SB-padded upstream).  Block grid is gh x gw with
 // gw = mi_cols/8.  ylv: [mi_rows*4][ystride] int32 quantized levels;
 // ulv/vlv at 4:2:0 half resolution with stride cstride.
+// splits[gi] (nullable): 1 = code the 32 block as four 16x16 intra
+// blocks (z-order quadrants) with per-quadrant y16/uv16/ang16/sk16
+// [gh*gw*4] and TX_16X16 luma + TX_8X8 chroma levels read from the
+// same level planes at quadrant offsets.
 // Returns tile byte count written to out, or -1 if cap is too small.
 int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
                            const int32_t *uv_modes, const int32_t *angles,
@@ -1350,7 +1354,10 @@ int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
                            const int32_t *strip_skip,
                            const int32_t *ylv, int ystride,
                            const int32_t *ulv, const int32_t *vlv,
-                           int cstride, uint8_t *out, int64_t cap) {
+                           int cstride, uint8_t *out, int64_t cap,
+                           const int32_t *splits, const int32_t *y16,
+                           const int32_t *uv16, const int32_t *ang16,
+                           const int32_t *sk16) {
   if (w->enc) ec_enc_destroy(w->enc);
   w->enc = ec_enc_create();
   int gw = w->mi_cols / 8;
@@ -1380,6 +1387,31 @@ int64_t stw_encode_intra32(SpecTileWriter *w, const int32_t *y_modes,
           continue;
         }
         int gi = (br / 8) * gw + (bc / 8);
+        if (splits && splits[gi]) {
+          // RD-chosen 32->16 SPLIT: four 16x16 intra blocks in z-order
+          write_partition(w, br, bc, BLOCK_32X32, PARTITION_SPLIT);
+          for (int q = 0; q < 4; ++q) {
+            int qr = br + (q >> 1) * 4, qc = bc + (q & 1) * 4;
+            int qi = gi * 4 + q;
+            int qskip = sk16[qi];
+            write_partition(w, qr, qc, BLOCK_16X16, PARTITION_NONE);
+            write_block_intra(w, qr, qc, BLOCK_16X16, qskip, y16[qi],
+                              uv16[qi], ang16[qi]);
+            if (!qskip) {
+              int x0 = qc * 4, y0 = qr * 4;
+              write_coeffs(w, 0, x0, y0, TX_16X16,
+                           &ylv[y0 * ystride + x0], ystride, 1, 1,
+                           /*is_inter=*/0, /*intra_dir=*/y16[qi]);
+              int cx = x0 >> 1, cy = y0 >> 1;
+              write_coeffs(w, 1, cx, cy, TX_8X8,
+                           &ulv[cy * cstride + cx], cstride, 1, 1);
+              write_coeffs(w, 2, cx, cy, TX_8X8,
+                           &vlv[cy * cstride + cx], cstride, 1, 1);
+            }
+            update_partition_ctx(w, qr, qc, BLOCK_16X16);
+          }
+          continue;
+        }
         int skip = skips[gi];
         write_partition(w, br, bc, BLOCK_32X32, PARTITION_NONE);
         write_block_intra(w, br, bc, BLOCK_32X32, skip, y_modes[gi],

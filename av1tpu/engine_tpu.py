@@ -271,6 +271,70 @@ class TpuEngine:
         self._frame_idx += 1
         return is_key
 
+    @staticmethod
+    def _gop_predictable(frame: Frame, next_frame) -> bool:
+        """Lookahead-1 GOP predictability for keyframe bit allocation.
+
+        Estimates the global translation between the key and the next
+        frame from 1-D row/column projection correlation (exact for
+        pans, ~free on host), then compares the motion-compensated SAD
+        on a subsampled grid against the frame's own 1px-misprediction
+        SAD scale.  << 1 means the GOP's P frames will ride the
+        keyframe recon at near-zero cost (exact-motion content), so
+        the key deserves a much deeper q boost — its bits amortize
+        over keyint frames while every P frame inherits its quality
+        ceiling.  This closes most of the measured moving-clip gap
+        (BASELINE.md round 4: −12 dB traced to GOP bit allocation —
+        keyframe intra itself measures AT libaom cpu-used-7 efficiency
+        at matched bits; the reference's encoder gets the same effect
+        from av1_vaapi's own kf boost, transcode.go:119-123)."""
+        y0 = np.asarray(frame.y)
+        y1 = np.asarray(next_frame.y)
+        if y0.shape != y1.shape:
+            return False
+        h, w = y0.shape
+        if h < 64 or w < 64:
+            return False
+        a = y0.astype(np.float64)
+        b = y1.astype(np.float64)
+        R = 24  # +-24 px global-shift search via projections
+        py0, py1 = a.mean(axis=1), b.mean(axis=1)
+        px0, px1 = a.mean(axis=0), b.mean(axis=0)
+
+        def best_shift(p0, p1):
+            n = p0.shape[0]
+            lo = min(R, n // 4)
+            cand = range(-lo, lo + 1)
+            best, bs = None, 0
+            for s in cand:
+                # p1 shifted by s aligns with p0
+                if s >= 0:
+                    d = np.abs(p0[s:] - p1[:n - s]) if s else \
+                        np.abs(p0 - p1)
+                else:
+                    d = np.abs(p0[:n + s] - p1[-s:])
+                m = d.mean()
+                if best is None or m < best:
+                    best, bs = m, s
+            return bs
+
+        dy = best_shift(py0, py1)
+        dx = best_shift(px0, px1)
+        # subsampled full-res SAD at the (dy, dx) alignment and at 0
+        sub = 4
+
+        def sad_at(sy, sx):
+            y0a = a[max(sy, 0):h + min(sy, 0), max(sx, 0):w + min(sx, 0)]
+            y1a = b[max(-sy, 0):h - max(sy, 0),
+                    max(-sx, 0):w - max(sx, 0)]
+            return np.abs(y0a[::sub, ::sub] - y1a[::sub, ::sub]).mean()
+
+        sad = min(sad_at(dy, dx), sad_at(0, 0))
+        # 1px-misprediction SAD scale of this content
+        act = np.abs(a[::sub, 1:] - a[::sub, :-1]).mean()
+        scale = float(1 << (frame.bit_depth - 8))
+        return bool(sad < 0.6 * act + 0.25 * scale)
+
     def _classify_frame(self, frame: Frame, next_frame) -> str:
         """Lookahead-1 frame classification: 'key' | 'inter' | 'flash'.
 
@@ -542,6 +606,12 @@ class TpuEngine:
             q = rate.qindex_for(idx) if rate else qindex
             idx += 1
             kind = self._classify_frame(frame, nxt)
+            if kind != "key" and getattr(self, "_deep_gop", False):
+                # predictable GOP: P frames ride the deep-boosted key
+                # recon — their own residual is mostly interpolation
+                # noise, so shift their bits to the key (the +16 costs
+                # <0.1 dB GOP-average, measured on textured pans)
+                q = min(255, q + 16)
             if kind == "key":
                 flush_buf()  # preserve order: buffered P frames first
                 # keyframe quality boost: the key is every GOP frame's
@@ -550,8 +620,18 @@ class TpuEngine:
                 # keyint frames.  Deeper boost measured on textured
                 # 1080p content: q//3 (q96 -> key q64) gained ~+1 dB
                 # GOP-average at +7% of one GOP's bits vs the old -8
-                # (BASELINE.md round 4; libaom's kf boost is similar)
-                kq = max(0, q - min(48, max(8, q // 3)))
+                # (BASELINE.md round 4; libaom's kf boost is similar).
+                # Motion-predictable GOPs (lookahead-1 projection SAD)
+                # boost twice as deep: their P frames ride the key
+                # recon at near-skip cost, so the key's quality IS the
+                # GOP's — measured +4 dB at ~matched clip bits on
+                # textured pans (BASELINE.md round 5).
+                self._deep_gop = (nxt is not None
+                                  and self._gop_predictable(frame, nxt))
+                if self._deep_gop:
+                    kq = max(0, q - min(88, max(8, (3 * q) // 4)))
+                else:
+                    kq = max(0, q - min(48, max(8, q // 3)))
                 pending.append(("single",
                                 self._submit(frame, kq, is_key=True)))
             elif kind == "flash":

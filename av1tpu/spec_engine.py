@@ -485,9 +485,9 @@ class SpecTpuEngine(TpuEngine):
                 # height so the GOP reference chain sees (ph, pw)
                 out = (out[0][:ph], out[1][:ph // 2], out[2][:ph // 2],
                        out[3][:ph], out[4][:ph // 2], out[5][:ph // 2],
-                       out[6][:ph // 32], out[7][:ph // 32],
-                       out[8][:ph // 32], out[9][:ph // 32],
-                       out[10], out[11], out[12], out[13])
+                       ) + tuple(out[i][:ph // 32]
+                                 for i in range(6, 15)) + \
+                    (out[15], out[16], out[17], out[18])
             else:
                 out = jax_intra._encode_frame(
                     yj, uj, vj, jnp.int32(qindex), nbr=ph // 32,
@@ -499,14 +499,8 @@ class SpecTpuEngine(TpuEngine):
             self._ref_dev = out[0:3]
             self._golden_dev = out[0:3]
             self._golden_shard = None
-            grids = jnp.concatenate([out[6].reshape(-1),
-                                     out[7].reshape(-1),
-                                     out[8].reshape(-1),
-                                     out[9].reshape(-1),
-                                     out[10].reshape(-1),
-                                     out[11].reshape(-1),
-                                     out[12].reshape(-1),
-                                     out[13].reshape(-1)])
+            grids = jnp.concatenate([out[i].reshape(-1)
+                                     for i in range(6, 19)])
             pk = _pack_outputs(out[3], out[4], out[5], grids, cap)
             return ("key", qindex, w, h, th, tw, ph, pw, bd, oh,
                     refresh, out, pk, cap, lfy, lfuv, damp, self._lr,
@@ -795,12 +789,13 @@ class SpecTpuEngine(TpuEngine):
         B = gh * gw
         urows, ucols = _lr_nru(th, tw)
         nru = urows * ucols
-        # layouts -- key:   [mode B][uv B][skip B][angle B][strip nsc]
-        #                   [cdefs 4][lr nru]
+        # layouts -- key:   [mode B][uv B][skip B][angle B][split B]
+        #                   [m16 4B][uv16 4B][a16 4B][s16 4B]
+        #                   [strip nsc][cdefs 4][lr nru]
         #            inter: [mv8 2B][skip B][strip nsc][cdefs 4][lr nru]
         #                   [split B][mv16 8B][skip16 4B]
         if kind == "key":
-            cdef_off = 4 * B + nsc
+            cdef_off = 21 * B + nsc
         else:
             cdef_off = 3 * B + nsc
         lr_choice = grids[cdef_off + 4:cdef_off + 4 + nru].reshape(
@@ -826,13 +821,23 @@ class SpecTpuEngine(TpuEngine):
             g_uv = grids[ng:2 * ng].reshape(gh, gw)
             g_skip = grids[2 * ng:3 * ng].reshape(gh, gw)
             g_angle = grids[3 * ng:4 * ng].reshape(gh, gw)
-            strip_skip = grids[4 * ng:4 * ng + nsc] if strip else None
+            g_split = grids[4 * ng:5 * ng].reshape(gh, gw)
+            g_m16 = grids[5 * ng:9 * ng].reshape(gh, gw, 4)
+            g_uv16 = grids[9 * ng:13 * ng].reshape(gh, gw, 4)
+            g_a16 = grids[13 * ng:17 * ng].reshape(gh, gw, 4)
+            g_s16 = grids[17 * ng:21 * ng].reshape(gh, gw, 4)
+            strip_skip = grids[21 * ng:21 * ng + nsc] if strip else None
             tiles = native.encode_tile_rows(
                 "key", qindex, mi_cols, mi_rows, spans,
                 (g_mode[:gh_t, :gw_t], g_uv[:gh_t, :gw_t],
                  g_skip[:gh_t, :gw_t]), lv_y, lv_u, lv_v,
                 strip_skip=strip_skip, lr=lr_arg,
-                angles=g_angle[:gh_t, :gw_t])
+                angles=g_angle[:gh_t, :gw_t],
+                key_split5=(g_split[:gh_t, :gw_t],
+                            g_m16[:gh_t, :gw_t],
+                            g_uv16[:gh_t, :gw_t],
+                            g_a16[:gh_t, :gw_t],
+                            g_s16[:gh_t, :gw_t]))
             hdr = W.write_key_frame_header(tw, th, qindex,
                                            order_hint=oh, render_size=rs,
                                            tile_rows_log2=trl2,
@@ -944,15 +949,9 @@ class SpecTpuEngine(TpuEngine):
                                            cdef=self._cdef,
                                            cdef_damping=jnp.int32(4),
                                            lr=self._lr)
-            # the exact packer shape _submit uses (8-part grid concat)
-            gk = jnp.concatenate([kout[6].reshape(-1),
-                                  kout[7].reshape(-1),
-                                  kout[8].reshape(-1),
-                                  kout[9].reshape(-1),
-                                  kout[10].reshape(-1),
-                                  kout[11].reshape(-1),
-                                  kout[12].reshape(-1),
-                                  kout[13].reshape(-1)])
+            # the exact packer shape _submit uses (13-part grid concat)
+            gk = jnp.concatenate([kout[i].reshape(-1)
+                                  for i in range(6, 19)])
             _jax.device_get(
                 _pack_outputs(kout[3], kout[4], kout[5], gk, cap))
 

@@ -564,17 +564,36 @@ def _predict_all(ar, lc, corner, have_a, have_l, size, base, modes,
 # the jitted frame encoder
 # ---------------------------------------------------------------------------
 
+# header-bit model for the keyframe 32->16 split RD: ~10 bits per
+# coded intra unit (kf_y_mode + angle + uv_mode + skip), +2 for the
+# extra partition symbol — the same shape as jax_inter's inter model
+_HB16 = 10.0
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nbr", "nbc", "bit_depth", "th", "tw",
                                     "tile_row_starts", "deblock", "qround",
-                                    "cdef", "lr"))
+                                    "cdef", "lr", "split16"))
 def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
                   th: int = 0, tw: int = 0, tile_row_starts: tuple = (),
                   lf_y=0, lf_uv=0, deblock: bool = False,
                   qround: float = 0.70, cdef: bool = False,
-                  cdef_damping=4, lr: bool = False, fh_clamp=None):
+                  cdef_damping=4, lr: bool = False, fh_clamp=None,
+                  split16: bool = True):
     """y: (H, W) uint8/16 SB-padded source; returns grids + levels +
     recon planes.
+
+    split16: RD-choose PARTITION_SPLIT (four 16x16 intra sub-blocks,
+    each with its own mode/angle/uv from the full candidate set) per
+    32x32 block.  Sub-block edge availability collapses to the
+    block-level wavefront flags: within the SB's z-order walk the TR
+    quadrant's top-right extension exists iff the parent block's does
+    (spec 7.12.2 BlockDecoded corner reads, verified for all four SB
+    positions), likewise BL's bottom-left; TL extends into the
+    parent's own edges and BR is fully interior.  This closes the
+    measured ~-12 dB intra-texture gap of 32x32-only keyframes
+    (BASELINE.md round-4 head-to-head; av1_vaapi partitions keyframes
+    to 4x4, transcode.go:119-123).
 
     fh_clamp: optional TRACED override of the bottom edge-read clamp
     (the spec's MiRows*4 bound on left-column reads).  The sharded
@@ -639,6 +658,8 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     strip_same_sb = strip and (nbr_main * 32) % 64 == 32
     reads_bl_lane = jnp.asarray(_CAND_READS_BL)
     fm16a = jnp.asarray(_fwd_mat_kind("adst", 16))
+    fm8 = jnp.asarray(_fwd_mat(8))
+    fm8a = jnp.asarray(_fwd_mat_kind("adst", 8))
     # nonzero angle deltas cost ~2 extra bits: charge the same
     # lambda*bits the skip RDO uses so flat ties stay at delta 0
     lam = (acq.astype(jnp.int32) * acq.astype(jnp.int32)) >> 7
@@ -692,10 +713,12 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         ccols = cx0 + jnp.arange(16)[None, :]
         cpreds = []
         csrcs = []
+        cedges = []
         for rec_p, src_p in ((rec_u, src_u), (rec_v, src_v)):
             arc, lcc, cornc = _gather_edges(
                 rec_p, cy0, cx0, ha, hl, ntr // 2, nbl // 2, 16, base,
                 fdims=(fh_c // 2, fw8 // 2))
+            cedges.append((arc, lcc, cornc))
             cpreds.append(_predict_all(arc, lcc, cornc, ha, hl, 16,
                                        base, list(_UV_MODE_IDS)))
             csrcs.append(src_p[crows, ccols])
@@ -735,18 +758,225 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         lvv, rec_blk_v = lv_all[1][uvmi], rec_all[1][uvmi]
         skip = ((lvy == 0).all() & (lvu == 0).all() &
                 (lvv == 0).all()).astype(jnp.int32)
+        if not split16:
+            z4 = jnp.zeros((4,), jnp.int32)
+            return (rec_blk_y, rec_blk_u, rec_blk_v, lvy, lvu, lvv,
+                    mode, uv_mode, angle, skip, jnp.int32(0), z4, z4,
+                    z4, z4)
+
+        # ---- 32 -> 16 keyframe partition split RD ------------------
+        true_ = jnp.asarray(True)
+        ext_tr = ntr > 0
+        ext_bl = nbl > 0
+        lam_f = lam.astype(jnp.float32)
+        cand_dir = jnp.asarray(_CAND_DIR)
+        dcosts = delta_cost.astype(jnp.float32)
+        uv_dir_pen = jnp.asarray(
+            [recon.MODE_ANGLE.get(int(m), 0) != 0 for m in _UV_MODE_IDS])
+
+        def _ext_cap(vec, own, ext_flag):
+            # replicate past own+ext, ext in {0, own} (ext_flag); the
+            # frame-dim clamp is already baked into the parent edges
+            cap = jnp.where(ext_flag, vec[2 * own - 1], vec[own - 1])
+            n_ok = jnp.where(ext_flag, 2 * own, own)
+            return jnp.where(jnp.arange(2 * own) < n_ok, vec, cap)
+
+        def quad_y(sy16, ar33, lc33, cnr, ha_q, hl_q):
+            preds = _predict_all(ar33, lc33, cnr, ha_q, hl_q, 16, base,
+                                 list(_CAND_MODE), list(_CAND_DELTA))
+            resids = (sy16[None] - preds).astype(jnp.float32)
+            coefs = jnp.einsum("ij,bjk,lk->bil", fm16, resids, fm16)
+            lvs = quant(coefs, 16, 0)
+            deqs = dequant(lvs, 16, 0).astype(jnp.float32)
+            qerr = ((coefs - deqs) ** 2).sum(axis=(1, 2)) / 64.0
+            nnzs = (lvs != 0).sum(axis=(1, 2))
+            rdq = qerr + lam_f * (3.0 * nnzs) + dcosts
+            rdq = rdq + jnp.where(cand_dir & ~(ha_q | hl_q),
+                                  jnp.float32(1e18), jnp.float32(0))
+            mq = jnp.argmin(rdq)
+            lv = lvs[mq]
+            rec = inv_dct2d_add(dequant(lv, 16, 0)[None],
+                                preds[mq][None], bit_depth)[0]
+            return (jnp.asarray(_CAND_MODE)[mq],
+                    jnp.asarray(_CAND_DELTA)[mq], lv, rec, rdq[mq])
+
+        def quad_uv(s8s, edges8, ha_q, hl_q):
+            lv_pl, rec_pl = [], []
+            for (ar17, lc17, cnr), s8 in zip(edges8, s8s):
+                preds = _predict_all(ar17, lc17, cnr, ha_q, hl_q, 8,
+                                     base, list(_UV_MODE_IDS))
+                lv_k, rec_k = [], []
+                for k, (rk, ck) in enumerate(_UV_TX_KINDS):
+                    fr = fm8 if rk == "dct" else fm8a
+                    fc = fm8 if ck == "dct" else fm8a
+                    coef = fc @ (s8 - preds[k]).astype(jnp.float32) \
+                        @ fr.T
+                    lvc = quant(coef, 8, 0)
+                    recc = inv_tx2d_add(dequant(lvc, 8, 0)[None],
+                                        preds[k][None], bit_depth,
+                                        row_kind=rk, col_kind=ck)[0]
+                    lv_k.append(lvc)
+                    rec_k.append(recc)
+                lv_pl.append(jnp.stack(lv_k))
+                rec_pl.append(jnp.stack(rec_k))
+            dist = sum(((s[None] - rp) ** 2).sum(axis=(1, 2))
+                       for rp, s in zip(rec_pl, s8s))
+            nz = sum((l != 0).sum(axis=(1, 2)) for l in lv_pl)
+            pen = jnp.where(uv_dir_pen & ~(ha_q | hl_q),
+                            jnp.int32(1 << 30), jnp.int32(0))
+            kq = jnp.argmin(dist + lam * (3 * nz) + pen)
+            return (jnp.asarray(_UV_MODE_IDS)[kq], lv_pl[0][kq],
+                    lv_pl[1][kq], rec_pl[0][kq], rec_pl[1][kq],
+                    (dist[kq] + lam * 3 * nz[kq]).astype(jnp.float32))
+
+        (arc_u, lcc_u, corn_u), (arc_v, lcc_v, corn_v) = cedges
+        loc_y = jnp.zeros((32, 32), jnp.int32)
+        loc_u = jnp.zeros((16, 16), jnp.int32)
+        loc_v = jnp.zeros((16, 16), jnp.int32)
+        lvy16 = jnp.zeros((32, 32), jnp.int32)
+        lvu16 = jnp.zeros((16, 16), jnp.int32)
+        lvv16 = jnp.zeros((16, 16), jnp.int32)
+        m16l, a16l, u16l, s16l = [], [], [], []
+        rd_split = lam_f * (4.0 * _HB16 + 2.0)
+        for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            if (qr, qc) == (0, 0):
+                ar33, lc33, cnr_q = ar[:33], lcv[:33], corner
+                ha_q, hl_q = ha, hl
+                e_u = (arc_u[:17], lcc_u[:17], corn_u)
+                e_v = (arc_v[:17], lcc_v[:17], corn_v)
+            elif (qr, qc) == (0, 1):
+                tlc = loc_y[0:16, 15]
+                abv = _ext_cap(ar[17:49], 16, ext_tr)
+                abv = jnp.where(ha, abv, tlc[0])
+                lft = jnp.concatenate(
+                    [tlc, jnp.broadcast_to(tlc[15][None], (16,))])
+                cnr_q = jnp.where(ha, ar[16], tlc[0])
+                ar33 = jnp.concatenate([cnr_q[None], abv])
+                lc33 = jnp.concatenate([cnr_q[None], lft])
+                ha_q, hl_q = ha, true_
+
+                def _tr_c(arc, locp):
+                    tl = locp[0:8, 7]
+                    ab = _ext_cap(arc[9:25], 8, ext_tr)
+                    ab = jnp.where(ha, ab, tl[0])
+                    lf = jnp.concatenate(
+                        [tl, jnp.broadcast_to(tl[7][None], (8,))])
+                    cq = jnp.where(ha, arc[8], tl[0])
+                    return (jnp.concatenate([cq[None], ab]),
+                            jnp.concatenate([cq[None], lf]), cq)
+
+                e_u = _tr_c(arc_u, loc_u)
+                e_v = _tr_c(arc_v, loc_v)
+            elif (qr, qc) == (1, 0):
+                abv = loc_y[15, 0:32]
+                lft = _ext_cap(lcv[17:49], 16, ext_bl)
+                lft = jnp.where(hl, lft, loc_y[15, 0])
+                cnr_q = jnp.where(hl, lcv[16], loc_y[15, 0])
+                ar33 = jnp.concatenate([cnr_q[None], abv])
+                lc33 = jnp.concatenate([cnr_q[None], lft])
+                ha_q, hl_q = true_, hl
+
+                def _bl_c(lcc, locp):
+                    ab = locp[7, 0:16]
+                    lf = _ext_cap(lcc[9:25], 8, ext_bl)
+                    lf = jnp.where(hl, lf, locp[7, 0])
+                    cq = jnp.where(hl, lcc[8], locp[7, 0])
+                    return (jnp.concatenate([cq[None], ab]),
+                            jnp.concatenate([cq[None], lf]), cq)
+
+                e_u = _bl_c(lcc_u, loc_u)
+                e_v = _bl_c(lcc_v, loc_v)
+            else:
+                abv = jnp.concatenate(
+                    [loc_y[15, 16:32],
+                     jnp.broadcast_to(loc_y[15, 31][None], (16,))])
+                lft = jnp.concatenate(
+                    [loc_y[16:32, 15],
+                     jnp.broadcast_to(loc_y[31, 15][None], (16,))])
+                cnr_q = loc_y[15, 15]
+                ar33 = jnp.concatenate([cnr_q[None], abv])
+                lc33 = jnp.concatenate([cnr_q[None], lft])
+                ha_q = hl_q = true_
+
+                def _br_c(locp):
+                    ab = jnp.concatenate(
+                        [locp[7, 8:16],
+                         jnp.broadcast_to(locp[7, 15][None], (8,))])
+                    lf = jnp.concatenate(
+                        [locp[8:16, 7],
+                         jnp.broadcast_to(locp[15, 7][None], (8,))])
+                    cq = locp[7, 7]
+                    return (jnp.concatenate([cq[None], ab]),
+                            jnp.concatenate([cq[None], lf]), cq)
+
+                e_u = _br_c(loc_u)
+                e_v = _br_c(loc_v)
+            sy16 = sy[qr * 16:(qr + 1) * 16, qc * 16:(qc + 1) * 16]
+            mq, aq, lvq, recq, rdq = quad_y(sy16, ar33, lc33, cnr_q,
+                                            ha_q, hl_q)
+            loc_y = loc_y.at[qr * 16:(qr + 1) * 16,
+                             qc * 16:(qc + 1) * 16].set(recq)
+            lvy16 = lvy16.at[qr * 16:(qr + 1) * 16,
+                             qc * 16:(qc + 1) * 16].set(lvq)
+            su8 = csrcs[0][qr * 8:(qr + 1) * 8, qc * 8:(qc + 1) * 8]
+            sv8 = csrcs[1][qr * 8:(qr + 1) * 8, qc * 8:(qc + 1) * 8]
+            uvq, lvu8, lvv8, recu8, recv8, cuv = quad_uv(
+                (su8, sv8), (e_u, e_v), ha_q, hl_q)
+            loc_u = loc_u.at[qr * 8:(qr + 1) * 8,
+                             qc * 8:(qc + 1) * 8].set(recu8)
+            loc_v = loc_v.at[qr * 8:(qr + 1) * 8,
+                             qc * 8:(qc + 1) * 8].set(recv8)
+            lvu16 = lvu16.at[qr * 8:(qr + 1) * 8,
+                             qc * 8:(qc + 1) * 8].set(lvu8)
+            lvv16 = lvv16.at[qr * 8:(qr + 1) * 8,
+                             qc * 8:(qc + 1) * 8].set(lvv8)
+            rd_split = rd_split + rdq + cuv
+            m16l.append(mq)
+            a16l.append(aq)
+            u16l.append(uvq)
+            s16l.append(((lvq == 0).all() & (lvu8 == 0).all() &
+                         (lvv8 == 0).all()).astype(jnp.int32))
+
+        # pixel-scale RD for the split-vs-none comparison: the 32x32
+        # forward matrix packs only 16x pixel energy (vs 64x at 16/8 —
+        # _fwd_mat's scale = 2^(rs+4)/gw^2 differs per size), so the
+        # mode-decision qerr (X/64) understates 32-block distortion 4x.
+        # Mode selection keeps its own consistent scale; this
+        # comparison must not.
+        rd_none = (4.0 * qerr[mi] + lam_f * (3.0 * nnzs[mi]) +
+                   dcosts[mi] +
+                   (cdist[uvmi] + lam * 3 * cnnz[uvmi]).astype(
+                       jnp.float32) + lam_f * _HB16)
+        # only blocks fully inside the coded mi grid split (the writer
+        # codes edge-overhang blocks with implicit edge partitions)
+        ok = ((r + 1) * 32 <= fh_c) & ((c + 1) * 32 <= fw8)
+        if strip_same_sb:
+            # the strip-sharing row's zone-3 ban already diverges the
+            # 32 path there; splits would add decoder BL reads of strip
+            # pixels the wavefront has not produced yet
+            ok = ok & (r != nbr_main - 1)
+        do_sp = ok & (rd_split < rd_none)
+        rec_blk_y = jnp.where(do_sp, loc_y, rec_blk_y)
+        rec_blk_u = jnp.where(do_sp, loc_u, rec_blk_u)
+        rec_blk_v = jnp.where(do_sp, loc_v, rec_blk_v)
+        lvy = jnp.where(do_sp, lvy16, lvy)
+        lvu = jnp.where(do_sp, lvu16, lvu)
+        lvv = jnp.where(do_sp, lvv16, lvv)
         return (rec_blk_y, rec_blk_u, rec_blk_v, lvy, lvu, lvv, mode,
-                uv_mode, angle, skip)
+                uv_mode, angle, skip, do_sp.astype(jnp.int32),
+                jnp.stack(m16l), jnp.stack(u16l), jnp.stack(a16l),
+                jnp.stack(s16l))
 
     def wave_step(carry, xs):
         (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, g_mode, g_uv, g_skip,
-         g_angle) = carry
+         g_angle, g_split, g_m16, g_uv16, g_a16, g_s16) = carry
         outs = jax.vmap(
             lambda r, c, a, l, t, b: block_fn(rec_y, rec_u, rec_v, r, c,
                                               a, l, t, b)
         )(xs["r"], xs["c"], xs["have_a"], xs["have_l"], xs["ntr"],
           xs["nbl"])
-        rby, rbu, rbv, lvy, lvu, lvv, mode, uv_mode, angle, skip = outs
+        (rby, rbu, rbv, lvy, lvu, lvv, mode, uv_mode, angle, skip,
+         splt, m16, uv16, a16, s16) = outs
         # scatter: invalid lanes get out-of-range coords -> dropped
         r_eff = jnp.where(xs["valid"] == 1, xs["r"], nbr + 1)
         c_eff = xs["c"]
@@ -764,8 +994,14 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         g_uv = g_uv.at[r_eff, c_eff].set(uv_mode, mode="drop")
         g_skip = g_skip.at[r_eff, c_eff].set(skip, mode="drop")
         g_angle = g_angle.at[r_eff, c_eff].set(angle, mode="drop")
+        g_split = g_split.at[r_eff, c_eff].set(splt, mode="drop")
+        g_m16 = g_m16.at[r_eff, c_eff].set(m16, mode="drop")
+        g_uv16 = g_uv16.at[r_eff, c_eff].set(uv16, mode="drop")
+        g_a16 = g_a16.at[r_eff, c_eff].set(a16, mode="drop")
+        g_s16 = g_s16.at[r_eff, c_eff].set(s16, mode="drop")
         return (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, g_mode, g_uv,
-                g_skip, g_angle), None
+                g_skip, g_angle, g_split, g_m16, g_uv16, g_a16,
+                g_s16), None
 
     init = (jnp.zeros((H, Wd), jnp.int32),
             jnp.zeros((H // 2, Wd // 2), jnp.int32),
@@ -776,7 +1012,12 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
             jnp.zeros((nbr, nbc), jnp.int32),
             jnp.zeros((nbr, nbc), jnp.int32),
             jnp.zeros((nbr, nbc), jnp.int32),
-            jnp.zeros((nbr, nbc), jnp.int32))
+            jnp.zeros((nbr, nbc), jnp.int32),
+            jnp.zeros((nbr, nbc), jnp.int32),
+            jnp.zeros((nbr, nbc, 4), jnp.int32),
+            jnp.zeros((nbr, nbc, 4), jnp.int32),
+            jnp.zeros((nbr, nbc, 4), jnp.int32),
+            jnp.zeros((nbr, nbc, 4), jnp.int32))
     carry, _ = jax.lax.scan(wave_step, init, wave_xs)
     nsc = 2 * nbc  # strip columns (16px each)
     if strip:
@@ -816,7 +1057,10 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         from av1tpu.specav1 import loopfilter as _LF
         fy, fu, fv = _LF.deblock_frame(carry[0], carry[1], carry[2],
                                        lf_y, lf_uv, lf_uv, bit_depth,
-                                       th, tw, strip=strip)
+                                       th, tw,
+                                       split=carry[10] if split16
+                                       else None,
+                                       strip=strip)
     else:
         fy, fu, fv = carry[0:3]
     pre_cdef_y = fy  # post-deblock: LR stripe-boundary source
@@ -825,7 +1069,9 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
         # searched on-device, returned for the host's cdef_params
         from av1tpu.specav1 import jax_cdef
         from av1tpu.specav1.jax_inter import build_skip8
-        skip8 = build_skip8(carry[8], strip_skip, th, tw, Wd)
+        skip8 = build_skip8(carry[8], strip_skip, th, tw, Wd,
+                            split=carry[10] if split16 else None,
+                            skip16=carry[14] if split16 else None)
         fy, fu, fv, cdefs = jax_cdef.cdef_search_apply(
             fy, fu, fv, y, u, v, skip8, cdef_damping,
             bit_depth=bit_depth, th=th, tw=tw)
@@ -863,11 +1109,14 @@ def encode_keyframe_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     out = _encode_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                         jnp.int32(qindex), nbr=nbr, nbc=nbc,
                         bit_depth=bit_depth)
-    (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v,
-     g_mode, g_uv, g_skip, g_angle) = jax.device_get(out[0:10])
+    (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, g_mode, g_uv, g_skip,
+     g_angle, g_split, g_m16, g_uv16, g_a16,
+     g_s16) = jax.device_get(out[0:15])
     tile = native.encode_intra32_tile(qindex, pw // 4, ph // 4, g_mode,
                                       g_uv, g_skip, lv_y, lv_u, lv_v,
-                                      angles=g_angle)
+                                      angles=g_angle,
+                                      split5=(g_split, g_m16, g_uv16,
+                                              g_a16, g_s16))
     tu = W.assemble_keyframe(pw, ph, qindex, tile,
                              render_size=(w, h) if (ph, pw) != (h, w)
                              else None)

@@ -137,12 +137,13 @@ def encode_key_sharded(mesh, y, u, v, qindex, bit_depth: int, th: int,
             bit_depth=bit_depth, th=stripe_h, tw=tw,
             tile_row_starts=local_brs, qround=qround,
             fh_clamp=fh_local)
-        return out[0:10]
+        return out[0:15]
 
     sh2 = P("stripe", None)
+    sh3 = P("stripe", None, None)
     out = shard_map(
         body, mesh=mesh, in_specs=(sh2, sh2, sh2, P(None)),
-        out_specs=(sh2,) * 10, check_rep=False)(
+        out_specs=(sh2,) * 11 + (sh3,) * 4, check_rep=False)(
         y, u, v, jnp.reshape(jnp.asarray(qindex, jnp.int32), (1,)))
     fy, fu, fv = out[0], out[1], out[2]
     lv_y, lv_u, lv_v = out[3], out[4], out[5]
@@ -152,7 +153,7 @@ def encode_key_sharded(mesh, y, u, v, qindex, bit_depth: int, th: int,
     # encode never writes; zero their levels so the sparse level pack
     # sees the same density (recon/grid garbage is cropped by the host)
     coded_h = th if strip else 32 * ((th + 31) // 32)
-    grids = out[6:10]
+    grids = out[6:15]
     if coded_h < lv_y.shape[0]:
         rows = jnp.arange(lv_y.shape[0])
         lv_y = jnp.where((rows < coded_h)[:, None], lv_y, 0)
@@ -163,8 +164,10 @@ def encode_key_sharded(mesh, y, u, v, qindex, bit_depth: int, th: int,
         # syntax comes from strip_skip, not the 32-grid)
         gmain = th // 32 if strip else -(-th // 32)
         grows = jnp.arange(grids[0].shape[0])
-        grids = tuple(jnp.where((grows < gmain)[:, None], g, 0)
-                      for g in grids)
+        grids = tuple(
+            jnp.where((grows < gmain).reshape(
+                (-1,) + (1,) * (g.ndim - 1)), g, 0)
+            for g in grids)
     if strip:
         dcq = jnp.asarray(_R.DC_Q[bit_depth], jnp.int32)[
             jnp.asarray(qindex, jnp.int32).reshape(())]
@@ -179,11 +182,13 @@ def encode_key_sharded(mesh, y, u, v, qindex, bit_depth: int, th: int,
     if deblock:
         from av1tpu.specav1 import loopfilter as _LF
         fy, fu, fv = _LF.deblock_frame(fy, fu, fv, lf_y, lf_uv, lf_uv,
-                                       bit_depth, th, tw, strip=strip)
+                                       bit_depth, th, tw,
+                                       split=grids[4], strip=strip)
     pre_cdef_y = fy
     if cdef:
         from av1tpu.specav1 import jax_cdef
-        skip8 = jax_inter.build_skip8(grids[2], strip_skip, th, tw, pw)
+        skip8 = jax_inter.build_skip8(grids[2], strip_skip, th, tw, pw,
+                                      split=grids[4], skip16=grids[8])
         fy, fu, fv, cdefs = jax_cdef.cdef_search_apply(
             fy, fu, fv, y, u, v, skip8, cdef_damping,
             bit_depth=bit_depth, th=th, tw=tw)
@@ -199,9 +204,8 @@ def encode_key_sharded(mesh, y, u, v, qindex, bit_depth: int, th: int,
                _NL.count_units_in_frame(256, tw))
         lr_choice = jnp.full((nru,), -1, jnp.int32)
         lr_taps = jnp.zeros((nru, 6), jnp.int32)
-    return ((fy, fu, fv) + (lv_y, lv_u, lv_v) +
-            (grids[0], grids[1], grids[2], grids[3], strip_skip,
-             cdefs, lr_choice, lr_taps))
+    return ((fy, fu, fv) + (lv_y, lv_u, lv_v) + tuple(grids) +
+            (strip_skip, cdefs, lr_choice, lr_taps))
 
 
 def _halo_window(ref_l, n: int, pad: int, th_p: int, tw_p: int,

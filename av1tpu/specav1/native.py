@@ -48,7 +48,9 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int64]
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.stw_encode_intra32.restype = ctypes.c_int64
         lib.stw_encode_inter32.argtypes = [
             ctypes.c_void_p,
@@ -165,7 +167,7 @@ def _pool():
 def encode_tile_rows(kind: str, qindex: int, mi_cols: int, mi_rows: int,
                      spans: list, grid_args: tuple, ylv, ulv, vlv,
                      strip_skip=None, lr=None, angles=None,
-                     split3=None) -> list:
+                     split3=None, key_split5=None) -> list:
     """Encode one spec tile per (mi_row0, mi_row1) span, in parallel
     (the C++ walker releases the GIL).  grid_args: the per-frame grid
     arrays of encode_intra32_tile / encode_inter32_tile; each tile gets
@@ -183,6 +185,8 @@ def encode_tile_rows(kind: str, qindex: int, mi_cols: int, mi_rows: int,
         kw = {}
         if angles is not None and kind == "key":
             kw["angles"] = angles[g0:g1]
+        if key_split5 is not None and kind == "key":
+            kw["split5"] = tuple(g[g0:g1] for g in key_split5)
         if split3 is not None and kind != "key":
             kw["splits"] = split3[0][g0:g1]
             kw["mvs16"] = split3[1][g0:g1]
@@ -301,8 +305,8 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
                         tile_row0: int = 0,
                         frame_mi_rows: int = 0,
                         strip_skip: np.ndarray | None = None,
-                        lr=None, angles: np.ndarray | None = None
-                        ) -> bytes:
+                        lr=None, angles: np.ndarray | None = None,
+                        split5=None) -> bytes:
     """Emit one spec tile for a fixed-32x32-grid intra frame.
 
     y_modes/uv_modes/skips: (gh, gw) int32 with gw = mi_cols//8.
@@ -310,6 +314,10 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
     only read for directional y modes).  ylv: (mi_rows*4, mi_cols*4)
     int32 quantized levels; ulv/vlv at half resolution.  mi dims must
     be multiples of 16 (SB-padded).
+    split5: (splits (gh, gw), y16, uv16, ang16, sk16 each (gh, gw, 4))
+    for RD-chosen 32->16 keyframe PARTITION_SPLIT blocks (z-order
+    quadrants; TX_16X16 luma / TX_8X8 chroma levels are read from the
+    same level planes at quadrant offsets).
     """
     lib = _lib()
     gh, gw = (mi_rows + 7) // 8, (mi_cols + 7) // 8
@@ -323,6 +331,14 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
     uv_modes = as32(uv_modes, (gh, gw))
     skips = as32(skips, (gh, gw))
     angles = as32(angles, (gh, gw)) if angles is not None else None
+    if split5 is not None:
+        splits = as32(split5[0], (gh, gw))
+        y16 = as32(split5[1], (gh, gw, 4))
+        uv16 = as32(split5[2], (gh, gw, 4))
+        ang16 = as32(split5[3], (gh, gw, 4))
+        sk16 = as32(split5[4], (gh, gw, 4))
+    else:
+        splits = y16 = uv16 = ang16 = sk16 = None
     ylv = np.ascontiguousarray(np.asarray(ylv, np.int32))
     ulv = np.ascontiguousarray(np.asarray(ulv, np.int32))
     vlv = np.ascontiguousarray(np.asarray(vlv, np.int32))
@@ -359,18 +375,21 @@ def encode_intra32_tile(qindex: int, mi_cols: int, mi_rows: int,
         if strip_skip is not None:
             sstrip = np.ascontiguousarray(np.asarray(strip_skip, np.int32))
             assert sstrip.size >= (mi_cols + 3) // 4
+        def _p(a):
+            return (a.ctypes.data_as(ctypes.c_void_p)
+                    if a is not None else None)
+
         sz = lib.stw_encode_intra32(
             w, y_modes.ctypes.data_as(ctypes.c_void_p),
             uv_modes.ctypes.data_as(ctypes.c_void_p),
-            angles.ctypes.data_as(ctypes.c_void_p)
-            if angles is not None else None,
+            _p(angles),
             skips.ctypes.data_as(ctypes.c_void_p),
-            sstrip.ctypes.data_as(ctypes.c_void_p)
-            if sstrip is not None else None,
+            _p(sstrip),
             ylv.ctypes.data_as(ctypes.c_void_p), ystride,
             ulv.ctypes.data_as(ctypes.c_void_p),
             vlv.ctypes.data_as(ctypes.c_void_p), cstride,
-            out.ctypes.data_as(ctypes.c_void_p), cap)
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+            _p(splits), _p(y16), _p(uv16), _p(ang16), _p(sk16))
         if sz < 0:
             raise RuntimeError("tile buffer too small")
         return out[:sz].tobytes()

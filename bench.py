@@ -61,12 +61,22 @@ FULL_WARMUP, FULL_TIMED = 13, 24
 FLOOR_WARMUP, FLOOR_TIMED = 3, 6
 
 
+_DEVICE_MS: float | None = None  # tunnel-independent device ms/frame
+
+
 def _json_line(fps: float, bpp: float, frames: int, seconds: float,
                degraded: str | None = None) -> str:
     detail = {"frames": frames, "seconds": round(seconds, 3),
               "bits_per_pixel": round(bpp, 4), "qindex": 96,
               "gop": "1 key + P-frames, keyint 120",
               "bitstream": "spec-av1"}
+    if _DEVICE_MS is not None:
+        # device-only inter-frame dispatch cost (device-resident
+        # inputs, RTT-subtracted scalar sync — tools/profile_device
+        # protocol): tracks the ENGINE across rounds even when the
+        # shared axon tunnel is congested (the e2e fps above samples
+        # tunnel state as much as the encoder; BASELINE.md round 4)
+        detail["device_ms_per_frame"] = round(_DEVICE_MS, 1)
     if degraded:
         detail["degraded"] = degraded
     return json.dumps({
@@ -76,6 +86,59 @@ def _json_line(fps: float, bpp: float, frames: int, seconds: float,
         "vs_baseline": round(fps / TARGET_FPS, 4),
         "detail": detail,
     })
+
+
+def _measure_device_ms(engine) -> float | None:
+    """Device-only ms/frame of the production single-inter dispatch.
+
+    Calls jax_inter._encode_frame with the exact statics/avals the
+    engine's _prewarm compiled (in-process jit cache hit — no new
+    compile), inputs device-resident, sync via one scalar D2H with the
+    measured RTT subtracted.  ~1 s total; returns None on any error
+    (the bench number must never die on the profile)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        from av1tpu.spec_engine import _axis_true_dims_ok
+        from av1tpu.specav1 import jax_inter
+        ph, pw = (HEIGHT + 63) & ~63, (WIDTH + 63) & ~63
+        ok = _axis_true_dims_ok(WIDTH) and _axis_true_dims_ok(HEIGHT,
+                                                              True)
+        th, tw = (HEIGHT, WIDTH) if ok else (ph, pw)
+        y = jnp.zeros((ph, pw), jnp.uint8)
+        u = jnp.zeros((ph // 2, pw // 2), jnp.uint8)
+        v = jnp.zeros((ph // 2, pw // 2), jnp.uint8)
+        ry = jnp.zeros((ph, pw), jnp.int32)
+        ru = jnp.zeros((ph // 2, pw // 2), jnp.int32)
+        rv = jnp.zeros((ph // 2, pw // 2), jnp.int32)
+        gkw = (dict(golden=True, gld_y=ry, gld_u=ru, gld_v=rv)
+               if engine._golden else {})
+
+        def run():
+            out = jax_inter._encode_frame(
+                y, u, v, ry, ru, rv, 96, 8, th=th, tw=tw,
+                lf_y=jnp.int32(0), lf_uv=jnp.int32(0),
+                qround=engine._qround, cdef=engine._cdef,
+                cdef_damping=jnp.int32(4), lr=engine._lr, **gkw)
+            jax.device_get(out[0][0, 0])
+
+        nfn = jax.jit(lambda a: (a + 1,))
+        jax.device_get(nfn(jnp.zeros((2, 2), jnp.int32))[0][0, 0])
+        rtts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.device_get(nfn(jnp.zeros((2, 2), jnp.int32))[0][0, 0])
+            rtts.append((time.perf_counter() - t0) * 1e3)
+        rtt = min(rtts)
+        run()  # any residual compile/cache-load outside the timing
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            run()
+            times.append((time.perf_counter() - t0) * 1e3 - rtt)
+        return max(0.0, min(times))
+    except Exception:
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +245,8 @@ def child_main() -> int:
         fl_bytes += len(payload)
         fl_done += 1
     fl_dt = time.monotonic() - ts
+    global _DEVICE_MS
+    _DEVICE_MS = _measure_device_ms(engine)  # ~1 s, programs warm
     floor_line = _json_line(
         fl_done / fl_dt, fl_bytes * 8 / fl_done / (WIDTH * HEIGHT),
         fl_done, fl_dt,

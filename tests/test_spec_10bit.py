@@ -38,10 +38,11 @@ def test_device_gop_10bit_bitexact_in_libaom():
         jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]),
         jnp.asarray(frames[0][2]), jnp.int32(Q),
         nbr=SZ // 32, nbc=SZ // 32, bit_depth=10)
-    got = jax.device_get(out[3:10])
+    got = jax.device_get(out[3:15])
     tile = native.encode_intra32_tile(Q, mi, mi, got[3], got[4], got[5],
                                       got[0], got[1], got[2],
-                                      angles=got[6])
+                                      angles=got[6],
+                                      split5=tuple(got[7:12]))
     hdr = W.write_key_frame_header(SZ, SZ, Q)
     hdr.byte_align()
     tus = [obu_mod.temporal_delimiter() +

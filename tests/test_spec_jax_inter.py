@@ -79,10 +79,11 @@ def test_device_gop_true_dims_overhang():
         jnp.asarray(pad(y, PH, PW)), jnp.asarray(pad(u, PH // 2, PW // 2)),
         jnp.asarray(pad(v, PH // 2, PW // 2)), jnp.int32(80),
         nbr=PH // 32, nbc=PW // 32, bit_depth=8, th=TH, tw=TW)
-    got = jax.device_get(out[3:10])
+    got = jax.device_get(out[3:15])
     tile = native.encode_intra32_tile(80, mi_cols, mi_rows, got[3],
                                       got[4], got[5], got[0], got[1],
-                                      got[2], angles=got[6])
+                                      got[2], angles=got[6],
+                                      split5=tuple(got[7:12]))
     hdr = W.write_key_frame_header(TW, TH, 80)
     hdr.byte_align()
     tus.append(obu_mod.temporal_delimiter() +
