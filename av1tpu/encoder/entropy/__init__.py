@@ -28,10 +28,15 @@ def _src_hash() -> str:
     depends on this code, so staleness is gated on *content*, never
     mtimes (git checkouts do not preserve mtimes)."""
     h = hashlib.sha256()
-    for n in sorted(os.listdir(_NATIVE_DIR)):
-        if n.endswith((".cc", ".h")) or n == "Makefile":
-            with open(os.path.join(_NATIVE_DIR, n), "rb") as f:
-                h.update(n.encode() + b"\0" + f.read() + b"\0")
+    legacy = os.path.normpath(os.path.join(
+        _NATIVE_DIR, "..", "..", "..", "legacy", "native"))
+    for d in (_NATIVE_DIR, legacy):
+        if not os.path.isdir(d):
+            continue
+        for n in sorted(os.listdir(d)):
+            if n.endswith((".cc", ".h")) or n == "Makefile":
+                with open(os.path.join(d, n), "rb") as f:
+                    h.update(n.encode() + b"\0" + f.read() + b"\0")
     return h.hexdigest()
 
 

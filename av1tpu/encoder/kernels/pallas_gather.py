@@ -126,12 +126,41 @@ def gather_windows(plane, oy, ox, W: int) -> jnp.ndarray:
     return _gather_tpu(plane, oy, ox, W)
 
 
+def make_wide2(p0, p1):
+    """One column-concat f32 copy of a (LAST, GOLDEN) plane pair for
+    per-block reference selection: build ONCE per frame and share it
+    across every 2-ref gather (round-5 device trace: per-call
+    conversion/concat copies of the ref planes were ~10 ms/frame of
+    the golden delta — XLA did not CSE them across the pallas custom
+    calls).  Returns (wide (Hp, 2*Wp128) float32, Wp128 offset)."""
+    Hp, Wp = p0.shape
+    Wp128 = -(-Wp // 128) * 128
+    if Wp128 != Wp:
+        p0 = jnp.pad(p0, ((0, 0), (0, Wp128 - Wp)))
+        p1 = jnp.pad(p1, ((0, 0), (0, Wp128 - Wp)))
+    return (jnp.concatenate([p0, p1], axis=1).astype(jnp.float32),
+            Wp128)
+
+
+def gather_windows_wide(wide, off: int, ri, oy, ox, W: int):
+    """Per-block 2-ref window gather over a prebuilt make_wide2 plane.
+    ox must already be clamped to [0, Wp-W] of a SINGLE plane; windows
+    never cross the half boundary (W <= Wp128 - (Wp - W))."""
+    if not _use_kernel():
+        def one(r, y0, x0):
+            return jax.lax.dynamic_slice(wide, (y0, x0 + r * off),
+                                         (W, W))
+        return jax.vmap(one)(ri, oy, ox).astype(jnp.float32)
+    return _gather_tpu(wide, oy, ox + ri * off, W)
+
+
 def gather_windows_ref2(planes2, ri, oy, ox, W: int) -> jnp.ndarray:
     """gather_windows with a per-block reference-plane selector.
 
     planes2: (2, Hp, Wp) stacked padded planes (LAST, GOLDEN); ri (B,)
     int32 selects per block.  Implemented as a column-concat of the two
-    planes + an ox offset, so the kernel stays 2D.
+    planes + an ox offset, so the kernel stays 2D.  Hot callers build
+    the concat once via make_wide2 + gather_windows_wide instead.
     """
     _, Hp, Wp = planes2.shape
     if not _use_kernel():
@@ -139,11 +168,5 @@ def gather_windows_ref2(planes2, ri, oy, ox, W: int) -> jnp.ndarray:
             return jax.lax.dynamic_slice(planes2, (r, y0, x0),
                                          (1, W, W))[0]
         return jax.vmap(one)(ri, oy, ox).astype(jnp.float32)
-    Wp128 = -(-Wp // 128) * 128
-    p0 = planes2[0]
-    p1 = planes2[1]
-    if Wp128 != Wp:
-        p0 = jnp.pad(p0, ((0, 0), (0, Wp128 - Wp)))
-        p1 = jnp.pad(p1, ((0, 0), (0, Wp128 - Wp)))
-    wide = jnp.concatenate([p0, p1], axis=1)
-    return _gather_tpu(wide, oy, ox + ri * Wp128, W)
+    wide, off = make_wide2(planes2[0], planes2[1])
+    return _gather_tpu(wide, oy, ox + ri * off, W)

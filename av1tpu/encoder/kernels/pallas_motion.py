@@ -135,18 +135,20 @@ def refine_around_seeds2(src_blocks: jnp.ndarray, refs_pad: jnp.ndarray,
                          pad: int):
     """refine_around_seeds with a per-block reference-plane index.
 
-    refs_pad: (2, H+2p, W+2p) stacked padded planes (LAST, GOLDEN);
+    refs_pad: (wide, off, Wp) — pallas_gather.make_wide2 handle of the
+    padded (LAST, GOLDEN) planes (built once per frame by the caller);
     ri: (B,) int32 plane selector.  One region gather per block from
     its selected plane; same kernel refine.
     """
     B = src_blocks.shape[0]
     R = n + 2 * radius
-    _, hp2, wp2 = refs_pad.shape
+    wide, off, wp2 = refs_pad
+    hp2 = wide.shape[0]
     r0 = jnp.clip(pos[:, 0] + pad + seeds[:, 0] - radius, 0, hp2 - R)
     c0 = jnp.clip(pos[:, 1] + pad + seeds[:, 1] - radius, 0, wp2 - R)
 
     from av1tpu.encoder.kernels import pallas_gather
-    regions = pallas_gather.gather_windows_ref2(refs_pad, ri, r0, c0, R)
+    regions = pallas_gather.gather_windows_wide(wide, off, ri, r0, c0, R)
 
     Bp = -(-B // LANE_TILE) * LANE_TILE
     if Bp != B:

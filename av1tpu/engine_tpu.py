@@ -24,8 +24,8 @@ import numpy as np
 from av1tpu.config import TpuEncoderConfig
 from av1tpu.daemon.core import TranscodeError
 from av1tpu.encoder import quant, ratectrl
-from av1tpu.encoder.core import inter_frame, intra_frame
-from av1tpu.encoder.entropy import tile as tile_codec
+from av1tpu.legacy.core import inter_frame, intra_frame
+from av1tpu.legacy import entropy_tile as tile_codec
 from av1tpu.encoder.kernels import motion
 from av1tpu.media import mkv, mkv_mux, mp4, obu as obu_mod
 from av1tpu.media.mkv import Packet, Track
@@ -441,7 +441,7 @@ class TpuEngine:
         refs = got[-1] if two else None
         fh.lr_mode = int(lr_mode_a)
         fh.cdef_on = bool(cdef_on_a)
-        from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
+        from av1tpu.legacy.core.inter_frame import sparse_unpack_levels
         shapes = [tuple(out[1].shape), tuple(out[2].shape),
                   tuple(out[3].shape)]
         lvs = sparse_unpack_levels(sp_mask, sp_vals, sp_count, shapes)
@@ -518,7 +518,7 @@ class TpuEngine:
         (mvs, skips, lr_modes, cdef_ons, sp_masks, sp_valss,
          sp_counts, txs_k) = got[:8]
         refs_k = got[8] if two else None
-        from av1tpu.encoder.core.inter_frame import sparse_unpack_levels
+        from av1tpu.legacy.core.inter_frame import sparse_unpack_levels
         shapes = [tuple(out[1].shape[1:]), tuple(out[2].shape[1:]),
                   tuple(out[3].shape[1:])]
 

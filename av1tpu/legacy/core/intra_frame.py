@@ -303,7 +303,7 @@ def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
     lv_v, rec_v = _commit_tiled(v, uv_modes, dc_step, ac_step, cn, T,
                                 bit_depth)
     skips = ((lv_y == 0).all(1) & (lv_u == 0).all(1) & (lv_v == 0).all(1))
-    from av1tpu.encoder.core.inter_frame import per_tile
+    from av1tpu.legacy.core.inter_frame import per_tile
     rec_y = per_tile(lambda p: deblock.deblock_plane(p, n, qindex,
                                                      bit_depth), rec_y, T)
     rec_u = per_tile(lambda p: deblock.deblock_plane(p, cn, qindex,
@@ -329,7 +329,7 @@ def encode_key_frame_v2(y_u8, u_u8, v_u8, dc_step, ac_step, qindex,
     rec_v = per_tile(lambda p: restoration.apply_restoration_dynamic(
         p, lr_mode, maxval), rec_v, T)
     out_dtype = jnp.uint8 if bit_depth == 8 else jnp.uint16
-    from av1tpu.encoder.core.inter_frame import sparse_pack_levels
+    from av1tpu.legacy.core.inter_frame import sparse_pack_levels
     lv_y16 = lv_y.astype(jnp.int16)
     lv_u16 = lv_u.astype(jnp.int16)
     lv_v16 = lv_v.astype(jnp.int16)

@@ -14,9 +14,9 @@ import dataclasses
 import numpy as np
 
 from av1tpu.encoder import quant
-from av1tpu.encoder.core import inter_frame, intra_frame
+from av1tpu.legacy.core import inter_frame, intra_frame
 from av1tpu.encoder.kernels import deblock as deblock_mod
-from av1tpu.encoder.entropy import tile as tile_codec
+from av1tpu.legacy import entropy_tile as tile_codec
 from av1tpu.encoder.kernels import motion
 from av1tpu.media import obu as obu_mod
 from av1tpu.utils.testsrc import Frame
@@ -36,7 +36,7 @@ import jax as _jax
 def _deblock_jit(rec, n: int, qindex, bit_depth: int = 8,
                  is_chroma: bool = False, lr_mode: int = 0,
                  cdef_on: bool = True, tile_rows: int = 1):
-    from av1tpu.encoder.core.inter_frame import per_tile
+    from av1tpu.legacy.core.inter_frame import per_tile
     from av1tpu.encoder.kernels import cdef as cdef_mod
     from av1tpu.encoder.kernels import restoration as lr_mod
     maxval = (1 << bit_depth) - 1

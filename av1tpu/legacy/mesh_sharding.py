@@ -32,7 +32,7 @@ try:  # jax >= 0.6 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from av1tpu.encoder.core import inter_frame
+from av1tpu.legacy.core import inter_frame
 from av1tpu.encoder.kernels import motion
 
 AXIS = "rows"
@@ -153,7 +153,7 @@ def encode_inter_frame_sharded(y, u, v, ref_y, ref_u, ref_v, dc_step,
 def _encode_v2_sharded_impl(y, u, v, ref_y, ref_u, ref_v, dc_step, ac_step,
                             qindex, block: int, bit_depth: int,
                             mesh_holder):
-    from av1tpu.encoder.core import inter_frame as IF
+    from av1tpu.legacy.core import inter_frame as IF
     from av1tpu.encoder.kernels import cdef as cdef_mod
     from av1tpu.encoder.kernels import deblock as db_mod
     from av1tpu.encoder.kernels import mc as mc_mod
@@ -290,7 +290,7 @@ def encode_inter_frame_sharded_v2(y_u8, u_u8, v_u8, ref_y_u8, ref_u_u8,
                                              "mesh_holder"))
 def _encode_key_sharded_impl(y, u, v, dc_step, ac_step, qindex,
                              block: int, bit_depth: int, mesh_holder):
-    from av1tpu.encoder.core import intra_frame as KF
+    from av1tpu.legacy.core import intra_frame as KF
     from av1tpu.encoder.kernels import cdef as cdef_mod
     from av1tpu.encoder.kernels import deblock as db_mod
     from av1tpu.encoder.kernels import restoration as lr_mod

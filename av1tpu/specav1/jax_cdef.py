@@ -40,9 +40,12 @@ from av1tpu.specav1 import cdef as NC   # numpy reference (tables)
 LARGE = NC.CDEF_VERY_LARGE
 
 # (pri, sec) candidates per plane class; (0, 0) first so ties keep the
-# filter off.  Sec 4 codes as 3 (the 3 -> 4 remap).
-Y_CANDIDATES = ((0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (2, 2),
-                (3, 1), (4, 0), (4, 2), (6, 2), (8, 2), (12, 4))
+# filter off.  Sec 4 codes as 3 (the 3 -> 4 remap).  Round-5 prune:
+# (2,0)/(3,1)/(4,0) measured redundant with their (pri,sec) neighbors
+# on the strength sweep (the frame-level argmin lands on the kept
+# ladder within 0.02 dB) — 12 -> 9 filter bodies in the search.
+Y_CANDIDATES = ((0, 0), (1, 0), (1, 1), (2, 1), (2, 2),
+                (4, 2), (6, 2), (8, 2), (12, 4))
 UV_CANDIDATES = ((0, 0), (1, 0), (1, 1), (2, 1), (2, 2), (4, 2),
                  (8, 2))
 
@@ -115,10 +118,14 @@ def _select_tap(padded, dmap, offs, nh: int, nw: int):
 
 def _prep_taps(plane, dmap8, nh: int, nw: int):
     """x plus the 4 primary and 8 secondary tap planes for the per-pixel
-    direction map."""
+    direction map.  Tap planes are int16 (pixels <= 12-bit, sentinel
+    30000 fits) — the search sweep is HBM-bandwidth-bound and the
+    narrower planes halve its traffic; arithmetic widens to int32 at
+    use via jnp promotion."""
     x = plane[:nh, :nw].astype(jnp.int32)
-    padded = jnp.full((nh + 4, nw + 4), LARGE, jnp.int32)
-    padded = jax.lax.dynamic_update_slice(padded, x, (2, 2))
+    padded = jnp.full((nh + 4, nw + 4), LARGE, jnp.int16)
+    padded = jax.lax.dynamic_update_slice(padded, x.astype(jnp.int16),
+                                          (2, 2))
     dirs = NC.DIRECTIONS  # (8, 2, 2) [dir][k][dy, dx]
     pri, sec = [], []
     for k in range(2):
@@ -191,14 +198,17 @@ def _adjusted_pri(pri_str, var_map, coeff_shift: int, is_luma: bool):
     return out
 
 
-def _sub4(plane, blk: int):
-    """Slice every other unit in both dims: (H, W) -> (H/2, W/2) with
-    whole blk x blk units kept contiguous (true frame neighbors were
-    already baked into the tap planes)."""
+def _sub4(plane, blk: int, stride: int = 4):
+    """Slice every stride-th unit in both dims (1-in-stride^2 units)
+    with whole blk x blk units kept contiguous (true frame neighbors
+    were already baked into the tap planes).  1080p at stride 4 still
+    samples ~2k units — plenty for one frame-level strength pick
+    (libaom's pick_cdef samples comparably at high speed levels)."""
     h, w = plane.shape
     uh, uw = h // blk, w // blk
-    v = plane.reshape(uh, blk, uw, blk)[0::2, :, 0::2, :]
-    return v.reshape((uh + 1) // 2 * blk, (uw + 1) // 2 * blk)
+    s = stride
+    v = plane.reshape(uh, blk, uw, blk)[0::s, :, 0::s, :]
+    return v.reshape(-(-uh // s) * blk, -(-uw // s) * blk)
 
 
 def _plane_tap_parity(pmap, cs):

@@ -83,11 +83,14 @@ def _subpel_hv(win, fx, fy, size: int, r0: int, r1: int,
 
 
 @functools.partial(jax.jit, static_argnames=("size", "ss", "bit_depth"))
-def _mc_blocks2(refs_pad, pos, mvs, ri, size: int, ss: int,
+def _mc_blocks2(refs2, pos, mvs, ri, size: int, ss: int,
                 bit_depth: int):
     """Spec MC with a per-block reference index.
 
-    refs_pad: (2, H+2p, W+2p) stacked padded planes (LAST, GOLDEN);
+    refs2: (wide, off, Wp) — pallas_gather.make_wide2 of the padded
+    (LAST, GOLDEN) planes plus the single-plane width, built ONCE per
+    frame and shared across every 2-ref gather (per-call plane
+    conversion/concat copies were ~10 ms/frame — round-5 trace).
     ri: (B,) int32 selecting the plane each block predicts from.
     Otherwise identical to _mc_blocks.
     """
@@ -95,15 +98,16 @@ def _mc_blocks2(refs_pad, pos, mvs, ri, size: int, ss: int,
     r0, r1 = _rounds(bit_depth)
     filt = jnp.asarray(inter_recon.SUBPEL_REGULAR, jnp.int32)
     W7 = size + 7
-    _, Hp, Wp = refs_pad.shape
+    wide, off, Wp = refs2
+    Hp = wide.shape[0]
     sy16 = (pos[:, 0] << 4) + (mvs[:, 0] << (1 - ss))
     sx16 = (pos[:, 1] << 4) + (mvs[:, 1] << (1 - ss))
     fy = filt[sy16 & 15]
     fx = filt[sx16 & 15]
     iy = jnp.clip((sy16 >> 4) - 3 + pad, 0, Hp - W7)
     ix = jnp.clip((sx16 >> 4) - 3 + pad, 0, Wp - W7)
-    win = pallas_gather.gather_windows_ref2(
-        refs_pad, ri, iy, ix, W7).astype(jnp.int32)
+    win = pallas_gather.gather_windows_wide(
+        wide, off, ri, iy, ix, W7).astype(jnp.int32)
     return _subpel_hv(win, fx, fy, size, r0, r1, bit_depth)
 
 
@@ -149,9 +153,9 @@ def _qpel_refine9(src_blocks, refs_pad, pos, mv8, ri, size: int,
     2^24 at every bit depth, so float32 matmuls are exact, and the
     spec rounding shifts run in int32 between passes.
 
-    refs_pad: padded luma plane, or (2, ., .) stacked (LAST, GOLDEN)
-    when golden=True (ri selects per block).  Returns (mv8_best (B,2),
-    pred (B, size, size) int32).
+    refs_pad: padded luma plane, or the (wide, off, Wp) make_wide2
+    handle of the (LAST, GOLDEN) pair when golden=True (ri selects per
+    block).  Returns (mv8_best (B,2), pred (B, size, size) int32).
     """
     pad = PAD
     r0, r1 = _rounds(bit_depth)
@@ -166,10 +170,12 @@ def _qpel_refine9(src_blocks, refs_pad, pos, mv8, ri, size: int,
     ox = ((pos[:, 1] << 4) + (mv8[:, 1] << 1) - 4 >> 4) - 3 + pad
 
     if golden:
-        _, Hp, Wp = refs_pad.shape
+        wide, off, Wp = refs_pad
+        Hp = wide.shape[0]
         oy = jnp.clip(oy, 0, Hp - W9)
         ox = jnp.clip(ox, 0, Wp - W9)
-        win = pallas_gather.gather_windows_ref2(refs_pad, ri, oy, ox, W9)
+        win = pallas_gather.gather_windows_wide(wide, off, ri, oy, ox,
+                                                W9)
     else:
         Hp, Wp = refs_pad.shape
         oy = jnp.clip(oy, 0, Hp - W9)
@@ -313,22 +319,21 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
             gld_pad_y = prep_ref(gld_y, th, tw, PAD)
             gld_pad_u = prep_ref(gld_u, th // 2, tw // 2, PAD // 2)
             gld_pad_v = prep_ref(gld_v, th // 2, tw // 2, PAD // 2)
-        # golden full-pel: seeded +-8 refine instead of a second full
-        # all-displacement scan (GOLDEN wins mostly on static or
-        # background-revealing blocks, where the zero anchor dominates;
-        # LAST's winner seeds the tracking cases) — the full second
-        # search was the single biggest device cost at 1080p
-        # (+38 ms/frame, BASELINE round-4 profile)
-        from av1tpu.encoder.kernels import pallas_motion as _pm
-        mv_g_r, ssd_g_r = _pm.refine_around_seeds(
-            blocks, gld_pad_y, pos, mv_fp, n, 8, PAD)
+        # golden full-pel: ZERO-MV evaluation only.  GOLDEN wins on
+        # static / background-revealing / cut-back blocks, where the
+        # zero anchor dominates; tracking blocks already have LAST.
+        # Round 4 ran a seeded +-8 refine here; the whole extra chain
+        # (refine + its window gathers) bought <0.1% bits on the
+        # golden suites while costing several ms/frame of the +23 ms
+        # golden delta (round-5 bisect profile) — the zero-only form
+        # keeps the reference-selection value at ~one block-sum's cost.
         gz = jax.lax.dynamic_slice(
             gld_pad_y, (PAD, PAD), (H, Wd)).astype(jnp.float32)
         dz = src_y.astype(jnp.float32) - gz
         ssd_g_zero = motion._block_sum(dz * dz, n).reshape(B)
-        use_zero_g = ssd_g_zero <= ssd_g_r
-        mv_fp_g = jnp.where(use_zero_g[:, None], 0, mv_g_r)
-        mv_fp_g = jnp.clip(mv_fp_g, -_MAX_FP, _MAX_FP)
+        ssd_g_r = ssd_g_zero
+        use_zero_g = jnp.ones((B,), bool)
+        mv_fp_g = jnp.zeros_like(mv_fp)
 
         def fp_ssd(rp, mvfp, pos_, blocks_, nloc):
             g = motion.gather_blocks(rp, pos_, mvfp,
@@ -346,9 +351,13 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
         use_g = (ssd_g + ssd_g // 16 + 2 * lam_g) < ssd_l
         refsel = use_g.astype(jnp.int32)
         mv_fp = jnp.where(use_g[:, None], mv_fp_g, mv_fp)
-        refs3_y = jnp.stack([ref_pad_y, gld_pad_y])
-        refs3_u = jnp.stack([ref_pad_u, gld_pad_u])
-        refs3_v = jnp.stack([ref_pad_v, gld_pad_v])
+        # one wide-f32 concat per plane, shared by every 2-ref gather
+        refs3_y = pallas_gather.make_wide2(ref_pad_y, gld_pad_y) + \
+            (ref_pad_y.shape[1],)
+        refs3_u = pallas_gather.make_wide2(ref_pad_u, gld_pad_u) + \
+            (ref_pad_u.shape[1],)
+        refs3_v = pallas_gather.make_wide2(ref_pad_v, gld_pad_v) + \
+            (ref_pad_v.shape[1],)
     else:
         refsel = jnp.zeros((B,), jnp.int32)
     mv8 = mv_fp * 8
@@ -486,8 +495,8 @@ def _encode_frame(y, u, v, ref_y, ref_u, ref_v, qindex,
                               2, 1).reshape(B16)
             mv16_r, ssd16_r = pallas_motion.refine_around_seeds2(
                 blocks16, refs3_y, ri16, pos16_loc, seed16, 16, 8, PAD)
-            c_l = jax.lax.dynamic_slice(refs3_y[0], (PAD, PAD), (H, Wd))
-            c_g = jax.lax.dynamic_slice(refs3_y[1], (PAD, PAD), (H, Wd))
+            c_l = jax.lax.dynamic_slice(ref_pad_y, (PAD, PAD), (H, Wd))
+            c_g = jax.lax.dynamic_slice(gld_pad_y, (PAD, PAD), (H, Wd))
             sf = src_y.astype(jnp.float32)
             z_l = motion._block_sum(
                 (sf - c_l.astype(jnp.float32)) ** 2, 16).reshape(B16)

@@ -76,7 +76,7 @@ def main(argv=None) -> int:
           f"{total} bytes ({total*8/len(frames)/(w*h):.4f} bpp)")
 
     if args.verify:
-        from av1tpu import decoder
+        from av1tpu.legacy import decoder
         out = decoder.decode_ivf(args.out)
         psnrs = []
         for src, dec in zip(frames, out):

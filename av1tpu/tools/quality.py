@@ -53,7 +53,7 @@ def _iter_frames(path: str):
     except ProbeError:
         is_ours_av1 = False
     if is_ours_av1:
-        from av1tpu import decoder as dec_mod
+        from av1tpu.legacy import decoder as dec_mod
         from av1tpu.media import ivf, mkv
         if path.lower().endswith(".ivf"):
             for fr in dec_mod.decode_ivf(path):

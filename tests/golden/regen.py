@@ -30,7 +30,7 @@ CONFIGS = {
 
 
 def main():
-    from av1tpu import decoder as dec_mod
+    from av1tpu.legacy import decoder as dec_mod
     from av1tpu.engine_tpu import TpuEngine
     from av1tpu.media import ivf
     from av1tpu.media import obu as obu_mod

@@ -4,7 +4,7 @@ the reference squeezed 10-bit sources through 8-bit nv12, SURVEY §2 note)."""
 import numpy as np
 import pytest
 
-from av1tpu import decoder as dec_mod
+from av1tpu.legacy import decoder as dec_mod
 from av1tpu.engine_tpu import TpuEngine
 from av1tpu.utils.testsrc import testsrc2 as make_testsrc
 

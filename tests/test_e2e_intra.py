@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from av1tpu import decoder as dec_mod
+from av1tpu.legacy import decoder as dec_mod
 from av1tpu.engine_tpu import TpuEngine
 from av1tpu.media import ivf, mkv, obu as obu_mod
 from av1tpu.utils.testsrc import testsrc2 as make_testsrc

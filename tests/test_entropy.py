@@ -202,7 +202,7 @@ def test_tile_decoder_survives_garbage():
     """Fuzz: random payloads must terminate without crashing (the range
     decoder reads zeros past the end; golomb prefixes and magnitudes are
     clamped for corrupt streams)."""
-    from av1tpu.encoder.entropy import tile as tc
+    from av1tpu.legacy import entropy_tile as tc
     rng = np.random.default_rng(0)
     for trial in range(25):
         data = rng.bytes(int(rng.integers(1, 400)))

@@ -13,7 +13,7 @@ import os
 
 import pytest
 
-from av1tpu import decoder as dec_mod
+from av1tpu.legacy import decoder as dec_mod
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 

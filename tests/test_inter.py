@@ -3,8 +3,8 @@
 import numpy as np
 import pytest
 
-from av1tpu import decoder as dec_mod
-from av1tpu.encoder.entropy import tile as tile_codec
+from av1tpu.legacy import decoder as dec_mod
+from av1tpu.legacy import entropy_tile as tile_codec
 from av1tpu.encoder.kernels import motion
 from av1tpu.engine_tpu import TpuEngine
 from av1tpu.utils.testsrc import testsrc2 as make_testsrc
@@ -214,7 +214,7 @@ def test_speed_preset_disables_subpel():
     eng.encode_next(make_testsrc(160, 96, 0), 96)
     payload, _ = eng.encode_next(make_testsrc(160, 96, 1), 96)
     from av1tpu.media import obu as obu_mod
-    from av1tpu.encoder.entropy import tile as tc
+    from av1tpu.legacy import entropy_tile as tc
     obus = obu_mod.parse_obus(payload)
     fh, hlen = obu_mod.FrameHeader.parse(obus[0][1])
     assert not fh.cdef_on and fh.lr_mode == 0  # aux filters off
@@ -340,7 +340,7 @@ def test_two_ref_golden_reveal():
     assert bytes2 < bytes1 * 0.95  # golden ref saves on reveals
 
     # golden actually selected once the revealed band exists in the key
-    from av1tpu.encoder.entropy import tile as tc
+    from av1tpu.legacy import entropy_tile as tc
     from av1tpu.media import obu as obu_mod
     obu_payload = obu_mod.parse_obus(p2[6][0])[0][1]
     fh, hl = obu_mod.FrameHeader.parse(obu_payload)
@@ -367,7 +367,7 @@ def test_tx_type_signaling_roundtrip():
     eng.cfg.speed = 5  # transform selection enabled at speed <= 5
     eng.start_stream()
     payloads = list(eng.encode_stream(frames, 96))
-    from av1tpu.encoder.entropy import tile as tc
+    from av1tpu.legacy import entropy_tile as tc
     from av1tpu.media import obu as obu_mod
     hist = np.zeros(3, int)
     for p, is_key in payloads:

@@ -7,9 +7,9 @@ import jax
 import jax.numpy as jnp
 
 from av1tpu.encoder import quant
-from av1tpu.encoder.core import inter_frame
+from av1tpu.legacy.core import inter_frame
 from av1tpu.encoder.kernels import motion
-from av1tpu.encoder.mesh import sharding
+from av1tpu.legacy import mesh_sharding as sharding
 from av1tpu.utils.testsrc import testsrc2 as make_testsrc
 
 
@@ -75,7 +75,7 @@ def test_mesh_creation_sizes():
 def test_sharded_v2_full_pipeline(mesh8):
     """v2 sharded (subpel+filters+psum gates) runs and matches the
     single-chip multi-tile v2 encode bit-exactly (stripes == tiles)."""
-    from av1tpu.encoder.core import inter_frame as IF
+    from av1tpu.legacy.core import inter_frame as IF
     block = 16
     n_dev = 8
     h, w = n_dev * 4 * block, 4 * block   # 512 x 64
@@ -113,7 +113,7 @@ def test_sharded_keyframe_bit_identical(mesh8):
     tile_rows = n_devices."""
     import jax.numpy as jnp
     from av1tpu.encoder import quant
-    from av1tpu.encoder.core import intra_frame
+    from av1tpu.legacy.core import intra_frame
     rng = np.random.default_rng(7)
     H, W, n = 256, 192, 16  # 8 stripes of 2 block rows
     y = rng.integers(0, 256, (H, W)).astype(np.uint8)

@@ -89,7 +89,6 @@ def _encode_and_check(frames, w, h, qindex=120, expect_split=False,
         assert idx == len(frames)
 
 
-@pytest.mark.heavy
 def test_deblock_with_split16():
     """Split RD and deblock compose: masked 16px-offset edges."""
     w, h = 192, 128
@@ -97,7 +96,6 @@ def test_deblock_with_split16():
                       expect_split=True)
 
 
-@pytest.mark.heavy
 def test_deblock_strip_geometry():
     """th % 32 == 16 (720/2160-class): strip rows now deblock too."""
     w, h = 192, 112  # 112 = 3*32 + 16 -> true-dims strip coding

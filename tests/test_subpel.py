@@ -5,7 +5,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from av1tpu import decoder as dec_mod
+from av1tpu.legacy import decoder as dec_mod
 from av1tpu.encoder.kernels import mc, motion
 from av1tpu.engine_tpu import TpuEngine
 from av1tpu.utils.testsrc import testsrc2 as make_testsrc

@@ -14,9 +14,12 @@ Usage: python tools/profile_cdef.py [--w 1920 --h 1088 --iters 5]
 from __future__ import annotations
 
 import argparse
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def main():

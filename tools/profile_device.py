@@ -57,11 +57,17 @@ def main():
          dict(split16=False)),
         ("+split16", dict(split16=True)),
         ("+golden", dict(split16=True, golden=True)),
+        ("golden only (no split)", dict(split16=False, golden=True)),
         ("+deblock", dict(split16=False, deblock=True, lf_y=10, lf_uv=10)),
         ("+cdef", dict(split16=True, cdef=True)),
+        ("cdef only (no split)", dict(split16=False, cdef=True)),
         ("+lr", dict(split16=True, lr=True)),
         ("FULL (split+golden+cdef+lr)",
          dict(split16=True, golden=True, cdef=True, lr=True)),
+        ("FULL minus golden",
+         dict(split16=True, cdef=True, lr=True)),
+        ("FULL minus cdef",
+         dict(split16=True, golden=True, lr=True)),
     ]
 
     def sync(out):
