@@ -598,12 +598,42 @@ class TpuEngine:
                 return [self._finalize(rec)]
             return self._finalize_chunk(rec)
 
-        # one-frame lookahead drives flash classification
-        cur = next(frames, None)
-        while cur is not None:
-            nxt = next(frames, None)
-            frame = cur
-            q = rate.qindex_for(idx) if rate else qindex
+        # L-frame lookahead window: win[0] drives flash classification
+        # (the old 1-frame lookahead) and the window's complexity stats
+        # feed the LookaheadRateController so q leads content changes
+        # instead of trailing them by an adapt interval.  L adapts to
+        # the frame footprint (bounded host buffering at 4K 10-bit).
+        fbytes = max(1, first.width * first.height *
+                     (2 if first.bit_depth > 8 else 1) * 3 // 2)
+        L = max(2, min(int(getattr(self.cfg, "lookahead", 16)),
+                       max(2, 256_000_000 // fbytes)))
+        win = deque()
+        wcs = deque()
+        _ds = [None]
+
+        def _refill():
+            while len(win) < L:
+                f = next(frames, None)
+                if f is None:
+                    break
+                cst, _ds[0] = ratectrl.LookaheadRateController.\
+                    frame_complexity(f.y, _ds[0])
+                win.append(f)
+                wcs.append(cst)
+
+        _refill()
+        while win:
+            frame = win.popleft()
+            cur_c = wcs.popleft()
+            _refill()
+            nxt = win[0] if win else None
+            if rate is not None:
+                try:
+                    q = rate.qindex_for(idx, c=cur_c, window=list(wcs))
+                except TypeError:  # non-lookahead controller
+                    q = rate.qindex_for(idx)
+            else:
+                q = qindex
             idx += 1
             kind = self._classify_frame(frame, nxt)
             if kind != "key" and getattr(self, "_deep_gop", False):
@@ -651,7 +681,6 @@ class TpuEngine:
                     if rate:
                         rate.record(len(payload) * 8)
                     yield payload, is_key
-            cur = nxt
         flush_buf()
         while pending:
             for payload, is_key in finalize_one():
@@ -925,9 +954,10 @@ class TpuEngine:
             target_bytes = (orig_bytes * gate_ratio * 0.95
                             - orig_bytes * (1 - video_fraction)) / 1.02
             if target_bytes > 0:
-                rate = ratectrl.GateRateController(
+                rate = ratectrl.LookaheadRateController(
                     qindex, target_bytes * 8, total_frames,
-                    max(1, self.cfg.keyint))
+                    max(1, self.cfg.keyint),
+                    window=int(getattr(self.cfg, "lookahead", 16)))
 
         plan = plan_streams(probe_result)
 

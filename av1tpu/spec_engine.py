@@ -96,7 +96,8 @@ def _encode_chunk_jit():
            gy=None, gu=None, gv=None, packed_delta: bool = False):
         if packed_delta:
             # packed: (nib, exc_pos, exc_val, modes, base_y/u/v)
-            ys, us, vs = io_pack.unpack_chunk(*packed, k, ph, pw)
+            ys, us, vs = io_pack.unpack_chunk(*packed, k, ph, pw,
+                                              bit_depth=bit_depth)
         else:
             ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
         gkw = (dict(golden=True, gld_y=gy, gld_u=gu, gld_v=gv)
@@ -622,10 +623,26 @@ class SpecTpuEngine(TpuEngine):
         # last frame; the device side advances through the chunk
         # program's src_last output (never re-uploaded)
         base_host, base_dev = self._src_base_host, self._src_base_dev
-        use_pack = (self._delta_upload and bd == 8 and mesh is None
-                    and base_host is not None and base_dev is not None
-                    and base_host[0].shape == (ph, pw))
+        # packed delta upload runs at every bit depth and under
+        # striping (round-5: unpack's cumsums are frame-/row-local, so
+        # the row-sharded layout partitions them; VERDICT r4 item 6) —
+        # only a missing/misshapen base chain falls back to raw
+        use_pack = (self._delta_upload
+                    and base_host is not None and base_dev is not None)
         self._src_base_host = planes[-1]
+
+        def _grow(tri, xp):
+            """Edge-pad a base plane triple to (ph, pw) rows, or None
+            when the widths disagree (host and device pads must match
+            exactly for the mod-2^bd delta chain)."""
+            if tri[0].shape == (ph, pw):
+                return tri
+            if tri[0].shape[1] != pw or tri[0].shape[0] > ph:
+                return None
+            d = ph - tri[0].shape[0]
+            return (xp.pad(tri[0], ((0, d), (0, 0)), mode="edge"),
+                    xp.pad(tri[1], ((0, d // 2), (0, 0)), mode="edge"),
+                    xp.pad(tri[2], ((0, d // 2), (0, 0)), mode="edge"))
 
         def worker():
             from av1tpu.encoder import io_pack
@@ -638,10 +655,14 @@ class SpecTpuEngine(TpuEngine):
             src = None
             packed_delta = False
             if use_pack:
-                pk = io_pack.pack_chunk(planes, base_host)
+                bh = _grow(base_host, np)
+                pk = (io_pack.pack_chunk(planes, bh, bit_depth=bd)
+                      if bh is not None else None)
                 if pk is not None:
-                    nib, ep, ev, modes = pk
                     bdev = base_dev() if callable(base_dev) else base_dev
+                    bdev = _grow(tuple(bdev), jnp)
+                if pk is not None and bdev is not None:
+                    nib, ep, ev, modes = pk
                     src = (jnp.asarray(nib), jnp.asarray(ep),
                            jnp.asarray(ev), jnp.asarray(modes), *bdev)
                     packed_delta = True
@@ -664,14 +685,15 @@ class SpecTpuEngine(TpuEngine):
                       gv=gld[2] if gld else None)
             if mesh is not None:
                 from av1tpu.specav1 import jax_sharded as _js
-                return _js.encode_chunk_sharded(mesh, *args, **kw)
+                return _js.encode_chunk_sharded(
+                    mesh, *args, packed_delta=packed_delta, **kw)
             return _encode_chunk(*args, packed_delta=packed_delta, **kw)
 
         fut = self._dispatch_pool().submit(worker)
         self._ref_dev = lambda: fut.result()[0]
-        # device base = this chunk's last source (stays on device)
-        self._src_base_dev = (None if mesh is not None
-                              else lambda: fut.result()[3])
+        # device base = this chunk's last source (stays on device;
+        # the sharded program returns it row-sharded)
+        self._src_base_dev = lambda: fut.result()[3]
         chips = mesh.shape["stripe"] if mesh is not None else 1
         return (qi, w, h, th, tw, ph, pw, bd, ohs, k, fut, lf, damps,
                 use_lr, self._golden, chips)
@@ -999,10 +1021,11 @@ class SpecTpuEngine(TpuEngine):
         def warm_chunk_packed():
             from av1tpu.encoder import io_pack
             total_ = k * total
+            evdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
             src = (jnp.zeros((total_ // 2,), jnp.uint8),
                    jnp.full((io_pack.CAP_PER_FRAME * k,), total_,
                             jnp.int32),
-                   jnp.zeros((io_pack.CAP_PER_FRAME * k,), jnp.uint8),
+                   jnp.zeros((io_pack.CAP_PER_FRAME * k,), evdt),
                    jnp.zeros((3,), jnp.int32), y, u, v)
             _encode_chunk(src, ry, ru, rv,
                           jnp.full((k,), 96, jnp.int32),
@@ -1018,9 +1041,70 @@ class SpecTpuEngine(TpuEngine):
                           gv=rv if self._golden else None,
                           packed_delta=True)[1][0].block_until_ready()
 
+        def warm_sharded():
+            # multi-chip deployment: compile the sharded key / inter /
+            # chunk programs at the exact _submit avals so the first
+            # sharded dispatch does not compile in the hot path
+            # (VERDICT r4 item 6)
+            from av1tpu.specav1 import jax_sharded as _js
+            n = m.shape["stripe"]
+            trl2, _, _ = _tile_plan(th, n)
+            damp0 = jnp.int32(4)
+            kplan = _js.key_stripe_plan(th, ph, n, trl2)
+            if kplan is not None:
+                stripe_h, ph_s_k, local_brs = kplan
+                out = _js.encode_key_sharded(
+                    m, _js.shard_rows(m, jnp.zeros((ph_s_k, pw), dt)),
+                    _js.shard_rows(m, jnp.zeros((ph_s_k // 2, pw // 2),
+                                                dt)),
+                    _js.shard_rows(m, jnp.zeros((ph_s_k // 2, pw // 2),
+                                                dt)),
+                    jnp.int32(96), bit_depth=bit_depth, th=th, tw=tw,
+                    stripe_h=stripe_h, local_brs=local_brs,
+                    lf_y=jnp.int32(0), lf_uv=jnp.int32(0),
+                    deblock=False, qround=self._qround,
+                    cdef=self._cdef, cdef_damping=damp0, lr=self._lr)
+                _jax.device_get(out[6][0, 0])
+            ph_s = _js.stripe_pad(ph, n)
+            zy = _js.shard_rows(m, jnp.zeros((ph_s, pw), dt))
+            zu = _js.shard_rows(m, jnp.zeros((ph_s // 2, pw // 2), dt))
+            zv = _js.shard_rows(m, jnp.zeros((ph_s // 2, pw // 2), dt))
+            rz = _js.shard_rows(m, jnp.zeros((ph_s, pw), jnp.int32))
+            rzu = _js.shard_rows(m, jnp.zeros((ph_s // 2, pw // 2),
+                                              jnp.int32))
+            rzv = _js.shard_rows(m, jnp.zeros((ph_s // 2, pw // 2),
+                                              jnp.int32))
+            skw = (dict(golden=True, gld_y=rz, gld_u=rzu, gld_v=rzv)
+                   if self._golden else {})
+            out = _js.encode_inter_sharded(
+                m, zy, zu, zv, rz, rzu, rzv, 96, bit_depth=bit_depth,
+                th=th, tw=tw, lf_y=jnp.int32(0), lf_uv=jnp.int32(0),
+                deblock=False, qround=self._qround, cdef=self._cdef,
+                cdef_damping=damp0, lr=self._lr, **skw)
+            _jax.device_get(out[0][0])
+            if k > 1:
+                total_s = ph_s * pw + 2 * (ph_s // 2) * (pw // 2)
+                packed = jnp.zeros((k * total_s,), dt)
+                _js.encode_chunk_sharded(
+                    m, packed, rz, rzu, rzv,
+                    jnp.full((k,), 96, jnp.int32),
+                    jnp.full((k,), 10, jnp.int32),
+                    jnp.full((k,), 10, jnp.int32),
+                    jnp.full((k,), 4, jnp.int32), k=k, ph=ph_s, pw=pw,
+                    bit_depth=bit_depth, th=th, tw=tw,
+                    cap=k * (total_s // SPARSE_CAP_FRACTION),
+                    qround=self._qround, cdef=self._cdef, lr=self._lr,
+                    golden=self._golden,
+                    gy=rz if self._golden else None,
+                    gu=rzu if self._golden else None,
+                    gv=rzv if self._golden else None,
+                )[1][0].block_until_ready()
+
         jobs = [warm_intra, warm_inter] + ([warm_chunk] if k > 1 else [])
-        if k > 1 and bit_depth == 8 and self._delta_upload:
+        if k > 1 and self._delta_upload:
             jobs.append(warm_chunk_packed)
+        if m is not None:
+            jobs = [warm_sharded]  # sharded deployment compiles these
 
         # the XLA CPU client is not compile-thread-safe when the
         # persistent cache serializes an executable on one thread while

@@ -351,23 +351,31 @@ encode_inter_sharded = functools.partial(jax.jit, static_argnames=(
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "k", "ph", "pw", "bit_depth",
                                     "th", "tw", "cap", "deblock",
-                                    "qround", "cdef", "lr", "golden"))
+                                    "qround", "cdef", "lr", "golden",
+                                    "packed_delta"))
 def encode_chunk_sharded(mesh, packed, ry, ru, rv, qindexes, lfys,
                          lfuvs, damps, k: int, ph: int, pw: int,
                          bit_depth: int, th: int, tw: int, cap: int,
                          deblock: bool = False, qround: float = 0.70,
                          cdef: bool = False, lr: bool = False,
                          golden: bool = False, gy=None, gu=None,
-                         gv=None):
+                         gv=None, packed_delta: bool = False):
     """K consecutive P frames as one lax.scan of striped frame steps:
     chunking (per-dispatch RTT amortization) COMPOSES with multi-chip
     striping.  The scan carry is the row-sharded reconstruction, so
     each step's reference traffic stays O(halo).  Mirrors
-    spec_engine._encode_chunk's packed-upload / sparse-output contract.
-    """
+    spec_engine._encode_chunk's packed-upload / sparse-output contract,
+    including the packed-delta upload (unpack's cumsums are frame- and
+    row-axis local, so the row-sharded layout partitions them without
+    cross-stripe traffic)."""
+    from av1tpu.encoder import io_pack
     from av1tpu.engine_tpu import _unpack_planes_chunk
 
-    ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
+    if packed_delta:
+        ys, us, vs = io_pack.unpack_chunk(*packed, k, ph, pw,
+                                          bit_depth=bit_depth)
+    else:
+        ys, us, vs = _unpack_planes_chunk(packed, k, ph, pw)
     spec3 = NamedSharding(mesh, P(None, "stripe", None))
     ys = jax.lax.with_sharding_constraint(ys, spec3)
     us = jax.lax.with_sharding_constraint(us, spec3)

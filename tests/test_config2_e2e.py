@@ -90,7 +90,11 @@ def test_transcode_strips_russian_and_applies_ladder(multitrack_source,
     # ladder point for <1080p is qindex 100; keyframes carry the
     # GOP-reference quality boost q//3 in [8, 48] (engine_tpu
     # encode_stream: the key is every GOP frame's reference)
-    assert fh.base_q_idx == 100 - min(48, max(8, 100 // 3))
+    # keyframe q boost: normal (q/3) or the deep (3q/4) branch when
+    # the lookahead classifies the GOP motion-predictable
+    assert fh.base_q_idx in (
+        100 - min(48, max(8, 100 // 3)),
+        100 - min(88, max(8, (3 * 100) // 4)))
 
     # copied audio payloads intact
     with open(out, "rb") as f:

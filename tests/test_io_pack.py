@@ -115,8 +115,8 @@ def test_engine_stream_identical_packed_vs_raw(monkeypatch):
     calls = []
     real_pack = io_pack.pack_chunk
 
-    def spy(planes, base, cap=None):
-        r = real_pack(planes, base, cap)
+    def spy(planes, base, cap=None, bit_depth=8):
+        r = real_pack(planes, base, cap, bit_depth)
         calls.append(r is not None)
         return r
 
@@ -129,3 +129,78 @@ def test_engine_stream_identical_packed_vs_raw(monkeypatch):
     assert len(packed) == len(raw) == 7
     for a, b in zip(packed, raw):
         assert a == b
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_roundtrip_10bit(k):
+    fr = [testsrc.testsrc2(320, 192, i, bit_depth=10)
+          for i in range(k + 1)]
+    base = _planes(fr[0])
+    chunk = [_planes(f) for f in fr[1:]]
+    ph, pw = fr[0].y.shape
+    r = io_pack.pack_chunk(chunk, base, cap=500000, bit_depth=10)
+    assert r is not None
+    import jax.numpy as jnp
+    nib, ep, ev, modes = r
+    assert ev.dtype == np.uint16
+    ys, us, vs = io_pack.unpack_chunk(
+        jnp.asarray(nib), jnp.asarray(ep), jnp.asarray(ev),
+        jnp.asarray(modes), *[jnp.asarray(b) for b in base], k, ph, pw,
+        bit_depth=10)
+    for i in range(k):
+        assert np.array_equal(np.asarray(ys[i]), chunk[i][0])
+        assert np.array_equal(np.asarray(us[i]), chunk[i][1])
+        assert np.array_equal(np.asarray(vs[i]), chunk[i][2])
+
+
+def test_sharded_10bit_stream_identical_to_single_chip(monkeypatch):
+    """VERDICT r4 item 6: the packed-delta upload composes with
+    striping AND 10-bit — a 4-stripe 10-bit chunked encode emits the
+    byte-identical stream of the single-chip encode, with the packed
+    path actually engaged."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    engaged = []
+    real_pack = io_pack.pack_chunk
+
+    def spy(planes, base, cap=None, bit_depth=8):
+        r = real_pack(planes, base, cap, bit_depth)
+        engaged.append(r is not None)
+        return r
+
+    monkeypatch.setattr(io_pack, "pack_chunk", spy)
+    from av1tpu import config as config_mod
+    from av1tpu.spec_engine import SpecTpuEngine
+
+    # smooth 10-bit content (noise-free: the nibble window covers the
+    # deltas, so the packed path engages instead of falling back raw)
+    yy, xx = np.mgrid[0:256, 0:192].astype(np.float64)
+    frames = []
+    from av1tpu.utils.testsrc import Frame
+    for i in range(4):
+        y = (512 + 340 * np.sin(xx / 53 + i * .2) *
+             np.cos(yy / 41 - i * .15)).clip(0, 1023)
+        u = (512 + 200 * np.sin(yy[::2, ::2] / 37 + i * .1)).clip(0, 1023)
+        v = np.full((128, 96), 480 + 4 * i, np.uint16)
+        frames.append(Frame(y=y.astype(np.uint16),
+                            u=u.astype(np.uint16), v=v,
+                            bit_depth=10))
+
+    def run(chips):
+        cfg = config_mod.TpuEncoderConfig(chunk=3, keyint=100,
+                                          delta_upload=True,
+                                          self_test=False)
+        cfg.num_chips = chips
+        eng = SpecTpuEngine(cfg)
+        eng.start_stream()
+        return [p for p, _ in eng.encode_stream(list(frames), 96)]
+
+    single = run(0)
+    engaged.clear()
+    striped = run(4)
+    assert engaged and all(engaged), \
+        "packed-delta upload must engage under striping"
+    assert len(single) == len(striped) == 4
+    for i, (a, b) in enumerate(zip(single, striped)):
+        assert a == b, f"payload {i} differs under striping"
