@@ -658,10 +658,17 @@ void write_coeffs(SpecTileWriter *w, int plane, int x, int y, int tx,
     int sqr = tx_size_sqr(tx);
     sym(w, 7, w->tbl(TBL_INTER_EXT_TX, (1 * 4 + sqr) * 17), 16);
   } else if (plane == 0 && !is_inter && tx_size_sqr_up(tx) == 2) {
-    // intra 16x16: TX_SET_DTT4_IDTX (5 syms), DCT_DCT = index 1
+    // intra 16x16: TX_SET_DTT4_IDTX (5 syms) {IDTX, DCT, ADST_ADST,
+    // ADST_DCT, DCT_ADST}; the coded type is mode-derived (spec
+    // Mode_To_Txfm, mirrored by the device encoder's quad_y /
+    // strip path) — mode order DC,V,H,D45,D135,D113,D157,D203,D67,
+    // SMOOTH,SMOOTH_V,SMOOTH_H,PAETH
+    static const int kDtt4Idx[13] = {1, 3, 4, 1, 2, 3, 4, 4, 3,
+                                     2, 3, 4, 2};
     int sqr = tx_size_sqr(tx);
-    sym(w, 1, w->tbl(TBL_INTRA_EXT_TX,
-                     ((2 * 4 + sqr) * 13 + intra_dir) * 17), 5);
+    sym(w, kDtt4Idx[intra_dir],
+        w->tbl(TBL_INTRA_EXT_TX,
+               ((2 * 4 + sqr) * 13 + intra_dir) * 17), 5);
   }
   // eob_pt
   int nsyms;

@@ -28,7 +28,8 @@ import numpy as np
 
 from av1tpu.encoder.kernels import motion, pallas_gather
 from av1tpu.specav1 import inter_recon, recon
-from av1tpu.specav1.jax_intra import _fwd_mat, inv_dct2d_add
+from av1tpu.specav1.jax_intra import (_fwd_mat, _fwd_mat_kind,
+                                      inv_dct2d_add, inv_tx2d_add)
 
 PAD = motion.PAD  # luma edge padding (chroma uses PAD // 2)
 _MAX_FP = PAD - 8  # clamp full-pel MVs so MC windows stay in the pad
@@ -696,7 +697,10 @@ def code_strip(src_y, rec_y_p, rec_u_p, rec_v_p, lv_y_p, lv_u_p,
     the (nsc,) strip_skip grid."""
     Wd = rec_y_p.shape[1]
     nsc = 2 * (Wd // 32)
+    # V_PRED's mode-derived transform is ADST_DCT (vertical ADST) —
+    # the walker signals the derived DTT4 index for intra 16x16
     fm16i = jnp.asarray(_fwd_mat(16))
+    fm16ia = jnp.asarray(_fwd_mat_kind("adst", 16))
     deadzone = jnp.float32(1.0 - qround)
     dqm = jnp.full((16, 16), acq, jnp.float32).at[0, 0].set(
         dcq.astype(jnp.float32) if hasattr(dcq, "astype")
@@ -706,7 +710,7 @@ def code_strip(src_y, rec_y_p, rec_u_p, rec_v_p, lv_y_p, lv_u_p,
     srows = src_y[y0:y0 + 16, :]
     resid = (srows - pred).astype(jnp.float32)
     rblk = resid.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
-    coef = jnp.einsum("ij,bjk,lk->bil", fm16i, rblk, fm16i)
+    coef = jnp.einsum("ij,bjk,lk->bil", fm16ia, rblk, fm16i)
     mag = jnp.abs(coef) / dqm + deadzone
     lvq = jnp.clip(jnp.floor(mag), 0, 32767).astype(jnp.int32)
     lvs = jnp.where(coef < 0, -lvq, lvq)
@@ -714,7 +718,8 @@ def code_strip(src_y, rec_y_p, rec_u_p, rec_v_p, lv_y_p, lv_u_p,
     dmag = (jnp.abs(lvs) * dqi) & 0xFFFFFF
     dqs = jnp.sign(lvs) * dmag
     pblk = pred.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
-    rec_blk = inv_dct2d_add(dqs, pblk.astype(jnp.int32), bit_depth)
+    rec_blk = inv_tx2d_add(dqs, pblk.astype(jnp.int32), bit_depth,
+                           row_kind="dct", col_kind="adst")
     rec_rows = rec_blk.transpose(1, 0, 2).reshape(16, Wd)
     lv_rows = lvs.transpose(1, 0, 2).reshape(16, Wd)
     rec_y_p = jax.lax.dynamic_update_slice(rec_y_p, rec_rows, (y0, 0))

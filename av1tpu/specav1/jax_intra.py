@@ -78,6 +78,23 @@ _UV_MODE_IDS = np.array([recon.DC_PRED, recon.V_PRED, recon.H_PRED],
                         np.int32)
 _UV_TX_KINDS = (("dct", "dct"), ("dct", "adst"), ("adst", "dct"))
 
+# luma 16x16 intra (split sub-blocks): the coded tx type follows the
+# prediction mode (spec Mode_To_Txfm — every derived type lands in
+# TX_SET_DTT4_IDTX, the signaled 16x16 intra set); the native walker
+# derives the identical DTT4 symbol index from y_mode, so no extra
+# device output is needed.  recon.TX_1D maps type -> (row, col) kinds.
+_Y16_COMBOS = (("dct", "dct"), ("dct", "adst"),
+               ("adst", "dct"), ("adst", "adst"))
+
+
+def _mode_combo(mode: int) -> int:
+    from av1tpu.specav1.tile import MODE_TO_TXFM
+    return _Y16_COMBOS.index(recon.TX_1D[MODE_TO_TXFM[mode]])
+
+
+_CAND_COMBO = np.array([_mode_combo(int(m)) for m in _CAND_MODE],
+                       np.int32)
+
 
 # ---------------------------------------------------------------------------
 # static plans
@@ -781,11 +798,19 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
             n_ok = jnp.where(ext_flag, 2 * own, own)
             return jnp.where(jnp.arange(2 * own) < n_ok, vec, cap)
 
+        # per-candidate mode-derived 1-D transforms (spec Mode_To_Txfm)
+        kinds16 = [_Y16_COMBOS[int(k)] for k in _CAND_COMBO]
+        fc16 = jnp.stack([fm16 if ck == "dct" else fm16a
+                          for _, ck in kinds16])
+        fr16 = jnp.stack([fm16 if rk == "dct" else fm16a
+                          for rk, _ in kinds16])
+        cand_combo = jnp.asarray(_CAND_COMBO)
+
         def quad_y(sy16, ar33, lc33, cnr, ha_q, hl_q):
             preds = _predict_all(ar33, lc33, cnr, ha_q, hl_q, 16, base,
                                  list(_CAND_MODE), list(_CAND_DELTA))
             resids = (sy16[None] - preds).astype(jnp.float32)
-            coefs = jnp.einsum("ij,bjk,lk->bil", fm16, resids, fm16)
+            coefs = jnp.einsum("bij,bjk,blk->bil", fc16, resids, fr16)
             lvs = quant(coefs, 16, 0)
             deqs = dequant(lvs, 16, 0).astype(jnp.float32)
             qerr = ((coefs - deqs) ** 2).sum(axis=(1, 2)) / 64.0
@@ -795,8 +820,14 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
                                   jnp.float32(1e18), jnp.float32(0))
             mq = jnp.argmin(rdq)
             lv = lvs[mq]
-            rec = inv_dct2d_add(dequant(lv, 16, 0)[None],
-                                preds[mq][None], bit_depth)[0]
+            dq = dequant(lv, 16, 0)[None]
+            pq = preds[mq][None]
+            # inverse with the chosen mode's derived kinds: 4 static
+            # combos + select (the kinds cannot be traced dynamically)
+            recs = jnp.stack([inv_tx2d_add(dq, pq, bit_depth,
+                                           row_kind=rk, col_kind=ck)[0]
+                              for rk, ck in _Y16_COMBOS])
+            rec = recs[cand_combo[mq]]
             return (jnp.asarray(_CAND_MODE)[mq],
                     jnp.asarray(_CAND_DELTA)[mq], lv, rec, rdq[mq])
 
@@ -1023,16 +1054,19 @@ def _encode_frame(y, u, v, qindex, nbr: int, nbc: int, bit_depth: int,
     if strip:
         rec_y, rec_u, rec_v, lv_y, lv_u, lv_v = carry[0:6]
         y0 = nbr_main * 32
-        # luma: V_PRED from the row above, coded 16x16 DCT residual
+        # luma: V_PRED from the row above, coded 16x16 residual with
+        # the mode-derived ADST_DCT transform (vertical ADST — the
+        # walker signals the same derived DTT4 index for y_mode V)
         pred = jnp.broadcast_to(rec_y[y0 - 1][None, :], (16, Wd))
         srows = src_y[y0:y0 + 16, :]
         resid = (srows - pred).astype(jnp.float32)
         rblk = resid.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
-        coef = jnp.einsum("ij,bjk,lk->bil", fm16, rblk, fm16)
+        coef = jnp.einsum("ij,bjk,lk->bil", fm16a, rblk, fm16)
         lvs = quant(coef, 16, 0)
         dq = dequant(lvs, 16, 0)
         pblk = pred.reshape(16, Wd // 16, 16).transpose(1, 0, 2)
-        rec_blk = inv_dct2d_add(dq, pblk.astype(jnp.int32), bit_depth)
+        rec_blk = inv_tx2d_add(dq, pblk.astype(jnp.int32), bit_depth,
+                               row_kind="dct", col_kind="adst")
         rec_rows = rec_blk.transpose(1, 0, 2).reshape(16, Wd)
         lv_rows = lvs.transpose(1, 0, 2).reshape(16, Wd)
         rec_y = jax.lax.dynamic_update_slice(rec_y, rec_rows, (y0, 0))
